@@ -1,0 +1,23 @@
+"""tpu3d — a TPU-native incremental Structure-from-Motion + dense voxel
+reconstruction framework (JAX / XLA / Pallas / pjit).
+
+Re-designed from scratch with the capabilities of the reference pipeline
+(daovietanh190499/3D_Reconstruction): feature extraction, BoW retrieval,
+learned + classical matching, incremental SfM (E-RANSAC, PnP, triangulation,
+Schur-complement bundle adjustment) and dense voxel radiance reconstruction
+(SDF grid + plenoxel), all as batched, jittable, mesh-shardable JAX programs.
+
+Layering (mirrors reference layer map in SURVEY.md §1, but as one package
+with typed in-memory interfaces instead of an ``output/*.npy`` filesystem
+protocol):
+
+    L1 features/   — keypoint detection + description   (ref: feature_extraction.py)
+    L2 matching/   — BoW retrieval, matching, tracks    (ref: bow.py, matching.py)
+    L3 geometry/ + ba/ + sfm/ — incremental SfM         (ref: sfm.py)
+    L4 dense/      — voxel radiance fields              (ref: sdf.py, plenoxel.py)
+    L5 io/         — artifact store, PLY export         (ref: numpy2ply.py)
+    dist/          — device mesh + sharding (new; reference is single-device)
+    kernels/       — Pallas TPU kernels for the hot ops
+"""
+
+__version__ = "0.1.0"

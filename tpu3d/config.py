@@ -1,0 +1,145 @@
+"""Central configuration.
+
+The reference hard-codes and duplicates every constant across its scripts
+(focal length 2378.98305085 at sfm.py:24 / matching.py:92 / sdf.py:54;
+BoW k=200 at bow.py:7; retrieval top_k/threshold at matching.py:51,69;
+RANSAC prob/threshold at sfm.py:108; grid resolutions / lr / batch sizes at
+sdf.py:274,411-421 and plenoxel.py:128-133). Here they live in typed,
+documented dataclasses with a single source of truth.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics. The reference uses K = diag(f, f, 1) with a zero
+    principal point, valid because keypoints are stored in *centered* image
+    coordinates (x - W/2, -(y - H/2)) — feature_extraction.py:34, sfm.py:104.
+    We keep that convention: it makes K diagonal and the math symmetric."""
+
+    focal_length: float = 2378.98305085  # ref sfm.py:24 (ystad_kloster)
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Classical (SIFT-style) TPU-native feature front-end.
+
+    The reference extracts DISK keypoints with max_num_keypoints=2048
+    (feature_extraction.py:10). We keep the same keypoint budget so the rest
+    of the pipeline sees identical shapes."""
+
+    max_keypoints: int = 2048
+    num_octaves: int = 4
+    scales_per_octave: int = 3
+    sigma0: float = 1.6
+    contrast_threshold: float = 0.015
+    edge_threshold: float = 10.0
+    nms_radius: int = 2
+    descriptor_patch_scale: float = 6.0  # descriptor support = scale * sigma
+    batch_size: int = 8  # images per device batch during extraction
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    """BoW tf-idf pair retrieval (ref bow.py + matching.py:22-82)."""
+
+    codebook_size: int = 200      # ref bow.py:7
+    kmeans_iters: int = 10        # ref uses 1 (bow.py:8); more is strictly better
+    top_k: int = 10               # ref matching.py:51
+    similarity_threshold: float = 0.75  # ref matching.py:69
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingConfig:
+    """Descriptor matching + pair acceptance gates (ref matching.py:84-189)."""
+
+    ratio_threshold: float = 0.95      # Lowe ratio for mutual-NN matcher
+    min_raw_matches: int = 100         # ref requires >8 then >=500 (matching.py:130,160)
+    min_pair_matches: int = 500        # ref matching.py:160
+    min_inliers: int = 10              # ref matching.py:144 (> 10)
+    min_track_overlap: float = 0.3     # ref matching.py:160 ("interlaced" ratio)
+    ransac_threshold_px: float = 1.0   # ref matching.py:134
+    use_learned: bool = False          # LightGlue path (needs converted weights)
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Batched-hypothesis RANSAC (replaces cv2's serial RANSAC).
+
+    Instead of data-dependent early exit (impossible under jit), we draw a
+    fixed hypothesis budget and score all of them in one batched kernel."""
+
+    num_hypotheses: int = 512
+    threshold_px: float = 1.0          # ref sfm.py:108 (threshold=1)
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Levenberg–Marquardt bundle adjustment with camera-reduced Schur
+    complement (replaces scipy.optimize.least_squares at sfm.py:38)."""
+
+    max_iters: int = 20
+    lm_lambda_init: float = 1e-3
+    lm_lambda_up: float = 3.0
+    lm_lambda_down: float = 3.0
+    ftol: float = 1e-8                 # ref sfm.py:38 ftol=1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class SfMConfig:
+    camera: CameraConfig = CameraConfig()
+    ransac: RansacConfig = RansacConfig()
+    ba: BAConfig = BAConfig()
+    max_tracks: int = 400_000          # preallocated global track capacity
+    match_capacity: int = 2048         # per-pair padded match capacity
+    min_new_points: int = 1            # triangulate if any new points (sfm.py:130)
+    run_pair_ba: bool = True
+    run_global_ba: bool = True         # new capability (reference has none)
+    global_ba_every: int = 8           # run global BA every N registrations
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseConfig:
+    """Dense voxel radiance reconstruction (ref sdf.py / plenoxel.py)."""
+
+    grid_resolution: int = 256         # ref plenoxel.py:128 N=256 / sdf.py 250
+    sh_degree: int = 2                 # 9 coeffs per color channel (27 + 1 density)
+    num_samples: int = 192             # ref plenoxel.py:133 nb_bins=192 (sdf: 160)
+    near: float = 2.0                  # ref plenoxel.py:133 hn=2
+    far: float = 6.0                   # ref plenoxel.py:133 hf=6
+    scene_scale: float = 1.5           # ref plenoxel.py:21 scale=1.5 / sdf.py:63
+    batch_size: int = 2048             # ref sdf.py:421 / plenoxel.py:104
+    learning_rate: float = 1e-2        # ref sdf.py:417 / plenoxel.py:129
+    lr_milestones: Tuple[int, ...] = (2, 4, 8)  # ref MultiStepLR milestones
+    lr_gamma: float = 0.5
+    epochs: int = 1                    # ref sdf.py:411
+    white_background: bool = True      # ref compositing adds (1 - acc)
+    density_activation: str = "relu"   # ref sdf.py:376-377 relu(sdf)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data = ray/image/observation batch axis;
+    model = voxel-brick / Schur-block axis."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = -1            # -1: all devices on data axis
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    camera: CameraConfig = CameraConfig()
+    frontend: FrontendConfig = FrontendConfig()
+    retrieval: RetrievalConfig = RetrievalConfig()
+    matching: MatchingConfig = MatchingConfig()
+    sfm: SfMConfig = SfMConfig()
+    dense: DenseConfig = DenseConfig()
+    mesh: MeshConfig = MeshConfig()
+    image_dir: Optional[str] = None
+    artifact_dir: str = "artifacts"

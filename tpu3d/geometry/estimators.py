@@ -1,0 +1,64 @@
+"""High-level robust estimators: the jit-compiled replacements for the
+cv2.findEssentialMat / cv2.recoverPose combos used throughout the reference
+(matching.py:134-139, sfm.py:108-120). One call = one fused XLA program:
+hypothesis sampling, batched 8-point solves, Sampson scoring, inlier-set
+refit, pose decomposition and cheirality vote.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3d.geometry.epipolar import essential_eight_point, sampson_error
+from tpu3d.geometry.pose import recover_pose
+from tpu3d.geometry.ransac import ransac
+
+E_SAMPLE_SIZE = 8
+
+
+class EssentialResult(NamedTuple):
+    E: jnp.ndarray           # (3, 3)
+    R: jnp.ndarray           # (3, 3) world->cam1 (cam0 = I)
+    t: jnp.ndarray           # (3,) unit translation
+    inliers: jnp.ndarray     # (N,) bool — Sampson inliers of the refit E
+    front: jnp.ndarray       # (N,) bool — cheirality-positive subset
+    num_inliers: jnp.ndarray # scalar int
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def find_essential_ransac(
+    key: jax.Array,
+    uv0: jnp.ndarray,
+    uv1: jnp.ndarray,
+    valid: jnp.ndarray,
+    focal: jnp.ndarray | float,
+    threshold_px: float = 1.0,
+    num_hypotheses: int = 512,
+) -> EssentialResult:
+    """Essential matrix + relative pose from padded centered-pixel matches.
+
+    uv0, uv1: (N, 2) centered image coordinates (reference convention),
+    valid: (N,) mask. Scoring uses the Sampson distance with the pixel
+    threshold converted to normalized units (thr/f)² — matching the
+    reference's threshold=1px at prob .999 (sfm.py:108)."""
+    x0 = uv0 / focal
+    x1 = uv1 / focal
+    thr_sq = (threshold_px / focal) ** 2
+
+    def solver(idx):
+        return essential_eight_point(x0[idx], x1[idx])
+
+    def scorer(E):
+        return sampson_error(E, x0, x1)
+
+    _, inliers0, _ = ransac(key, solver, scorer, valid, E_SAMPLE_SIZE, num_hypotheses, thr_sq)
+    # Refit on the full inlier set (least-squares 8-point over all inliers),
+    # then recompute the inlier set against the refit model.
+    E = essential_eight_point(x0, x1, inliers0.astype(x0.dtype))
+    err = sampson_error(E, x0, x1)
+    inliers = (err < thr_sq) & (valid > 0)
+    R, t, front = recover_pose(E, x0, x1, inliers.astype(x0.dtype))
+    return EssentialResult(E, R, t, inliers, front & inliers, jnp.sum(inliers))
