@@ -1,0 +1,119 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tpu3d.ba import bundle_adjust, ba_cost
+from tpu3d.core import lie
+
+
+def make_ba_problem(rng, n_cams=6, n_pts=300, noise_px=0.3, focal=1000.0,
+                    perturb_cam=0.02, perturb_pt=0.05, pad_obs=0):
+    X = np.stack([rng.uniform(-2, 2, n_pts), rng.uniform(-2, 2, n_pts),
+                  rng.uniform(5, 9, n_pts)], -1).astype(np.float32)
+    cams = []
+    for c in range(n_cams):
+        w = rng.normal(0, 0.05, 3).astype(np.float32)
+        t = np.array([0.4 * c - 0.8, 0.02 * c, 0.01 * c], np.float32)
+        cams.append(np.concatenate([w, t]))
+    cams = np.stack(cams)
+
+    cam_idx, pt_idx, uvs = [], [], []
+    for c in range(n_cams):
+        R = np.asarray(lie.so3_exp(jnp.asarray(cams[c, :3])))
+        Xc = X @ R.T + cams[c, 3:]
+        uv = Xc[:, :2] / Xc[:, 2:3] + rng.normal(0, noise_px / focal, (n_pts, 2))
+        cam_idx.append(np.full(n_pts, c))
+        pt_idx.append(np.arange(n_pts))
+        uvs.append(uv)
+    cam_idx = np.concatenate(cam_idx).astype(np.int32)
+    pt_idx = np.concatenate(pt_idx).astype(np.int32)
+    uv = np.concatenate(uvs).astype(np.float32)
+    w = np.ones(len(uv), np.float32)
+    if pad_obs:
+        cam_idx = np.concatenate([cam_idx, np.zeros(pad_obs, np.int32)])
+        pt_idx = np.concatenate([pt_idx, np.zeros(pad_obs, np.int32)])
+        uv = np.concatenate([uv, np.full((pad_obs, 2), 77.0, np.float32)])
+        w = np.concatenate([w, np.zeros(pad_obs, np.float32)])
+
+    cams_noisy = cams.copy()
+    cams_noisy[1:] += rng.normal(0, perturb_cam, cams_noisy[1:].shape).astype(np.float32)
+    X_noisy = (X + rng.normal(0, perturb_pt, X.shape)).astype(np.float32)
+    cam_fixed = np.zeros(n_cams, np.float32)
+    cam_fixed[0] = 1.0
+    return dict(
+        cams_gt=cams, X_gt=X, cams0=cams_noisy, X0=X_noisy,
+        cam_idx=cam_idx, pt_idx=pt_idx, uv=uv, w=w, cam_fixed=cam_fixed,
+        focal=focal, noise_px=noise_px,
+    )
+
+
+def test_ba_converges(rng):
+    p = make_ba_problem(rng)
+    c0 = float(ba_cost(jnp.asarray(p["cams0"]), jnp.asarray(p["X0"]),
+                       p["cam_idx"], p["pt_idx"], p["uv"], p["w"]))
+    st = bundle_adjust(
+        jnp.asarray(p["cams0"]), jnp.asarray(p["X0"]),
+        jnp.asarray(p["cam_idx"]), jnp.asarray(p["pt_idx"]),
+        jnp.asarray(p["uv"]), jnp.asarray(p["w"]), jnp.asarray(p["cam_fixed"]),
+        max_iters=15,
+    )
+    n_obs = int(np.sum(p["w"]))
+    rms_px = np.sqrt(float(st.cost) / n_obs) * p["focal"]
+    assert float(st.cost) < c0 * 1e-2
+    # should reach the noise floor (~noise_px)
+    assert rms_px < 2.5 * p["noise_px"]
+
+
+def test_ba_recovers_poses(rng):
+    p = make_ba_problem(rng, noise_px=0.0)
+    st = bundle_adjust(
+        jnp.asarray(p["cams0"]), jnp.asarray(p["X0"]),
+        jnp.asarray(p["cam_idx"]), jnp.asarray(p["pt_idx"]),
+        jnp.asarray(p["uv"]), jnp.asarray(p["w"]), jnp.asarray(p["cam_fixed"]),
+        max_iters=20,
+    )
+    np.testing.assert_allclose(np.asarray(st.cams), p["cams_gt"], atol=2e-3)
+
+
+def test_ba_fixed_camera_stays(rng):
+    p = make_ba_problem(rng)
+    st = bundle_adjust(
+        jnp.asarray(p["cams0"]), jnp.asarray(p["X0"]),
+        jnp.asarray(p["cam_idx"]), jnp.asarray(p["pt_idx"]),
+        jnp.asarray(p["uv"]), jnp.asarray(p["w"]), jnp.asarray(p["cam_fixed"]),
+        max_iters=5,
+    )
+    np.testing.assert_allclose(np.asarray(st.cams)[0], p["cams0"][0], atol=0)
+
+
+def test_ba_padded_obs_invariant(rng):
+    p1 = make_ba_problem(rng)
+    rng2 = np.random.default_rng(42)
+    p2 = make_ba_problem(rng2, pad_obs=512)
+    st1 = bundle_adjust(
+        jnp.asarray(p1["cams0"]), jnp.asarray(p1["X0"]),
+        jnp.asarray(p1["cam_idx"]), jnp.asarray(p1["pt_idx"]),
+        jnp.asarray(p1["uv"]), jnp.asarray(p1["w"]), jnp.asarray(p1["cam_fixed"]),
+        max_iters=5,
+    )
+    st2 = bundle_adjust(
+        jnp.asarray(p2["cams0"]), jnp.asarray(p2["X0"]),
+        jnp.asarray(p2["cam_idx"]), jnp.asarray(p2["pt_idx"]),
+        jnp.asarray(p2["uv"]), jnp.asarray(p2["w"]), jnp.asarray(p2["cam_fixed"]),
+        max_iters=5,
+    )
+    np.testing.assert_allclose(np.asarray(st1.cams), np.asarray(st2.cams), atol=1e-4)
+
+
+def test_ba_monotonic_cost(rng):
+    """Metamorphic: LM with accept/reject never increases cost with iters."""
+    p = make_ba_problem(rng)
+    costs = []
+    for iters in (1, 3, 6, 10):
+        st = bundle_adjust(
+            jnp.asarray(p["cams0"]), jnp.asarray(p["X0"]),
+            jnp.asarray(p["cam_idx"]), jnp.asarray(p["pt_idx"]),
+            jnp.asarray(p["uv"]), jnp.asarray(p["w"]), jnp.asarray(p["cam_fixed"]),
+            max_iters=iters,
+        )
+        costs.append(float(st.cost))
+    assert all(b <= a + 1e-6 for a, b in zip(costs, costs[1:]))

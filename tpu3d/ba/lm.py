@@ -1,0 +1,184 @@
+"""Levenberg–Marquardt bundle adjustment with a camera-reduced Schur
+complement, solved matrix-free by preconditioned conjugate gradients.
+
+TPU-native replacement for scipy.optimize.least_squares + lil_matrix
+sparsity pattern (ref sfm.py:36-50, 79-85). Design rationale:
+
+- The normal equations have the classic arrow structure
+      [U  W] [Δc]   [gc]
+      [Wᵀ V] [Δp] = [gp]
+  with U block-diag over cameras (6x6), V block-diag over points (3x3) and
+  W coupling through observations.
+- Instead of assembling the reduced camera system S = U − W V⁻¹ Wᵀ (block
+  sparse, variable fill — hostile to a dense-tiled machine), we run CG on S
+  *matrix-free*: one S·x product is two `segment_sum`s and two batched
+  (O, 6, 3) block multiplies over the observation axis. Everything is fixed
+  shape, fully batched, and the observation axis shards over the device
+  mesh (`dist/`): each shard computes its partial segment-sums and a `psum`
+  over the data axis completes the product — the multi-host Schur reduction
+  called for by BASELINE.json's north star.
+- Block-Jacobi preconditioning with U⁻¹ (6x6 Cholesky-sized inverses,
+  batched over cameras).
+
+Gauge freedom: callers pass `cam_fixed` (C,) to freeze cameras (first camera
+= identity in the incremental engine, mirroring ref sfm.py:127-128).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tpu3d.ba.residuals import observation_jacobians, reprojection_residuals
+
+
+class BAState(NamedTuple):
+    cams: jnp.ndarray     # (C, 6) [rvec|t]
+    points: jnp.ndarray   # (P, 3)
+    cost: jnp.ndarray     # scalar — final masked SSE
+    lam: jnp.ndarray      # final damping
+
+
+def ba_cost(cams, points, cam_idx, pt_idx, uv, w) -> jnp.ndarray:
+    r = reprojection_residuals(cams, points, cam_idx, pt_idx, uv, w)
+    return jnp.sum(r * r)
+
+
+def _seg_sum(x: jnp.ndarray, idx: jnp.ndarray, num: int) -> jnp.ndarray:
+    return jax.ops.segment_sum(x, idx, num_segments=num)
+
+
+def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
+    """Batched inverse of damped 3x3 SPD blocks (adjugate closed form)."""
+    A = V + damp[..., None, None] * jnp.eye(3, dtype=V.dtype)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    det = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    inv = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], -1),
+            jnp.stack([co01, co11, co12], -1),
+            jnp.stack([co02, co12, co22], -1),
+        ],
+        -2,
+    )
+    return inv / det[..., None, None]
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+def bundle_adjust(
+    cams0: jnp.ndarray,
+    points0: jnp.ndarray,
+    cam_idx: jnp.ndarray,
+    pt_idx: jnp.ndarray,
+    uv: jnp.ndarray,
+    w: jnp.ndarray,
+    cam_fixed: jnp.ndarray,
+    pt_fixed: jnp.ndarray | None = None,
+    max_iters: int = 20,
+    cg_iters: int = 32,
+    lam0: float = 1e-3,
+) -> BAState:
+    """Joint pose+structure refinement.
+
+    cams0 (C, 6), points0 (P, 3); observations (O,) indexed+masked; cam_fixed
+    (C,) 1 = frozen. All shapes static: pad observations with w=0 and points
+    with pt_fixed=1 to reuse one compiled executable across problem sizes."""
+    C = cams0.shape[0]
+    P = points0.shape[0]
+    dtype = points0.dtype
+    if pt_fixed is None:
+        pt_fixed = jnp.zeros((P,), dtype)
+    cam_free = (1.0 - cam_fixed.astype(dtype))[:, None]          # (C, 1)
+    pt_free = (1.0 - pt_fixed.astype(dtype))[:, None]            # (P, 1)
+
+    # A point with no valid observation must not move (its V block is
+    # singular); freeze it too.
+    obs_per_pt = _seg_sum(w, pt_idx, P)
+    pt_free = pt_free * (obs_per_pt > 0).astype(dtype)[:, None]
+
+    def lm_step(carry, _):
+        cams, points, lam, cost = carry
+        r, Jc, Jp = observation_jacobians(cams, points, cam_idx, pt_idx, uv, w)
+        # Zero out Jacobians of frozen variables (gauge fixing).
+        Jc_m = Jc * cam_free[cam_idx][:, None, :]
+        Jp_m = Jp * pt_free[pt_idx][:, None, :]
+
+        # Blocks.
+        Ucc = _seg_sum(jnp.einsum("oia,oib->oab", Jc_m, Jc_m), cam_idx, C)  # (C,6,6)
+        Vpp = _seg_sum(jnp.einsum("oia,oib->oab", Jp_m, Jp_m), pt_idx, P)   # (P,3,3)
+        Wcp = jnp.einsum("oia,oib->oab", Jc_m, Jp_m)                        # (O,6,3)
+        gc = _seg_sum(jnp.einsum("oia,oi->oa", Jc_m, r), cam_idx, C)        # (C,6)
+        gp = _seg_sum(jnp.einsum("oia,oi->oa", Jp_m, r), pt_idx, P)         # (P,3)
+
+        damp_c = lam * (jnp.einsum("caa->ca", Ucc) + 1e-8)                  # (C,6)
+        Vinv = _spd_inv3(Vpp, lam * (jnp.einsum("paa->pa", Vpp).mean(-1) + 1e-8))
+
+        # Reduced RHS: b = gc − W V⁻¹ gp   (gathered per observation).
+        Vinv_gp = jnp.einsum("pab,pb->pa", Vinv, gp)                        # (P,3)
+        b = gc - _seg_sum(jnp.einsum("oab,ob->oa", Wcp, Vinv_gp[pt_idx]), cam_idx, C)
+
+        def schur_matvec(x):  # x: (C, 6)
+            Ux = jnp.einsum("cab,cb->ca", Ucc, x) + damp_c * x
+            a = jnp.einsum("oab,oa->ob", Wcp, x[cam_idx])                   # Wᵀx per obs (3,)
+            bp = _seg_sum(a, pt_idx, P)                                     # (P,3)
+            cp = jnp.einsum("pab,pb->pa", Vinv, bp)
+            d = jnp.einsum("oab,ob->oa", Wcp, cp[pt_idx])                   # (O,6)
+            return Ux - _seg_sum(d, cam_idx, C)
+
+        # Block-Jacobi preconditioner: (U + damp)⁻¹ via 6x6 solves.
+        Udamped = Ucc + damp_c[..., None] * jnp.eye(6, dtype=dtype)[None]
+        # Guard frozen cameras: identity block keeps CG well-posed.
+        eye6 = jnp.eye(6, dtype=dtype)[None]
+        Udamped = Udamped * cam_free[:, :, None] + eye6 * (1.0 - cam_free[:, :, None])
+
+        def precond(v):
+            return jnp.linalg.solve(Udamped, v[..., None])[..., 0] * cam_free
+
+        # Preconditioned CG on S Δc = b.
+        def cg_body(i, state):
+            x, rr, p, rz = state
+            Ap = schur_matvec(p)
+            pAp = jnp.sum(p * Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            z = precond(rr)
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
+            p = z + beta * p
+            return (x, rr, p, rz_new)
+
+        x0 = jnp.zeros_like(b)
+        z0 = precond(b)
+        dc, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, b, z0, jnp.sum(b * z0)))
+        dc = dc * cam_free
+
+        # Back-substitute point updates: Δp = V⁻¹ (gp − Wᵀ Δc).
+        a = _seg_sum(jnp.einsum("oab,oa->ob", Wcp, dc[cam_idx]), pt_idx, P)
+        dp = jnp.einsum("pab,pb->pa", Vinv, gp - a) * pt_free
+
+        new_cams = cams - dc
+        new_points = points - dp
+        new_cost = ba_cost(new_cams, new_points, cam_idx, pt_idx, uv, w)
+        accept = new_cost < cost
+        cams = jnp.where(accept, new_cams, cams)
+        points = jnp.where(accept, new_points, points)
+        lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+        cost = jnp.where(accept, new_cost, cost)
+        return (cams, points, lam, cost), cost
+
+    cost0 = ba_cost(cams0, points0, cam_idx, pt_idx, uv, w)
+    (cams, points, lam, cost), _ = jax.lax.scan(
+        lm_step, (cams0, points0, jnp.asarray(lam0, dtype), cost0), None, length=max_iters
+    )
+    return BAState(cams, points, cost, lam)
