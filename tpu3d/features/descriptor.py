@@ -1,0 +1,151 @@
+"""Rotation-invariant 128-D gradient-histogram (SIFT-style) descriptors.
+
+The descriptor path is one big batched gather + einsum program: every
+keypoint samples a rotated 16x16 gradient grid by bilinear interpolation
+(4 gathers), orientation histograms are built by one-hot matmuls (MXU
+friendly — no serial scatter), and the 4x4x8 binning is a reshape-sum.
+The whole octave's 2048 keypoints are processed as a single XLA batch.
+
+This provides the reference pipeline's descriptor capability
+(feature_extraction.py's DISK descriptors) in the "SIFT baseline" form
+named by BASELINE.json configs[0]; descriptors are L2-normalized so the
+downstream matcher's dot-product distance (matching/mnn.py) applies
+unchanged.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+GRID = 16          # descriptor sample grid (GRID x GRID)
+CELLS = 4          # spatial cells per side
+ORI_BINS = 8       # orientation bins per cell
+HIST_BINS = 36     # orientation-assignment histogram
+
+
+def gradients(levels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Central-difference gradients of (L, H, W) gaussian levels."""
+    gx = 0.5 * (jnp.roll(levels, -1, -1) - jnp.roll(levels, 1, -1))
+    gy = 0.5 * (jnp.roll(levels, -1, -2) - jnp.roll(levels, 1, -2))
+    return gx, gy
+
+
+def _bilinear(img: jnp.ndarray, lvl: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray) -> jnp.ndarray:
+    """Sample (L, H, W) at float (ys, xs) on integer level lvl.
+    lvl: (K, 1) int32 broadcast over samples; ys/xs: (K, N) float."""
+    L, H, W = img.shape
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    wy = ys - y0
+    wx = xs - x0
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 2)
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 2)
+    l = jnp.broadcast_to(lvl, ys.shape)
+    v00 = img[l, y0i, x0i]
+    v01 = img[l, y0i, x0i + 1]
+    v10 = img[l, y0i + 1, x0i]
+    v11 = img[l, y0i + 1, x0i + 1]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx):
+    """Gradient samples at kp + offsets. dy/dx: (K, N)."""
+    ys = ky[:, None] + dy
+    xs = kx[:, None] + dx
+    return _bilinear(gx, lvl, ys, xs), _bilinear(gy, lvl, ys, xs)
+
+
+def keypoint_orientations(
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    kx: jnp.ndarray,
+    ky: jnp.ndarray,
+    lvl: jnp.ndarray,
+    sigma: jnp.ndarray,
+) -> jnp.ndarray:
+    """Dominant gradient orientation per keypoint (radians).
+
+    11x11 sample grid with spacing ~0.9 sigma, gaussian-weighted 36-bin
+    soft histogram built by a one-hot matmul, 3-tap circular smoothing,
+    argmax + parabolic peak interpolation."""
+    R = 5
+    offs = jnp.arange(-R, R + 1, dtype=jnp.float32)
+    dyg, dxg = jnp.meshgrid(offs, offs, indexing="ij")
+    dyg = dyg.reshape(-1)
+    dxg = dxg.reshape(-1)  # (N,)
+    spacing = 0.9 * sigma[:, None]  # (K, 1)
+    dy = dyg[None, :] * spacing
+    dx = dxg[None, :] * spacing
+    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx)
+    mag = jnp.sqrt(gxs**2 + gys**2)
+    wgt = jnp.exp(-(dyg**2 + dxg**2)[None, :] / (2 * (1.5 * R / 3.0) ** 2))
+    ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
+    binf = (ang / (2 * jnp.pi) + 0.5) * HIST_BINS  # [0, 36]
+    b0 = jnp.floor(binf).astype(jnp.int32) % HIST_BINS
+    frac = binf - jnp.floor(binf)
+    w = mag * wgt
+    oh0 = jax.nn.one_hot(b0, HIST_BINS, dtype=w.dtype)
+    oh1 = jax.nn.one_hot((b0 + 1) % HIST_BINS, HIST_BINS, dtype=w.dtype)
+    hist = jnp.einsum("kn,knh->kh", w * (1 - frac), oh0) + jnp.einsum(
+        "kn,knh->kh", w * frac, oh1
+    )
+    # circular 3-tap smooth (twice)
+    for _ in range(2):
+        hist = (jnp.roll(hist, 1, -1) + hist + jnp.roll(hist, -1, -1)) / 3.0
+    peak = jnp.argmax(hist, axis=-1)
+    hp = jnp.take_along_axis(hist, peak[:, None], -1)[:, 0]
+    hl = jnp.take_along_axis(hist, ((peak - 1) % HIST_BINS)[:, None], -1)[:, 0]
+    hr = jnp.take_along_axis(hist, ((peak + 1) % HIST_BINS)[:, None], -1)[:, 0]
+    denom = hl - 2 * hp + hr
+    off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (hl - hr) / denom, 0.0)
+    binp = peak.astype(jnp.float32) + jnp.clip(off, -0.5, 0.5)
+    return (binp / HIST_BINS - 0.5) * 2 * jnp.pi
+
+
+def sift_descriptors(
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    kx: jnp.ndarray,
+    ky: jnp.ndarray,
+    lvl: jnp.ndarray,
+    sigma: jnp.ndarray,
+    theta: jnp.ndarray,
+) -> jnp.ndarray:
+    """(K, 128) descriptors from one octave's gradient stack."""
+    g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2.0)
+    dyg, dxg = jnp.meshgrid(g, g, indexing="ij")
+    dyg = dyg.reshape(-1)
+    dxg = dxg.reshape(-1)  # (N,) N = 256
+    spacing = 0.75 * sigma[:, None]
+    ct = jnp.cos(theta)[:, None]
+    st = jnp.sin(theta)[:, None]
+    # rotate sample offsets by theta
+    dx = (ct * dxg[None, :] - st * dyg[None, :]) * spacing
+    dy = (st * dxg[None, :] + ct * dyg[None, :]) * spacing
+    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx)
+    mag = jnp.sqrt(gxs**2 + gys**2)
+    wgt = jnp.exp(-(dyg**2 + dxg**2)[None, :] / (2 * (GRID / 2.0) ** 2))
+    w = mag * wgt
+    ang = jnp.arctan2(gys, gxs) - theta[:, None]
+    binf = (ang / (2 * jnp.pi)) * ORI_BINS
+    b0 = jnp.floor(binf).astype(jnp.int32) % ORI_BINS
+    frac = binf - jnp.floor(binf)
+    oh0 = jax.nn.one_hot(b0, ORI_BINS, dtype=w.dtype)
+    oh1 = jax.nn.one_hot((b0 + 1) % ORI_BINS, ORI_BINS, dtype=w.dtype)
+    contrib = oh0 * (w * (1 - frac))[..., None] + oh1 * (w * frac)[..., None]  # (K, N, 8)
+    K = kx.shape[0]
+    cells = contrib.reshape(K, CELLS, GRID // CELLS, CELLS, GRID // CELLS, ORI_BINS)
+    desc = jnp.sum(cells, axis=(2, 4)).reshape(K, CELLS * CELLS * ORI_BINS)
+    # SIFT normalization: L2 -> clip 0.2 -> L2.
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    return desc

@@ -1,0 +1,140 @@
+"""Classical TPU-native feature front-end (stage 1 of the pipeline).
+
+Replaces the reference's ``feature_extraction.py`` (DISK on CUDA): batched
+grayscale images in, a fixed-capacity :class:`FeatureSet` out — keypoints in
+the reference's centered y-up coordinate convention
+(feature_extraction.py:34), per-keypoint colors (:32), image sizes, and
+L2-normalized 128-D descriptors with the same 2048-keypoint budget (:10).
+
+The whole extractor is ONE jitted program per image batch: pyramid
+convolutions, DoG extrema, NMS, subpixel refinement, orientation histograms
+and descriptors, then a global top-K merge across octaves. A learned DISK
+forward pass (features/disk.py) can be swapped in when converted weights are
+available; the classical path has no weights and runs anywhere.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpu3d.config import FrontendConfig
+from tpu3d.core.camera import pixel_to_centered
+from tpu3d.features.pyramid import build_pyramid
+from tpu3d.features.detector import detect_octave
+from tpu3d.features.descriptor import gradients, keypoint_orientations, sift_descriptors
+
+
+class FeatureSet(NamedTuple):
+    keypoints: jnp.ndarray     # (B, K, 2) centered y-up coords
+    keypoints_px: jnp.ndarray  # (B, K, 2) pixel coords (x, y)
+    descriptors: jnp.ndarray   # (B, K, 128)
+    scores: jnp.ndarray        # (B, K)
+    scales: jnp.ndarray        # (B, K) absolute sigma in full-res pixels
+    valid: jnp.ndarray         # (B, K) bool
+    image_size: jnp.ndarray    # (B, 2) = (W, H)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_keypoints",
+        "num_octaves",
+        "scales_per_octave",
+        "sigma0",
+        "contrast_threshold",
+        "edge_threshold",
+        "nms_radius",
+    ),
+)
+def _extract(
+    images: jnp.ndarray,
+    max_keypoints: int,
+    num_octaves: int,
+    scales_per_octave: int,
+    sigma0: float,
+    contrast_threshold: float,
+    edge_threshold: float,
+    nms_radius: int,
+) -> FeatureSet:
+    B, H, W = images.shape
+    S = scales_per_octave
+    gauss, dogs = build_pyramid(images, num_octaves, S, sigma0)
+
+    xs, ys, scores, scales_abs, descs, valids = [], [], [], [], [], []
+    for o in range(num_octaves):
+        kp = detect_octave(
+            dogs[o], max_keypoints, contrast_threshold, edge_threshold, nms_radius
+        )
+        g_o = gauss[o]  # (B, S+3, Ho, Wo)
+        lvl = jnp.clip(jnp.round(kp.scale).astype(jnp.int32), 1, S)
+        sigma_local = sigma0 * (2.0 ** (kp.scale / S))
+
+        def per_image(g_b, kx, ky, lvl_b, sig_b):
+            gx, gy = gradients(g_b)
+            theta = keypoint_orientations(gx, gy, kx, ky, lvl_b, sig_b)
+            d = sift_descriptors(gx, gy, kx, ky, lvl_b, sig_b, theta)
+            return d
+
+        d = jax.vmap(per_image)(g_o, kp.x, kp.y, lvl, sigma_local)
+        factor = float(2**o)
+        xs.append(kp.x * factor)
+        ys.append(kp.y * factor)
+        scores.append(kp.score)
+        scales_abs.append(sigma_local * factor)
+        descs.append(d)
+        valids.append(kp.valid)
+
+    x = jnp.concatenate(xs, axis=1)
+    y = jnp.concatenate(ys, axis=1)
+    score = jnp.concatenate(scores, axis=1)
+    scale = jnp.concatenate(scales_abs, axis=1)
+    desc = jnp.concatenate(descs, axis=1)
+    valid = jnp.concatenate(valids, axis=1)
+
+    top_score, top_idx = jax.lax.top_k(jnp.where(valid, score, 0.0), max_keypoints)
+    take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
+    x = take(x)
+    y = take(y)
+    scale = take(scale)
+    valid = top_score > 0
+    desc = jnp.take_along_axis(desc, top_idx[..., None], axis=1)
+
+    kp_px = jnp.stack([x, y], axis=-1)
+    size = jnp.broadcast_to(jnp.asarray([W, H], jnp.float32), (B, 2))
+    kp_centered = pixel_to_centered(kp_px, size[:, None, :])
+    return FeatureSet(
+        keypoints=kp_centered,
+        keypoints_px=kp_px,
+        descriptors=desc,
+        scores=top_score,
+        scales=scale,
+        valid=valid,
+        image_size=size,
+    )
+
+
+def extract_features(images: jnp.ndarray, config: Optional[FrontendConfig] = None) -> FeatureSet:
+    """Extract features from a (B, H, W) float32 [0,1] grayscale batch."""
+    cfg = config or FrontendConfig()
+    return _extract(
+        images,
+        cfg.max_keypoints,
+        cfg.num_octaves,
+        cfg.scales_per_octave,
+        cfg.sigma0,
+        cfg.contrast_threshold,
+        cfg.edge_threshold,
+        cfg.nms_radius,
+    )
+
+
+def sample_colors(images_rgb: jnp.ndarray, keypoints_px: jnp.ndarray) -> jnp.ndarray:
+    """Per-keypoint color at the keypoint pixel (ref feature_extraction.py:32).
+    images_rgb: (B, H, W, 3) uint8/float; keypoints_px: (B, K, 2)."""
+    B, H, W, _ = images_rgb.shape
+    xi = jnp.clip(jnp.round(keypoints_px[..., 0]).astype(jnp.int32), 0, W - 1)
+    yi = jnp.clip(jnp.round(keypoints_px[..., 1]).astype(jnp.int32), 0, H - 1)
+    return jax.vmap(lambda img, y, x: img[y, x])(images_rgb, yi, xi)

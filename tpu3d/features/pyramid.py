@@ -1,0 +1,77 @@
+"""Gaussian scale-space pyramid on TPU.
+
+Separable Gaussian blurs as XLA depthwise convolutions (they lower straight
+onto the MXU/VPU), octave downsampling by strided slicing. This is the
+substrate for the classical DoG detector — the TPU-native stand-in for the
+convolutional feature extraction the reference delegates to DISK's CUDA
+U-Net (feature_extraction.py:10,28).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
+    if radius is None:
+        radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of (B, H, W) images (reflect padding)."""
+    k = gaussian_kernel1d(sigma)
+    r = (k.shape[0] - 1) // 2
+    x = img[:, None, :, :]  # (B, 1, H, W)
+    kh = k.reshape(1, 1, -1, 1)
+    kw = k.reshape(1, 1, 1, -1)
+    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="reflect")
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return x[:, 0]
+
+
+def downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    """2x nearest downsample of (B, H, W)."""
+    return img[:, ::2, ::2]
+
+
+@functools.partial(jax.jit, static_argnames=("num_octaves", "scales_per_octave", "sigma0"))
+def build_pyramid(
+    images: jnp.ndarray,
+    num_octaves: int = 4,
+    scales_per_octave: int = 3,
+    sigma0: float = 1.6,
+) -> Tuple[List[jnp.ndarray], List[jnp.ndarray]]:
+    """Gaussian + DoG pyramids.
+
+    images: (B, H, W) float32 in [0, 1] (assumed pre-blurred to sigma=0.5 by
+    sensor sampling). Returns (gauss, dogs): per octave, gauss is
+    (B, S+3, Ho, Wo) and dogs is (B, S+2, Ho, Wo)."""
+    S = scales_per_octave
+    k = 2.0 ** (1.0 / S)
+    base = blur(images, math.sqrt(max(sigma0**2 - 0.5**2, 0.01)))
+    gauss_oct = []
+    dog_oct = []
+    current = base
+    for _o in range(num_octaves):
+        levels = [current]
+        sigma_prev = sigma0
+        for s in range(1, S + 3):
+            sigma_total = sigma0 * (k**s)
+            sigma_inc = math.sqrt(max(sigma_total**2 - sigma_prev**2, 1e-4))
+            levels.append(blur(levels[-1], sigma_inc))
+            sigma_prev = sigma_total
+        g = jnp.stack(levels, axis=1)  # (B, S+3, H, W)
+        gauss_oct.append(g)
+        dog_oct.append(g[:, 1:] - g[:, :-1])
+        # Next octave seeds from the level with sigma = 2*sigma0.
+        current = downsample2(levels[S])
+    return gauss_oct, dog_oct
