@@ -1,0 +1,60 @@
+"""Mutual-nearest-neighbor descriptor matching with Lowe ratio test.
+
+The classical counterpart of the reference's LightGlue matcher
+(matching.py:122). The similarity matrix of two 2048-keypoint descriptor
+sets is a single (2048, 128) x (128, 2048) matmul — exactly the shape the
+MXU wants — followed by row/column argmax, ratio gating and masking.
+A learned LightGlue forward (matching/lightglue.py) can substitute when
+converted weights are available; both emit the same MatchResult.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MatchResult(NamedTuple):
+    idx0: jnp.ndarray      # (K,) index into set 0 for each slot
+    idx1: jnp.ndarray      # (K,) matched index into set 1
+    valid: jnp.ndarray     # (K,) bool
+    score: jnp.ndarray     # (K,) cosine similarity of the match
+
+
+@functools.partial(jax.jit, static_argnames=("ratio",))
+def match_descriptors(
+    d0: jnp.ndarray,
+    d1: jnp.ndarray,
+    valid0: jnp.ndarray,
+    valid1: jnp.ndarray,
+    ratio: float = 0.95,
+) -> MatchResult:
+    """Mutual-NN + ratio-test matching of L2-normalized descriptors.
+
+    d0: (K0, D), d1: (K1, D); valid masks gate padded slots. Slot i of the
+    output corresponds to keypoint i of set 0 (fixed capacity K0)."""
+    sim = jnp.dot(d0, d1.T, preferred_element_type=jnp.float32)  # (K0, K1)
+    neg = jnp.asarray(-2.0, sim.dtype)
+    sim = jnp.where(valid0[:, None] > 0, sim, neg)
+    sim = jnp.where(valid1[None, :] > 0, sim, neg)
+
+    top2, top2_idx = jax.lax.top_k(sim, 2)  # (K0, 2)
+    best1 = top2_idx[:, 0]
+    # Lowe ratio in distance space: d² = 2 - 2s ⇒ require
+    # (2-2s₁) < r²(2-2s₂).
+    dist1 = jnp.maximum(2.0 - 2.0 * top2[:, 0], 0.0)
+    dist2 = jnp.maximum(2.0 - 2.0 * top2[:, 1], 0.0)
+    ratio_ok = dist1 < (ratio * ratio) * dist2
+
+    best0_of_1 = jnp.argmax(sim, axis=0)  # (K1,)
+    mutual = best0_of_1[best1] == jnp.arange(d0.shape[0])
+
+    valid = (valid0 > 0) & mutual & ratio_ok & (top2[:, 0] > neg + 1.0)
+    return MatchResult(
+        idx0=jnp.arange(d0.shape[0], dtype=jnp.int32),
+        idx1=best1.astype(jnp.int32),
+        valid=valid,
+        score=top2[:, 0],
+    )
