@@ -94,6 +94,7 @@ class SfMConfig:
     camera: CameraConfig = CameraConfig()
     ransac: RansacConfig = RansacConfig()
     ba: BAConfig = BAConfig()
+    min_pnp_inliers: int = 10          # ref matching.py:144 / sfm acceptance
     max_tracks: int = 400_000          # preallocated global track capacity
     match_capacity: int = 2048         # per-pair padded match capacity
     min_new_points: int = 1            # triangulate if any new points (sfm.py:130)

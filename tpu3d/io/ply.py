@@ -1,0 +1,37 @@
+"""PLY export + outlier filtering (ref sfm.py:54-77, numpy2ply.py)."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def filter_point_cloud(points: np.ndarray, extra_margin: float = 300.0, scale: float = 200.0):
+    """Reference outlier filter (sfm.py:59-63 / sdf.py:72-79): after scaling
+    by `scale`, drop points farther than mean distance + extra_margin from
+    the centroid. Returns a boolean keep-mask over the input points."""
+    p = points * scale
+    mean = p.mean(axis=0)
+    dist = np.linalg.norm(p - mean, axis=1)
+    return dist < dist.mean() + extra_margin
+
+
+def write_ply(path: str, points: np.ndarray, colors_bgr: np.ndarray, scale: float = 200.0, apply_filter: bool = True):
+    """ASCII PLY with BGR color columns, x200 scaling and the reference's
+    outlier filter (sfm.py:54-77)."""
+    pts = points.reshape(-1, 3) * scale
+    cols = colors_bgr.reshape(-1, 3)
+    if apply_filter and len(pts) > 0:
+        keep = filter_point_cloud(points, scale=scale)
+        pts = pts[keep]
+        cols = cols[keep]
+    header = (
+        "ply\nformat ascii 1.0\n"
+        f"element vertex {len(pts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar blue\nproperty uchar green\nproperty uchar red\n"
+        "end_header\n"
+    )
+    with open(path, "w") as f:
+        f.write(header)
+        for p, c in zip(pts, cols):
+            f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {int(c[0])} {int(c[1])} {int(c[2])}\n")
+    return len(pts)
