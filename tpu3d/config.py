@@ -35,7 +35,7 @@ class FrontendConfig:
     num_octaves: int = 4
     scales_per_octave: int = 3
     sigma0: float = 1.6
-    contrast_threshold: float = 0.015
+    contrast_threshold: float = 0.006
     edge_threshold: float = 10.0
     nms_radius: int = 2
     descriptor_patch_scale: float = 6.0  # descriptor support = scale * sigma
@@ -49,7 +49,11 @@ class RetrievalConfig:
     codebook_size: int = 200      # ref bow.py:7
     kmeans_iters: int = 10        # ref uses 1 (bow.py:8); more is strictly better
     top_k: int = 10               # ref matching.py:51
-    similarity_threshold: float = 0.75  # ref matching.py:69
+    # ref matching.py:69 uses 0.75 for DISK tf-idf vectors; the classical
+    # descriptors' similarity scale runs lower, and min_neighbors below
+    # keeps the graph connected regardless.
+    similarity_threshold: float = 0.5
+    min_neighbors: int = 2        # always keep this many top neighbors
 
 
 @dataclasses.dataclass(frozen=True)

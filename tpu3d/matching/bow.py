@@ -88,5 +88,5 @@ def topk_similar(tfidf: jnp.ndarray, top_k: int = 10) -> Tuple[jnp.ndarray, jnp.
     x = tfidf / norm
     sim = jnp.dot(x, x.T, preferred_element_type=jnp.float32)
     sim = sim - 2.0 * jnp.eye(sim.shape[0], dtype=sim.dtype)  # exclude self
-    vals, idx = jax.lax.top_k(sim, top_k)
+    vals, idx = jax.lax.top_k(sim, min(top_k, sim.shape[0] - 1))
     return idx.astype(jnp.int32), vals

@@ -19,17 +19,24 @@ import numpy as np
 def build_view_graph(
     topk_idx: np.ndarray,
     topk_sim: np.ndarray,
-    threshold: float = 0.75,
+    threshold: float = 0.5,
+    min_neighbors: int = 2,
 ) -> Dict[int, List[int]]:
     """Undirected adjacency from per-image top-k retrieval results.
 
-    Mirrors matching.py:61-73 (including symmetrization)."""
+    Mirrors matching.py:61-73 (including symmetrization), with one
+    robustness addition: each image always keeps its `min_neighbors` most
+    similar neighbors even below the threshold, so a sequence whose BoW
+    similarities run low (descriptor-dependent) still yields a connected
+    graph — the downstream E-matrix gate rejects any false edge anyway."""
     n = topk_idx.shape[0]
     adj: Dict[int, List[int]] = {i: [] for i in range(n)}
     for i in range(n):
-        for j, sim in zip(topk_idx[i], topk_sim[i]):
+        for rank, (j, sim) in enumerate(zip(topk_idx[i], topk_sim[i])):
             j = int(j)
-            if sim > threshold and j != i:
+            if j == i:
+                continue
+            if sim > threshold or rank < min_neighbors:
                 if j not in adj[i]:
                     adj[i].append(j)
                 if i not in adj[j]:
