@@ -75,9 +75,12 @@ def test_tfidf_and_retrieval(rng):
 def test_view_graph_and_bfs():
     idx = np.array([[1, 2], [0, 2], [0, 1], [1, 0]])
     sim = np.array([[0.9, 0.8], [0.9, 0.2], [0.8, 0.2], [0.1, 0.05]])
-    adj = build_view_graph(idx, sim, threshold=0.75)
+    adj = build_view_graph(idx, sim, threshold=0.75, min_neighbors=0)
     assert set(adj[0]) == {1, 2}
     assert adj[3] == []
+    # min_neighbors keeps the top edges even below threshold
+    adj2 = build_view_graph(idx, sim, threshold=0.75, min_neighbors=1)
+    assert 1 in adj2[3]
     pairs = bfs_pair_order(adj)
     assert len(pairs) == 2  # spanning tree over {0,1,2}
     covered = {p[1] for p in pairs} | {pairs[0][0]}
