@@ -39,7 +39,10 @@ class FrontendConfig:
     edge_threshold: float = 10.0
     nms_radius: int = 2
     descriptor_patch_scale: float = 6.0  # descriptor support = scale * sigma
-    batch_size: int = 8  # images per device batch during extraction
+    # Images per device batch. 4 is the proven-safe size for the TPU
+    # backend's scalar register allocator on the descriptor gather graph;
+    # the per-image cost is ~1ms so batching higher buys little.
+    batch_size: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

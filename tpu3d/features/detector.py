@@ -50,31 +50,45 @@ def _edge_mask(d: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
 
 
 def _subpixel_offsets(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
-    """3D quadratic refinement at integer extremum (s, y, x) of one image's
-    DoG stack (S+2, H, W). Returns (off_s, off_y, off_x) clamped to ±0.6."""
+    """3D quadratic refinement at integer extrema (s, y, x) of one image's
+    DoG stack (S+2, H, W). Returns (K, 3) offsets clamped to ±0.6.
 
-    def one(si, yi, xi):
-        p = jax.lax.dynamic_slice(dog, (si - 1, yi - 1, xi - 1), (3, 3, 3))
-        g = jnp.array(
-            [
-                0.5 * (p[2, 1, 1] - p[0, 1, 1]),
-                0.5 * (p[1, 2, 1] - p[1, 0, 1]),
-                0.5 * (p[1, 1, 2] - p[1, 1, 0]),
-            ]
-        )
-        c = p[1, 1, 1]
-        hss = p[2, 1, 1] + p[0, 1, 1] - 2 * c
-        hyy = p[1, 2, 1] + p[1, 0, 1] - 2 * c
-        hxx = p[1, 1, 2] + p[1, 1, 0] - 2 * c
-        hsy = 0.25 * (p[2, 2, 1] - p[2, 0, 1] - p[0, 2, 1] + p[0, 0, 1])
-        hsx = 0.25 * (p[2, 1, 2] - p[2, 1, 0] - p[0, 1, 2] + p[0, 1, 0])
-        hyx = 0.25 * (p[1, 2, 2] - p[1, 2, 0] - p[1, 0, 2] + p[1, 0, 0])
-        H = jnp.array([[hss, hsy, hsx], [hsy, hyy, hyx], [hsx, hyx, hxx]])
-        H = H + 1e-6 * jnp.eye(3)
-        off = -jnp.linalg.solve(H, g)
-        return jnp.clip(off, -0.6, 0.6)
+    One advanced-indexing gather pulls all 27 neighbors for every keypoint
+    at once (a per-keypoint dynamic_slice here overflows the TPU scalar
+    register allocator at realistic batch sizes); the damped 3x3 Newton
+    solve uses the closed-form adjugate inverse — no linalg, no scalar
+    loops."""
 
-    return jax.vmap(one)(s, y, x)
+    def at(ds, dy, dx):
+        return dog[s + ds, y + dy, x + dx]  # (K,)
+
+    c = at(0, 0, 0)
+    gs = 0.5 * (at(1, 0, 0) - at(-1, 0, 0))
+    gy = 0.5 * (at(0, 1, 0) - at(0, -1, 0))
+    gx = 0.5 * (at(0, 0, 1) - at(0, 0, -1))
+    hss = at(1, 0, 0) + at(-1, 0, 0) - 2 * c
+    hyy = at(0, 1, 0) + at(0, -1, 0) - 2 * c
+    hxx = at(0, 0, 1) + at(0, 0, -1) - 2 * c
+    hsy = 0.25 * (at(1, 1, 0) - at(1, -1, 0) - at(-1, 1, 0) + at(-1, -1, 0))
+    hsx = 0.25 * (at(1, 0, 1) - at(1, 0, -1) - at(-1, 0, 1) + at(-1, 0, -1))
+    hyx = 0.25 * (at(0, 1, 1) - at(0, 1, -1) - at(0, -1, 1) + at(0, -1, -1))
+
+    d = 1e-6
+    a, b_, c_ = hss + d, hsy, hsx
+    e, f = hyy + d, hyx
+    i = hxx + d
+    co00 = e * i - f * f
+    co01 = c_ * f - b_ * i
+    co02 = b_ * f - c_ * e
+    co11 = a * i - c_ * c_
+    co12 = b_ * c_ - a * f
+    co22 = a * e - b_ * b_
+    det = a * co00 + b_ * co01 + c_ * co02
+    det = jnp.where(jnp.abs(det) < 1e-12, jnp.where(det < 0, -1e-12, 1e-12), det)
+    off_s = -(co00 * gs + co01 * gy + co02 * gx) / det
+    off_y = -(co01 * gs + co11 * gy + co12 * gx) / det
+    off_x = -(co02 * gs + co12 * gy + co22 * gx) / det
+    return jnp.clip(jnp.stack([off_s, off_y, off_x], axis=-1), -0.6, 0.6)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "contrast_threshold", "edge_threshold", "nms_radius"))

@@ -40,21 +40,26 @@ def match_descriptors(
     sim = jnp.where(valid0[:, None] > 0, sim, neg)
     sim = jnp.where(valid1[None, :] > 0, sim, neg)
 
-    top2, top2_idx = jax.lax.top_k(sim, 2)  # (K0, 2)
-    best1 = top2_idx[:, 0]
+    # Top-2 via two max/argmax passes — compiles far faster on TPU than a
+    # top_k sort over the (K0, K1) similarity matrix.
+    s1 = jnp.max(sim, axis=1)
+    best1 = jnp.argmax(sim, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    sim_wo_best = jnp.where(cols == best1[:, None], neg, sim)
+    s2 = jnp.max(sim_wo_best, axis=1)
     # Lowe ratio in distance space: d² = 2 - 2s ⇒ require
     # (2-2s₁) < r²(2-2s₂).
-    dist1 = jnp.maximum(2.0 - 2.0 * top2[:, 0], 0.0)
-    dist2 = jnp.maximum(2.0 - 2.0 * top2[:, 1], 0.0)
+    dist1 = jnp.maximum(2.0 - 2.0 * s1, 0.0)
+    dist2 = jnp.maximum(2.0 - 2.0 * s2, 0.0)
     ratio_ok = dist1 < (ratio * ratio) * dist2
 
     best0_of_1 = jnp.argmax(sim, axis=0)  # (K1,)
     mutual = best0_of_1[best1] == jnp.arange(d0.shape[0])
 
-    valid = (valid0 > 0) & mutual & ratio_ok & (top2[:, 0] > neg + 1.0)
+    valid = (valid0 > 0) & mutual & ratio_ok & (s1 > neg + 1.0)
     return MatchResult(
         idx0=jnp.arange(d0.shape[0], dtype=jnp.int32),
         idx1=best1.astype(jnp.int32),
         valid=valid,
-        score=top2[:, 0],
+        score=s1,
     )
