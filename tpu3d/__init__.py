@@ -21,3 +21,17 @@ protocol):
 """
 
 __version__ = "0.1.0"
+
+# Multi-view geometry (8-point, AtA eigensolves, BA normal equations) needs
+# true float32 accumulation; the TPU MXU's default bf16 matmul precision
+# silently destroys it (observed: E-RANSAC inlier rates collapsing on TPU
+# while identical code passes on CPU). Hot paths that tolerate bf16 opt
+# back in locally via precision= / preferred_element_type.
+import os as _os
+
+import jax as _jax
+
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("TPU3D_MATMUL_PRECISION", "highest"),
+)

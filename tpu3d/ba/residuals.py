@@ -36,6 +36,7 @@ def _residual_one(cam: jnp.ndarray, X: jnp.ndarray, uv: jnp.ndarray, w: jnp.ndar
     return (_project_one(cam, X) - uv) * w
 
 
+@jax.jit
 def reprojection_residuals(
     cams: jnp.ndarray,
     points: jnp.ndarray,

@@ -70,19 +70,21 @@ def rays_from_cameras(
     (the corrected form of ref sdf.py:129-141)."""
     M, H, W, _ = images_rgb.shape
     ys, xs = np.meshgrid(np.arange(0, H, stride), np.arange(0, W, stride), indexing="ij")
-    pix = np.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1).astype(np.float32)
-    size = np.asarray([W, H], np.float32)
-    uv = np.asarray(pixel_to_centered(jnp.asarray(pix), jnp.asarray(size)))
+    # centered y-up coords (pixel_to_centered semantics, numpy host-side)
+    u = xs.reshape(-1).astype(np.float32) - W / 2.0
+    v = -(ys.reshape(-1).astype(np.float32) - H / 2.0)
+    d_cam = np.stack([u / focal, v / focal, np.ones_like(u)], axis=-1)
     origins, dirs, rgbs = [], [], []
     for m in range(M):
-        R = lie.so3_exp(jnp.asarray(cams[m, :3]))
-        o, d = camera_rays(R, jnp.asarray(cams[m, 3:6]), jnp.asarray(uv), focal)
-        o = np.asarray(o)
-        d = np.asarray(d)
+        R = lie.so3_exp_np(cams[m, :3])
+        t = cams[m, 3:6]
+        o = -R.T @ t
+        d = d_cam @ R  # == (Rᵀ d_camᵀ)ᵀ
+        d = d / np.linalg.norm(d, axis=-1, keepdims=True)
         if norm is not None:
             o = norm.apply(o)
         origins.append(np.broadcast_to(o, d.shape).copy())
-        dirs.append(d)
+        dirs.append(d.astype(np.float32))
         rgbs.append(images_rgb[m, ys.reshape(-1), xs.reshape(-1)].astype(np.float32) / 255.0)
     return RayDataset(
         np.concatenate(origins).astype(np.float32),

@@ -131,6 +131,7 @@ def extract_features(images: jnp.ndarray, config: Optional[FrontendConfig] = Non
     )
 
 
+@jax.jit
 def sample_colors(images_rgb: jnp.ndarray, keypoints_px: jnp.ndarray) -> jnp.ndarray:
     """Per-keypoint color at the keypoint pixel (ref feature_extraction.py:32).
     images_rgb: (B, H, W, 3) uint8/float; keypoints_px: (B, K, 2)."""

@@ -6,6 +6,7 @@ a fixed-iteration masked LM on the inlier set (fixed shapes, jit-friendly).
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -98,6 +99,7 @@ def refine_pose(
     return so3_exp(params[:3]), params[3:6]
 
 
+@functools.partial(jax.jit, static_argnames=("num_hypotheses", "refine_iters"))
 def pnp_ransac(
     key: jax.Array,
     X: jnp.ndarray,

@@ -119,8 +119,13 @@ class IncrementalSfM:
     def register_pair(self, pair: PairObservations) -> dict:
         cfg = self.cfg
         f = self.focal
+        # Normalized coords prepared host-side: eager device ops are full
+        # round-trips on remote-TPU backends, so everything outside the
+        # jitted kernels stays numpy.
         uv0 = jnp.asarray(pair.uv0, jnp.float32)
         uv1 = jnp.asarray(pair.uv1, jnp.float32)
+        uv0n = jnp.asarray(pair.uv0.astype(np.float32) / f)
+        uv1n = jnp.asarray(pair.uv1.astype(np.float32) / f)
         valid = jnp.asarray(pair.valid.astype(np.float32))
 
         # ---- E-matrix RANSAC gate (ref sfm.py:108-111) ----
@@ -146,7 +151,7 @@ class IncrementalSfM:
             cam_i = np.zeros(6, np.float32)
             Rj = np.asarray(eres.R)
             tj = np.asarray(eres.t)
-            cam_j = np.concatenate([np.asarray(lie.so3_log(jnp.asarray(Rj))), tj]).astype(np.float32)
+            cam_j = np.concatenate([lie.so3_log_np(Rj), tj]).astype(np.float32)
         else:
             if not self.has_cam[pair.img0]:
                 info["status"] = "rejected_ref_unregistered"
@@ -160,20 +165,20 @@ class IncrementalSfM:
             X_known = jnp.asarray(self.points[tr_safe])
             thr = (2.0 * cfg.ransac.threshold_px / f) ** 2
             R, t, pnp_inl, pnp_cnt = pnp_ransac(
-                self._next_key(), X_known, uv1 / f, jnp.asarray(known.astype(np.float32)),
+                self._next_key(), X_known, uv1n, jnp.asarray(known.astype(np.float32)),
                 thr, num_hypotheses=cfg.ransac.num_hypotheses // 2,
             )
             if int(pnp_cnt) <= cfg.min_pnp_inliers:
                 info["status"] = "rejected_pnp"
                 info["n_pnp_inliers"] = int(pnp_cnt)
                 return info
-            cam_j = np.concatenate([np.asarray(lie.so3_log(R)), np.asarray(t)]).astype(np.float32)
+            cam_j = np.concatenate([lie.so3_log_np(np.asarray(R)), np.asarray(t)]).astype(np.float32)
             info["n_pnp_inliers"] = int(pnp_cnt)
 
         # ---- triangulate new tracks (ref sfm.py:130-131, 26-34) ----
         new = inl & (track >= 0) & ~self.point_valid[tr_safe]
         X_new, good = _triangulate_and_gate(
-            jnp.asarray(cam_i), jnp.asarray(cam_j), uv0 / f, uv1 / f, f,
+            jnp.asarray(cam_i), jnp.asarray(cam_j), uv0n, uv1n, f,
             cfg.ransac.threshold_px * 2.0,
         )
         new = new & np.asarray(good)

@@ -27,7 +27,7 @@ class Reconstruction:
 
     def extrinsics(self) -> np.ndarray:
         """(M, 3, 4) [R|t] matrices (ref cameras_extrinsic.npy format)."""
-        R = np.asarray(lie.so3_exp(jnp.asarray(self.cams[:, :3])))
+        R = np.stack([lie.so3_exp_np(c) for c in self.cams[:, :3]])
         return np.concatenate([R, self.cams[:, 3:6][..., None]], axis=-1)
 
     def registered_names(self) -> List[str]:
