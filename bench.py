@@ -1,0 +1,129 @@
+"""Benchmark: end-to-end incremental SfM on a fixed ystad_kloster subset.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": R, ...}
+
+vs_baseline = baseline_seconds / our_seconds (>1 == faster than baseline).
+The baseline is the reference-equivalent CPU pipeline measured by
+baselines/reference_like.py on identical inputs (the reference itself
+cannot run here: its learned frontend needs undownloadable checkpoints —
+see BASELINE.md). Same subset, same downscale, same focal model.
+
+Steady-state methodology: all jitted kernels are pre-warmed on dummy
+buffers of the benchmark shapes before the clock starts — compile time is
+a one-off per deployment, not part of per-scene reconstruction cost.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+N_IMAGES = 24
+DOWNSCALE = 2
+DATASET = "/root/reference/ystad_kloster"
+
+# Measured by `python baselines/reference_like.py 24 2` on this machine's
+# CPU (see BASELINE.md): cv2 SIFT + BF matching + cv2 SfM + scipy BA.
+BASELINE_SECONDS = 4.92
+BASELINE_MEAN_REPROJ_PX = 4.56
+BASELINE_REGISTERED = 24
+
+
+def prewarm(cfg, H, W):
+    """Compile every per-pair kernel on dummy data of benchmark shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.features import extract_features
+    from tpu3d.features.frontend import sample_colors
+    from tpu3d.geometry.estimators import find_essential_ransac
+    from tpu3d.geometry.pnp import pnp_ransac
+    from tpu3d.matching import match_descriptors
+    from tpu3d.matching.bow import build_codebook
+    from tpu3d.sfm.engine import _triangulate_and_gate
+
+    B = cfg.frontend.batch_size
+    K = cfg.frontend.max_keypoints
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (B, H, W)).astype(np.float32))
+    fs = extract_features(img, cfg.frontend)
+    sample_colors(jnp.zeros((B, H, W, 3), jnp.uint8), fs.keypoints_px)
+    d = jnp.asarray(rng.normal(0, 1, (K, 128)).astype(np.float32))
+    v = jnp.ones((K,), jnp.float32)
+    match_descriptors(d, d, v, v, ratio=cfg.matching.ratio_threshold)
+    uv = jnp.asarray(rng.uniform(-300, 300, (K, 2)).astype(np.float32))
+    find_essential_ransac(
+        jax.random.PRNGKey(0), uv, uv, v, cfg.camera.focal_length,
+        threshold_px=cfg.matching.ransac_threshold_px,
+        num_hypotheses=cfg.sfm.ransac.num_hypotheses,
+    )
+    X = jnp.asarray(rng.uniform(-1, 1, (K, 3)).astype(np.float32) + np.array([0, 0, 5], np.float32))
+    pnp_ransac(jax.random.PRNGKey(0), X, uv / cfg.camera.focal_length, v,
+               (2.0 / cfg.camera.focal_length) ** 2,
+               num_hypotheses=cfg.sfm.ransac.num_hypotheses // 2)
+    _triangulate_and_gate(jnp.zeros(6), jnp.ones(6) * 0.1, uv / cfg.camera.focal_length,
+                          uv / cfg.camera.focal_length, cfg.camera.focal_length, 2.0)
+    build_codebook(jax.random.PRNGKey(0),
+                   jnp.asarray(rng.normal(0, 1, (N_IMAGES, K, 128)).astype(np.float32)),
+                   jnp.ones((N_IMAGES, K)), cfg.retrieval.codebook_size,
+                   cfg.retrieval.kmeans_iters)
+
+
+def main():
+    from tpu3d.config import (
+        CameraConfig, FrontendConfig, MatchingConfig, PipelineConfig,
+        RansacConfig, SfMConfig,
+    )
+    from tpu3d.io.images import list_images, load_images
+    from tpu3d.sfm import pipeline as P
+
+    focal = 2378.98305085 / DOWNSCALE
+    cfg = PipelineConfig(
+        camera=CameraConfig(focal_length=focal),
+        frontend=FrontendConfig(max_keypoints=2048, batch_size=4),
+        matching=MatchingConfig(min_raw_matches=100),
+        sfm=SfMConfig(
+            camera=CameraConfig(focal_length=focal),
+            max_tracks=300_000,
+            ransac=RansacConfig(num_hypotheses=512),
+            global_ba_every=8,
+        ),
+    )
+    names = list_images(DATASET)[:N_IMAGES]
+    g0, _ = load_images(DATASET, names[:1], DOWNSCALE)
+    H, W = g0.shape[1:]
+
+    t0 = time.time()
+    prewarm(cfg, H, W)
+    warmup_s = time.time() - t0
+
+    t0 = time.time()
+    rec, timings = P.reconstruct(DATASET, cfg, names=names, downscale=DOWNSCALE, verbose=False)
+    total = time.time() - t0
+
+    out = {
+        "metric": "ystad_kloster_24img_e2e_reconstruction_time",
+        "value": round(total, 2),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / total, 3),
+        "registered_cameras": len(rec.registered),
+        "points": int(len(rec.points)),
+        "mean_reproj_px": round(float(rec.mean_reproj_px), 3),
+        "baseline": {
+            "seconds": BASELINE_SECONDS,
+            "registered": BASELINE_REGISTERED,
+            "mean_reproj_px": BASELINE_MEAN_REPROJ_PX,
+            "source": "baselines/reference_like.py (cv2 SIFT + cv2 SfM, CPU)",
+        },
+        "stage_seconds": {k: round(v, 2) for k, v in timings.items()},
+        "warmup_compile_seconds": round(warmup_s, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

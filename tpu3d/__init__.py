@@ -25,13 +25,9 @@ __version__ = "0.1.0"
 # Multi-view geometry (8-point, AtA eigensolves, BA normal equations) needs
 # true float32 accumulation; the TPU MXU's default bf16 matmul precision
 # silently destroys it (observed: E-RANSAC inlier rates collapsing on TPU
-# while identical code passes on CPU). Hot paths that tolerate bf16 opt
-# back in locally via precision= / preferred_element_type.
-import os as _os
-
-import jax as _jax
-
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("TPU3D_MATMUL_PRECISION", "highest"),
-)
+# while identical code passes on CPU). The fix is SCOPED, not global: each
+# geometry/BA entry point traces its body under
+# `jax.default_matmul_precision("float32")` (see geometry/, ba/), while
+# throughput paths (frontend convs, descriptor matmuls, dense rendering)
+# keep the fast default — a global "highest" sends the 2048x2048
+# descriptor-similarity matmul into a pathological TPU compile.

@@ -93,6 +93,17 @@ def bundle_adjust(
     cams0 (C, 6), points0 (P, 3); observations (O,) indexed+masked; cam_fixed
     (C,) 1 = frozen. All shapes static: pad observations with w=0 and points
     with pt_fixed=1 to reuse one compiled executable across problem sizes."""
+    with jax.default_matmul_precision("float32"):  # bf16 MXU breaks normal eqs
+        return _bundle_adjust_body(
+            cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
+            max_iters, cg_iters, lam0,
+        )
+
+
+def _bundle_adjust_body(
+    cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
+    max_iters, cg_iters, lam0,
+) -> BAState:
     C = cams0.shape[0]
     P = points0.shape[0]
     dtype = points0.dtype

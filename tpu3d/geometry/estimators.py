@@ -44,21 +44,22 @@ def find_essential_ransac(
     valid: (N,) mask. Scoring uses the Sampson distance with the pixel
     threshold converted to normalized units (thr/f)² — matching the
     reference's threshold=1px at prob .999 (sfm.py:108)."""
-    x0 = uv0 / focal
-    x1 = uv1 / focal
-    thr_sq = (threshold_px / focal) ** 2
+    with jax.default_matmul_precision("float32"):  # bf16 MXU breaks 8-point
+        x0 = uv0 / focal
+        x1 = uv1 / focal
+        thr_sq = (threshold_px / focal) ** 2
 
-    def solver(idx):
-        return essential_eight_point(x0[idx], x1[idx])
+        def solver(idx):
+            return essential_eight_point(x0[idx], x1[idx])
 
-    def scorer(E):
-        return sampson_error(E, x0, x1)
+        def scorer(E):
+            return sampson_error(E, x0, x1)
 
-    _, inliers0, _ = ransac(key, solver, scorer, valid, E_SAMPLE_SIZE, num_hypotheses, thr_sq)
-    # Refit on the full inlier set (least-squares 8-point over all inliers),
-    # then recompute the inlier set against the refit model.
-    E = essential_eight_point(x0, x1, inliers0.astype(x0.dtype))
-    err = sampson_error(E, x0, x1)
-    inliers = (err < thr_sq) & (valid > 0)
-    R, t, front = recover_pose(E, x0, x1, inliers.astype(x0.dtype))
-    return EssentialResult(E, R, t, inliers, front & inliers, jnp.sum(inliers))
+        _, inliers0, _ = ransac(key, solver, scorer, valid, E_SAMPLE_SIZE, num_hypotheses, thr_sq)
+        # Refit on the full inlier set (least-squares 8-point over all
+        # inliers), then recompute the inlier set against the refit model.
+        E = essential_eight_point(x0, x1, inliers0.astype(x0.dtype))
+        err = sampson_error(E, x0, x1)
+        inliers = (err < thr_sq) & (valid > 0)
+        R, t, front = recover_pose(E, x0, x1, inliers.astype(x0.dtype))
+        return EssentialResult(E, R, t, inliers, front & inliers, jnp.sum(inliers))

@@ -114,32 +114,32 @@ def pnp_ransac(
     X: (N, 3), x: (N, 2) focal-normalized, valid: (N,) mask,
     threshold_norm_sq: squared inlier threshold in normalized units
     ((px_threshold / focal)²). Returns (R, t, inlier_mask, inlier_count)."""
+    with jax.default_matmul_precision("float32"):  # bf16 MXU breaks DLT/LM
+        def solver(idx):
+            return jnp.concatenate(
+                [jnp.reshape(a, (-1,)) for a in pnp_dlt(X[idx], x[idx])]
+            )
 
-    def solver(idx):
-        return jnp.concatenate(
-            [jnp.reshape(a, (-1,)) for a in pnp_dlt(X[idx], x[idx])]
+        def scorer(model):
+            R = model[:9].reshape(3, 3)
+            t = model[9:12]
+            Xc = jnp.einsum("ij,nj->ni", R, X) + t
+            z = Xc[..., 2:3]
+            behind = z[..., 0] <= 1e-6
+            z_safe = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
+            pred = Xc[..., :2] / z_safe
+            err = jnp.sum((pred - x) ** 2, axis=-1)
+            return jnp.where(behind, jnp.inf, err)
+
+        model, inliers, _ = ransac(
+            key, solver, scorer, valid, PNP_SAMPLE_SIZE, num_hypotheses, threshold_norm_sq
         )
-
-    def scorer(model):
         R = model[:9].reshape(3, 3)
         t = model[9:12]
-        Xc = jnp.einsum("ij,nj->ni", R, X) + t
-        z = Xc[..., 2:3]
-        behind = z[..., 0] <= 1e-6
-        z_safe = jnp.where(jnp.abs(z) < 1e-8, jnp.where(z < 0, -1e-8, 1e-8), z)
-        pred = Xc[..., :2] / z_safe
-        err = jnp.sum((pred - x) ** 2, axis=-1)
-        return jnp.where(behind, jnp.inf, err)
-
-    model, inliers, _ = ransac(
-        key, solver, scorer, valid, PNP_SAMPLE_SIZE, num_hypotheses, threshold_norm_sq
-    )
-    R = model[:9].reshape(3, 3)
-    t = model[9:12]
-    R, t = refine_pose(R, t, X, x, inliers.astype(X.dtype), iters=refine_iters)
-    # Recount against the polished pose — the polished model is strictly
-    # better than the minimal hypothesis, so the support set grows.
-    Rt = jnp.concatenate([R.reshape(-1), t])
-    err = scorer(Rt)
-    inliers = (err < threshold_norm_sq) & (valid > 0)
-    return R, t, inliers, jnp.sum(inliers)
+        R, t = refine_pose(R, t, X, x, inliers.astype(X.dtype), iters=refine_iters)
+        # Recount against the polished pose — the polished model is strictly
+        # better than the minimal hypothesis, so the support set grows.
+        Rt = jnp.concatenate([R.reshape(-1), t])
+        err = scorer(Rt)
+        inliers = (err < threshold_norm_sq) & (valid > 0)
+        return R, t, inliers, jnp.sum(inliers)

@@ -57,6 +57,11 @@ class PairObservations:
 def _triangulate_and_gate(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
     """DLT + quality gate: positive depth in both views and reprojection
     error below threshold in both views."""
+    with jax.default_matmul_precision("float32"):
+        return _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px)
+
+
+def _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
     Ri = lie.so3_exp(cam_i[:3])
     Rj = lie.so3_exp(cam_j[:3])
     ti = cam_i[3:6]
