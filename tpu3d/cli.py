@@ -1,0 +1,238 @@
+"""Command-line interface.
+
+The reference is driven by editing constants in four separate scripts and
+running them in order (README.md:21-27). Here one CLI drives every stage
+with a shared config, and stages checkpoint/restore through the artifact
+store so any stage can be re-run from the previous stage's outputs (the
+reference's `output/*.npy` workflow, SURVEY §1, but typed and compressed).
+
+  python -m tpu3d.cli extract    --images DIR [--downscale N]
+  python -m tpu3d.cli match      --images DIR
+  python -m tpu3d.cli reconstruct --images DIR [--ply out.ply]
+  python -m tpu3d.cli densify    --images DIR [--epochs N]
+  python -m tpu3d.cli full       --images DIR [--ply out.ply]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_config(args):
+    from tpu3d.config import (
+        CameraConfig, DenseConfig, FrontendConfig, MatchingConfig,
+        PipelineConfig, RansacConfig, SfMConfig,
+    )
+
+    focal = args.focal / args.downscale
+    return PipelineConfig(
+        camera=CameraConfig(focal_length=focal),
+        frontend=FrontendConfig(max_keypoints=args.max_keypoints),
+        matching=MatchingConfig(min_raw_matches=args.min_raw_matches),
+        sfm=SfMConfig(
+            camera=CameraConfig(focal_length=focal),
+            max_tracks=args.max_tracks,
+            ransac=RansacConfig(num_hypotheses=args.ransac_hypotheses),
+            global_ba_every=args.global_ba_every,
+        ),
+        dense=DenseConfig(epochs=args.epochs),
+        image_dir=args.images,
+        artifact_dir=args.artifacts,
+    )
+
+
+def cmd_extract(args):
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.io.images import list_images
+    from tpu3d.sfm.pipeline import run_extraction
+
+    cfg = _build_config(args)
+    names = list_images(args.images)
+    if args.limit:
+        names = names[: args.limit]
+    t0 = time.time()
+    feats = run_extraction(args.images, cfg, names, args.downscale, verbose=not args.quiet)
+    store = ArtifactStore(args.artifacts)
+    store.save(
+        "features",
+        keypoints=feats.keypoints, keypoints_px=feats.keypoints_px,
+        descriptors=feats.descriptors, valid=feats.valid,
+        colors_bgr=feats.colors_bgr, image_size=feats.image_size,
+    )
+    store.save_json("features_meta", {"names": feats.names, "downscale": args.downscale,
+                                      "seconds": time.time() - t0})
+    print(f"extracted {len(names)} images in {time.time() - t0:.1f}s -> {args.artifacts}/features.npz")
+
+
+def _load_features(args):
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.sfm.pipeline import ExtractedFeatures
+
+    store = ArtifactStore(args.artifacts)
+    data = store.load("features")
+    meta = store.load_json("features_meta")
+    if data is None or meta is None:
+        print("no features artifact — run `extract` first", file=sys.stderr)
+        sys.exit(1)
+    return ExtractedFeatures(names=meta["names"], **data), meta
+
+
+def cmd_match(args):
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.sfm.pipeline import run_matching, run_retrieval
+
+    cfg = _build_config(args)
+    feats, meta = _load_features(args)
+    cfg = _rescale_cfg(cfg, meta, args)
+    t0 = time.time()
+    adj = run_retrieval(feats, cfg)
+    pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
+    store = ArtifactStore(args.artifacts)
+    store.save_json("pairs_meta", {
+        "pairs": [[p.img0, p.img1] for p in pairs],
+        "seconds": time.time() - t0,
+    })
+    np.savez_compressed(
+        os.path.join(args.artifacts, "matches.npz"),
+        **{f"track_{i}": p.track for i, p in enumerate(pairs)},
+        **{f"valid_{i}": p.valid for i, p in enumerate(pairs)},
+        **{f"idx0_{i}": p.idx0 for i, p in enumerate(pairs)},
+        **{f"idx1_{i}": p.idx1 for i, p in enumerate(pairs)},
+        kp_track=ts.kp_track, parent=ts.parent[: ts.next_track],
+    )
+    print(f"matched {len(pairs)} pairs in {time.time() - t0:.1f}s")
+
+
+def _rescale_cfg(cfg, meta, args):
+    import dataclasses
+
+    from tpu3d.config import CameraConfig
+
+    focal = args.focal / meta.get("downscale", 1)
+    cam = CameraConfig(focal_length=focal)
+    return dataclasses.replace(
+        cfg, camera=cam, sfm=dataclasses.replace(cfg.sfm, camera=cam)
+    )
+
+
+def cmd_reconstruct(args):
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.io.ply import write_ply
+    from tpu3d.sfm.pipeline import run_matching, run_reconstruction, run_retrieval
+
+    cfg = _build_config(args)
+    feats, meta = _load_features(args)
+    cfg = _rescale_cfg(cfg, meta, args)
+    t0 = time.time()
+    adj = run_retrieval(feats, cfg)
+    pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
+    rec = run_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet)
+    store = ArtifactStore(args.artifacts)
+    store.save(
+        "reconstruction",
+        cams=rec.cams, registered=rec.registered, points=rec.points,
+        colors_bgr=rec.colors_bgr, track_ids=rec.track_ids,
+        extrinsics=rec.extrinsics(),
+    )
+    store.save_json("reconstruction_meta", {
+        "registered_names": rec.registered_names(),
+        "mean_reproj_px": rec.mean_reproj_px,
+        "num_obs": rec.num_obs,
+        "seconds": time.time() - t0,
+    })
+    if args.ply:
+        n = write_ply(args.ply, rec.points, rec.colors_bgr)
+        print(f"wrote {n} points -> {args.ply}")
+    print(json.dumps({
+        "registered": len(rec.registered), "points": int(len(rec.points)),
+        "mean_reproj_px": rec.mean_reproj_px, "seconds": round(time.time() - t0, 1),
+    }))
+
+
+def cmd_densify(args):
+    import jax.numpy as jnp
+
+    from tpu3d.config import DenseConfig
+    from tpu3d.dense.train import (
+        normalize_scene, psnr, rays_from_cameras, train_plenoxel, RayDataset,
+    )
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.io.images import load_images
+
+    cfg = _build_config(args)
+    store = ArtifactStore(args.artifacts)
+    rec = store.load("reconstruction")
+    meta = store.load_json("reconstruction_meta")
+    fmeta = store.load_json("features_meta")
+    if rec is None:
+        print("no reconstruction artifact — run `reconstruct` first", file=sys.stderr)
+        sys.exit(1)
+    ds = fmeta.get("downscale", 1) * args.dense_downscale
+    gray, rgb = load_images(args.images, meta["registered_names"], ds)
+    norm = normalize_scene(rec["points"])
+    focal = args.focal / ds
+    dataset = rays_from_cameras(rec["cams"], rgb, focal, norm, stride=args.ray_stride)
+    print(f"{len(dataset.origins)} rays from {len(rec['cams'])} cameras")
+    dcfg = cfg.dense
+    grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet)
+    store.save("dense_grid", grid=np.asarray(grid.grid),
+               min_bound=np.asarray(grid.min_bound), max_bound=np.asarray(grid.max_bound))
+    print(json.dumps({"final_loss": losses[-1] if losses else None,
+                      "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}))
+
+
+def cmd_full(args):
+    from tpu3d.io.ply import write_ply
+    from tpu3d.sfm.pipeline import reconstruct
+
+    cfg = _build_config(args)
+    from tpu3d.io.images import list_images
+
+    names = list_images(args.images)
+    if args.limit:
+        names = names[: args.limit]
+    rec, timings = reconstruct(args.images, cfg, names, args.downscale, verbose=not args.quiet)
+    if args.ply:
+        write_ply(args.ply, rec.points, rec.colors_bgr)
+    print(json.dumps({
+        "registered": len(rec.registered), "points": int(len(rec.points)),
+        "mean_reproj_px": rec.mean_reproj_px,
+        "stage_seconds": {k: round(v, 1) for k, v in timings.items()},
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpu3d", description="TPU-native incremental SfM + dense reconstruction")
+    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full"])
+    p.add_argument("--images", required=True)
+    p.add_argument("--artifacts", default="artifacts")
+    p.add_argument("--downscale", type=int, default=1)
+    p.add_argument("--dense-downscale", type=int, default=4)
+    p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--focal", type=float, default=2378.98305085)
+    p.add_argument("--max-keypoints", type=int, default=2048)
+    p.add_argument("--max-tracks", type=int, default=400_000)
+    p.add_argument("--min-raw-matches", type=int, default=100)
+    p.add_argument("--ransac-hypotheses", type=int, default=512)
+    p.add_argument("--global-ba-every", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--ray-stride", type=int, default=2)
+    p.add_argument("--ply", default="")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+    {
+        "extract": cmd_extract,
+        "match": cmd_match,
+        "reconstruct": cmd_reconstruct,
+        "densify": cmd_densify,
+        "full": cmd_full,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    main()

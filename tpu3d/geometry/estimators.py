@@ -56,9 +56,17 @@ def find_essential_ransac(
             return sampson_error(E, x0, x1)
 
         _, inliers0, _ = ransac(key, solver, scorer, valid, E_SAMPLE_SIZE, num_hypotheses, thr_sq)
-        # Refit on the full inlier set (least-squares 8-point over all
-        # inliers), then recompute the inlier set against the refit model.
-        E = essential_eight_point(x0, x1, inliers0.astype(x0.dtype))
+        # Iterated refit (local optimization): least-squares 8-point over
+        # the inlier set, recompute inliers, repeat. Two rounds pull the
+        # consensus to a stable fixed point — single-shot refits show high
+        # variance across RNG keys when many matches sit near the
+        # threshold.
+        inliers = inliers0
+        E = essential_eight_point(x0, x1, inliers.astype(x0.dtype))
+        for _ in range(2):
+            err = sampson_error(E, x0, x1)
+            inliers = (err < thr_sq) & (valid > 0)
+            E = essential_eight_point(x0, x1, inliers.astype(x0.dtype))
         err = sampson_error(E, x0, x1)
         inliers = (err < thr_sq) & (valid > 0)
         R, t, front = recover_pose(E, x0, x1, inliers.astype(x0.dtype))
