@@ -1,0 +1,41 @@
+"""Pallas kernels vs their pure-jnp references, interpret mode on CPU
+(SURVEY §4 test-strategy item e)."""
+import numpy as np
+import jax.numpy as jnp
+
+from tpu3d.kernels.distance import descriptor_top2, mutual_nn_pallas
+from tpu3d.matching.mnn import match_descriptors
+
+
+def unit(rng, n, d=128):
+    x = rng.normal(0, 1, (n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_top2_matches_dense(rng):
+    d0 = unit(rng, 256)
+    d1 = unit(rng, 512)
+    best, second, arg = descriptor_top2(jnp.asarray(np.pad(d0, ((0, 0), (0, 0)))),
+                                        jnp.asarray(d1), interpret=True)
+    sim = d0 @ d1.T
+    np.testing.assert_allclose(np.asarray(best), sim.max(1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(arg), sim.argmax(1))
+    part = np.sort(sim, axis=1)
+    np.testing.assert_allclose(np.asarray(second), part[:, -2], atol=1e-5)
+
+
+def test_mutual_nn_pallas_matches_jnp(rng):
+    d0 = unit(rng, 256)
+    d1 = unit(rng, 256)
+    # inject true correspondences for half the set
+    d1[:128] = d0[:128] + rng.normal(0, 0.05, (128, 128)).astype(np.float32)
+    d1[:128] /= np.linalg.norm(d1[:128], axis=1, keepdims=True)
+    v0 = np.ones(256, np.float32)
+    v1 = np.ones(256, np.float32)
+    v0[200:] = 0.0  # padding region
+    ref = match_descriptors(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(v0), jnp.asarray(v1))
+    got = mutual_nn_pallas(jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(v0), jnp.asarray(v1),
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
+    sel = np.asarray(ref.valid)
+    np.testing.assert_array_equal(np.asarray(got.idx1)[sel], np.asarray(ref.idx1)[sel])
