@@ -39,7 +39,6 @@ def prewarm(cfg, H, W):
     import jax.numpy as jnp
 
     from tpu3d.features import extract_features
-    from tpu3d.features.frontend import sample_colors
     from tpu3d.geometry.estimators import find_essential_ransac
     from tpu3d.geometry.pnp import pnp_ransac
     from tpu3d.matching import match_descriptors
@@ -51,7 +50,6 @@ def prewarm(cfg, H, W):
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.uniform(0, 1, (B, H, W)).astype(np.float32))
     fs = extract_features(img, cfg.frontend)
-    sample_colors(jnp.zeros((B, H, W, 3), jnp.uint8), fs.keypoints_px)
     d = jnp.asarray(rng.normal(0, 1, (K, 128)).astype(np.float32))
     v = jnp.ones((K,), jnp.float32)
     match_descriptors(d, d, v, v, ratio=cfg.matching.ratio_threshold)

@@ -131,11 +131,18 @@ def extract_features(images: jnp.ndarray, config: Optional[FrontendConfig] = Non
     )
 
 
-@jax.jit
-def sample_colors(images_rgb: jnp.ndarray, keypoints_px: jnp.ndarray) -> jnp.ndarray:
+def sample_colors(images_rgb, keypoints_px):
     """Per-keypoint color at the keypoint pixel (ref feature_extraction.py:32).
-    images_rgb: (B, H, W, 3) uint8/float; keypoints_px: (B, K, 2)."""
-    B, H, W, _ = images_rgb.shape
-    xi = jnp.clip(jnp.round(keypoints_px[..., 0]).astype(jnp.int32), 0, W - 1)
-    yi = jnp.clip(jnp.round(keypoints_px[..., 1]).astype(jnp.int32), 0, H - 1)
-    return jax.vmap(lambda img, y, x: img[y, x])(images_rgb, yi, xi)
+    images_rgb: (B, H, W, 3) uint8; keypoints_px: (B, K, 2).
+
+    Host-side numpy on purpose: a (B, K) gather from uint8 images is scalar
+    work the TPU backend compiles pathologically (and the images never need
+    to reach the device for this)."""
+    import numpy as np
+
+    imgs = np.asarray(images_rgb)
+    kp = np.asarray(keypoints_px)
+    B, H, W, _ = imgs.shape
+    xi = np.clip(np.round(kp[..., 0]).astype(np.int64), 0, W - 1)
+    yi = np.clip(np.round(kp[..., 1]).astype(np.int64), 0, H - 1)
+    return np.stack([imgs[b, yi[b], xi[b]] for b in range(B)])

@@ -73,7 +73,7 @@ def run_extraction(
             gray = np.concatenate([gray, np.repeat(gray[-1:], pad, 0)])
             rgb = np.concatenate([rgb, np.repeat(rgb[-1:], pad, 0)])
         fs = extract_features(jnp.asarray(gray), cfg.frontend)
-        cols = sample_colors(jnp.asarray(rgb[..., ::-1].copy()), fs.keypoints_px)  # BGR like cv2
+        cols = sample_colors(rgb[..., ::-1], np.asarray(fs.keypoints_px))  # BGR like cv2
         n = len(chunk)
         kps.append(np.asarray(fs.keypoints)[:n])
         kps_px.append(np.asarray(fs.keypoints_px)[:n])
