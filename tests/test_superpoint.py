@@ -47,7 +47,7 @@ def test_superpoint_matches_torch_reference(rng):
     captured = {}
 
     def fake_load(url, **kw):
-        return captured["sd"]
+        return {}
 
     torch.hub.load_state_dict_from_url = fake_load
     try:
