@@ -70,6 +70,8 @@ def cmd_extract(args):
 
 
 def _load_features(args):
+    import jax.numpy as jnp
+
     from tpu3d.io.artifacts import ArtifactStore
     from tpu3d.sfm.pipeline import ExtractedFeatures
 
@@ -79,7 +81,16 @@ def _load_features(args):
     if data is None or meta is None:
         print("no features artifact — run `extract` first", file=sys.stderr)
         sys.exit(1)
-    return ExtractedFeatures(names=meta["names"], **data), meta
+    return ExtractedFeatures(
+        names=meta["names"],
+        keypoints=data["keypoints"],
+        keypoints_px=data["keypoints_px"],
+        valid=data["valid"],
+        colors_bgr=data["colors_bgr"],
+        image_size=data["image_size"],
+        descriptors_dev=jnp.asarray(data["descriptors"]),
+        valid_dev=jnp.asarray(data["valid"].astype(np.float32)),
+    ), meta
 
 
 def cmd_match(args):
@@ -91,21 +102,26 @@ def cmd_match(args):
     cfg = _rescale_cfg(cfg, meta, args)
     t0 = time.time()
     adj = run_retrieval(feats, cfg)
-    pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
+    regs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
     store = ArtifactStore(args.artifacts)
     store.save_json("pairs_meta", {
-        "pairs": [[p.img0, p.img1] for p in pairs],
+        "registrations": [
+            {"img": r.img, "refs": [e.ref_img for e in r.edges],
+             "edge_sizes": [len(e.idx_new) for e in r.edges]}
+            for r in regs
+        ],
         "seconds": time.time() - t0,
     })
-    np.savez_compressed(
-        os.path.join(args.artifacts, "matches.npz"),
-        **{f"track_{i}": p.track for i, p in enumerate(pairs)},
-        **{f"valid_{i}": p.valid for i, p in enumerate(pairs)},
-        **{f"idx0_{i}": p.idx0 for i, p in enumerate(pairs)},
-        **{f"idx1_{i}": p.idx1 for i, p in enumerate(pairs)},
-        kp_track=ts.kp_track, parent=ts.parent[: ts.next_track],
-    )
-    print(f"matched {len(pairs)} pairs in {time.time() - t0:.1f}s")
+    arrays = {"kp_track": ts.kp_track, "parent": ts.parent[: max(ts.next_track, 1)]}
+    for ri, r in enumerate(regs):
+        for ei, e in enumerate(r.edges):
+            pre = f"r{ri}_e{ei}"
+            arrays[f"{pre}_idx_ref"] = e.idx_ref
+            arrays[f"{pre}_idx_new"] = e.idx_new
+            arrays[f"{pre}_track"] = e.track
+    np.savez_compressed(os.path.join(args.artifacts, "matches.npz"), **arrays)
+    n_edges = sum(len(r.edges) for r in regs)
+    print(f"matched {len(regs)} images / {n_edges} edges in {time.time() - t0:.1f}s")
 
 
 def _rescale_cfg(cfg, meta, args):

@@ -56,7 +56,7 @@ class RetrievalConfig:
     # descriptors' similarity scale runs lower, and min_neighbors below
     # keeps the graph connected regardless.
     similarity_threshold: float = 0.5
-    min_neighbors: int = 2        # always keep this many top neighbors
+    min_neighbors: int = 3        # always keep this many top neighbors
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,10 +64,18 @@ class MatchingConfig:
     """Descriptor matching + pair acceptance gates (ref matching.py:84-189)."""
 
     ratio_threshold: float = 0.95      # Lowe ratio for mutual-NN matcher
-    min_raw_matches: int = 100         # ref requires >8 then >=500 (matching.py:130,160)
-    min_pair_matches: int = 500        # ref matching.py:160
+    min_raw_matches: int = 50          # early-skip gate (ref >8, matching.py:130)
+    # Primary-edge acceptance gate (ref matching.py:160 uses 500 for DISK's
+    # 2048 high-recall matches; the classical frontend yields fewer raw
+    # matches at equal quality, so the default is lower).
+    min_pair_matches: int = 100
+    min_first_pair_inliers: int = 100  # bootstrap pair must be strong
     min_inliers: int = 10              # ref matching.py:144 (> 10)
-    min_track_overlap: float = 0.3     # ref matching.py:160 ("interlaced" ratio)
+    # ref matching.py:160 uses 0.3, needed there because its PnP depends on
+    # a single pair's shared tracks; our engine gates registration on the
+    # joint PnP inlier count instead, so the matching-time overlap gate is
+    # only a weak prior.
+    min_track_overlap: float = 0.1
     ransac_threshold_px: float = 1.0   # ref matching.py:134
     use_learned: bool = False          # LightGlue path (needs converted weights)
 

@@ -60,6 +60,8 @@ def _extract(
     nms_radius: int,
 ) -> FeatureSet:
     B, H, W = images.shape
+    if images.dtype == jnp.uint8:  # uint8 upload path (4x less link traffic)
+        images = images.astype(jnp.float32) / 255.0
     S = scales_per_octave
     gauss, dogs = build_pyramid(images, num_octaves, S, sigma0)
 

@@ -30,6 +30,15 @@ def pnp_dlt(X: jnp.ndarray, x: jnp.ndarray, weights: jnp.ndarray | None = None) 
     if weights is None:
         weights = jnp.ones(X.shape[0], X.dtype)
     n = X.shape[0]
+    # Hartley-style normalization of the 3D points: without it the DLT is
+    # hopeless in float32 on real SfM clouds (triangulated depths span
+    # orders of magnitude). Solve in the normalized frame X' = (X - c)/s,
+    # then map the pose back: x_cam = R'(X - c)/s + t' up to the scale s,
+    # so R = R', t = s t' - R' c (projection is scale-invariant).
+    wsum = jnp.maximum(jnp.sum(weights), 1.0)
+    c = jnp.sum(X * weights[:, None], axis=0) / wsum
+    s = jnp.sqrt(jnp.sum(jnp.sum((X - c) ** 2, -1) * weights) / wsum) + 1e-9
+    X = (X - c) / s
     ones = jnp.ones((n, 1), X.dtype)
     zeros = jnp.zeros((n, 4), X.dtype)
     Xh = jnp.concatenate([X, ones], axis=-1)  # (N, 4)
@@ -51,7 +60,9 @@ def pnp_dlt(X: jnp.ndarray, x: jnp.ndarray, weights: jnp.ndarray | None = None) 
     # Closest proper rotation (det safeguard via last-column sign flip).
     d = jnp.sign(jnp.linalg.det(U @ Vt))
     R = (U * jnp.array([1.0, 1.0, 1.0])[None, :].at[0, 2].set(d)) @ Vt
-    t = P[:, 3] / jnp.maximum(jnp.mean(S), 1e-12)
+    t_norm = P[:, 3] / jnp.maximum(jnp.mean(S), 1e-12)
+    # De-normalize (see note above).
+    t = s * t_norm - R @ c
     return R, t
 
 

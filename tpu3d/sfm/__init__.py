@@ -1,4 +1,15 @@
-from tpu3d.sfm.engine import IncrementalSfM, PairObservations
+from tpu3d.sfm.engine import (
+    EdgeObservations,
+    ImageRegistration,
+    IncrementalSfM,
+    PairObservations,
+)
 from tpu3d.sfm.scene import Reconstruction
 
-__all__ = ["IncrementalSfM", "PairObservations", "Reconstruction"]
+__all__ = [
+    "EdgeObservations",
+    "ImageRegistration",
+    "IncrementalSfM",
+    "PairObservations",
+    "Reconstruction",
+]

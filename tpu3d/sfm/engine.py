@@ -1,22 +1,32 @@
-"""Incremental SfM engine.
+"""Incremental SfM engine — multi-reference image registration.
 
-The registration chain is inherently sequential (each pair depends on all
-previously triangulated tracks — ref sfm.py:101-131), so the *loop* lives on
-the host; everything *inside* a step is a fixed-shape jitted kernel:
+The registration chain is inherently sequential (each image depends on all
+previously triangulated tracks — ref sfm.py:101-131), so the *loop* lives
+on the host; everything *inside* a step is a fixed-shape jitted kernel:
 
-  per pair:  E-RANSAC (geometry/estimators) → PnP-RANSAC (geometry/pnp)
-             → batched DLT triangulation → two-view Schur-LM BA (ba/lm)
-  periodic:  global Schur-LM BA over every registered camera + track
+  per image:  PnP-RANSAC over the union of known tracks from ALL matched
+              reference edges → per-edge batched DLT triangulation with
+              two-view cheirality + reprojection gating → local Schur-LM
+              BA of the new camera + its new points against every edge
+  periodic:   global Schur-LM BA over all registered cameras + tracks
 
 Differences from the reference, by design (strictly stronger):
-  - pair BA uses BOTH views' residuals with camera i frozen (the
-    reference's per-pair BA projects only into camera j, sfm.py:87-91);
-  - a *global* BA exists (the reference has none, SURVEY §2 quirk list);
+  - an image is anchored by MULTIPLE reference views (the reference PnPs
+    against a single pair's tracks, sfm.py:116 — the dominant failure mode
+    on sparse view graphs);
+  - pair BA uses both views' residuals with reference cameras frozen (the
+    reference projects only into the new camera, sfm.py:87-91);
+  - a *global* BA exists (the reference has none);
   - new-point acceptance = cheirality in both final cameras + reprojection
     gate, instead of the relative-pose-only mask of sfm.py:118.
 
-All per-pair device buffers are padded to `match_capacity` so each kernel
-compiles exactly once; global BA shapes are bucketed to powers of two.
+E-matrix gating already happened in the matching stage (as in the
+reference, matching.py:134-144) — edges arrive inlier-filtered with the
+relative pose attached, so the engine never re-runs E-RANSAC (the
+reference runs it twice).
+
+All device buffers are padded to fixed capacities (PNP_CAP / EDGE_CAP /
+BA_CAP) so every kernel compiles exactly once per run.
 """
 from __future__ import annotations
 
@@ -31,26 +41,67 @@ from tpu3d.ba.lm import bundle_adjust
 from tpu3d.ba.residuals import reprojection_residuals
 from tpu3d.config import SfMConfig
 from tpu3d.core import lie
-from tpu3d.geometry.estimators import find_essential_ransac
 from tpu3d.geometry.pnp import pnp_ransac
 from tpu3d.geometry.triangulate import triangulate_dlt
 from tpu3d.sfm.scene import Reconstruction
 
+PNP_CAP = 4096    # max known-track anchors per image registration
+EDGE_CAP = 2048   # max inlier matches per edge (= keypoint budget)
+BA_CAP_P = 4096   # max points in the local BA
+BA_CAP_O = 8192   # max observations in the local BA
+MAX_REFS = 3      # reference views per image
+
 
 @dataclasses.dataclass
-class PairObservations:
-    """One matched pair, already track-resolved (output of the matching
-    stage). Arrays are padded to the engine's match capacity."""
+class EdgeObservations:
+    """Inlier matches of one (registered_ref, new) image edge, produced by
+    the matching stage. Variable-length host arrays (M,)."""
 
+    ref_img: int
+    idx_ref: np.ndarray
+    idx_new: np.ndarray
+    track: np.ndarray       # resolved global track ids
+    uv_ref: np.ndarray      # (M, 2) centered coords
+    uv_new: np.ndarray
+    colors_ref: np.ndarray  # (M, 3) uint8 BGR sampled at ref keypoints
+    rel_R: Optional[np.ndarray] = None  # world->new given ref=I (from E)
+    rel_t: Optional[np.ndarray] = None
+
+
+@dataclasses.dataclass
+class ImageRegistration:
+    img: int
+    edges: List[EdgeObservations]
+
+
+# Backwards-compatible alias used by older tests/callers.
+@dataclasses.dataclass
+class PairObservations:
     img0: int
     img1: int
-    idx0: np.ndarray       # (C,) keypoint index in img0
-    idx1: np.ndarray       # (C,)
-    track: np.ndarray      # (C,) global track id (-1 in padding)
-    uv0: np.ndarray        # (C, 2) centered coords
-    uv1: np.ndarray        # (C, 2)
-    valid: np.ndarray      # (C,) bool
-    colors0: np.ndarray    # (C, 3) uint8 BGR of img0 keypoints
+    idx0: np.ndarray
+    idx1: np.ndarray
+    track: np.ndarray
+    uv0: np.ndarray
+    uv1: np.ndarray
+    valid: np.ndarray
+    colors0: np.ndarray
+    rel_R: Optional[np.ndarray] = None
+    rel_t: Optional[np.ndarray] = None
+
+    def to_registration(self) -> ImageRegistration:
+        sel = self.valid
+        return ImageRegistration(
+            img=self.img1,
+            edges=[EdgeObservations(
+                ref_img=self.img0,
+                idx_ref=self.idx0[sel], idx_new=self.idx1[sel],
+                track=self.track[sel],
+                uv_ref=self.uv0[sel], uv_new=self.uv1[sel],
+                colors_ref=self.colors0[sel],
+                rel_R=self.rel_R, rel_t=self.rel_t,
+            )],
+        )
 
 
 @jax.jit
@@ -78,6 +129,13 @@ def _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
     thr = (thr_px * 2.0 / focal) ** 2
     good = (zi > 1e-4) & (zj > 1e-4) & (err_i < thr) & (err_j < thr)
     return X, good
+
+
+def _pad(a: np.ndarray, n: int, fill=0):
+    out = np.full((n, *a.shape[1:]), fill, a.dtype)
+    m = min(len(a), n)
+    out[:m] = a[:m]
+    return out
 
 
 def _bucket(n: int, minimum: int = 256) -> int:
@@ -122,102 +180,129 @@ class IncrementalSfM:
 
     # ------------------------------------------------------------------
     def register_pair(self, pair: PairObservations) -> dict:
+        """Single-edge compatibility wrapper."""
+        return self.register_image(pair.to_registration())
+
+    def register_image(self, reg: ImageRegistration) -> dict:
         cfg = self.cfg
         f = self.focal
-        # Normalized coords prepared host-side: eager device ops are full
-        # round-trips on remote-TPU backends, so everything outside the
-        # jitted kernels stays numpy.
-        uv0 = jnp.asarray(pair.uv0, jnp.float32)
-        uv1 = jnp.asarray(pair.uv1, jnp.float32)
-        uv0n = jnp.asarray(pair.uv0.astype(np.float32) / f)
-        uv1n = jnp.asarray(pair.uv1.astype(np.float32) / f)
-        valid = jnp.asarray(pair.valid.astype(np.float32))
+        j = reg.img
+        edges = [e for e in reg.edges if len(e.idx_new) >= 4][:MAX_REFS]
+        info = {"img": j, "n_edges": len(edges),
+                "edge_sizes": [len(e.idx_new) for e in edges]}
+        first = self.num_registered == 0
 
-        # ---- E-matrix RANSAC gate (ref sfm.py:108-111) ----
-        eres = find_essential_ransac(
-            self._next_key(), uv0, uv1, valid, f,
-            threshold_px=cfg.ransac.threshold_px,
-            num_hypotheses=cfg.ransac.num_hypotheses,
-        )
-        inl = np.asarray(eres.inliers) & pair.valid
-        n_inl = int(inl.sum())
-        info = {"pair": (pair.img0, pair.img1), "n_matches": int(pair.valid.sum()), "n_E_inliers": n_inl}
-        if n_inl < 8:
-            info["status"] = "rejected_few_inliers"
-            return info
-
-        track = pair.track
-        tr_safe = np.clip(track, 0, self.points.shape[0] - 1)
-        known = inl & (track >= 0) & self.point_valid[tr_safe]
-        first_pair = self.num_registered == 0
-
-        # ---- camera j pose ----
-        if first_pair:
-            cam_i = np.zeros(6, np.float32)
-            Rj = np.asarray(eres.R)
-            tj = np.asarray(eres.t)
-            cam_j = np.concatenate([lie.so3_log_np(Rj), tj]).astype(np.float32)
-        else:
-            if not self.has_cam[pair.img0]:
-                info["status"] = "rejected_ref_unregistered"
+        if first:
+            e0 = edges[0] if edges else None
+            if e0 is None:
+                info["status"] = "rejected_no_bootstrap_pose"
                 return info
-            cam_i = self.cams[pair.img0]
-            n_known = int(known.sum())
+            if e0.rel_R is None:
+                # Caller didn't attach the relative pose (e.g. synthetic
+                # tests) — recover it from the edge's correspondences.
+                from tpu3d.geometry.estimators import find_essential_ransac
+
+                m = min(len(e0.idx_new), EDGE_CAP)
+                eres = find_essential_ransac(
+                    self._next_key(),
+                    jnp.asarray(_pad(e0.uv_ref.astype(np.float32), EDGE_CAP)),
+                    jnp.asarray(_pad(e0.uv_new.astype(np.float32), EDGE_CAP)),
+                    jnp.asarray((np.arange(EDGE_CAP) < m).astype(np.float32)),
+                    f, threshold_px=cfg.ransac.threshold_px,
+                    num_hypotheses=cfg.ransac.num_hypotheses,
+                )
+                if int(eres.num_inliers) < 8:
+                    info["status"] = "rejected_no_bootstrap_pose"
+                    return info
+                e0 = dataclasses.replace(
+                    e0, rel_R=np.asarray(eres.R), rel_t=np.asarray(eres.t)
+                )
+            self.cams[e0.ref_img] = 0.0
+            self.has_cam[e0.ref_img] = True
+            cam_j = np.concatenate([lie.so3_log_np(e0.rel_R), e0.rel_t]).astype(np.float32)
+            self.num_registered += 1
+            edges = [e0]
+        else:
+            edges = [e for e in edges if self.has_cam[e.ref_img]]
+            if not edges:
+                info["status"] = "rejected_no_registered_refs"
+                return info
+            # ---- PnP over the union of known tracks across edges ----
+            X_list, uv_list = [], []
+            seen_kpts = set()
+            for e in edges:
+                tr = np.clip(e.track, 0, self.points.shape[0] - 1)
+                known = (e.track >= 0) & self.point_valid[tr]
+                for m in np.nonzero(known)[0]:
+                    k = int(e.idx_new[m])
+                    if k in seen_kpts:
+                        continue
+                    seen_kpts.add(k)
+                    X_list.append(self.points[tr[m]])
+                    uv_list.append(e.uv_new[m])
+            n_known = len(X_list)
+            info["n_known"] = n_known
             if n_known < 10:
                 info["status"] = "rejected_few_known3d"
-                info["n_known"] = n_known
                 return info
-            X_known = jnp.asarray(self.points[tr_safe])
+            Xk = _pad(np.asarray(X_list, np.float32), PNP_CAP)
+            uvk = _pad(np.asarray(uv_list, np.float32) / f, PNP_CAP)
+            wk = np.zeros(PNP_CAP, np.float32)
+            wk[: min(n_known, PNP_CAP)] = 1.0
             thr = (2.0 * cfg.ransac.threshold_px / f) ** 2
             R, t, pnp_inl, pnp_cnt = pnp_ransac(
-                self._next_key(), X_known, uv1n, jnp.asarray(known.astype(np.float32)),
+                self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk), jnp.asarray(wk),
                 thr, num_hypotheses=cfg.ransac.num_hypotheses // 2,
             )
+            info["n_pnp_inliers"] = int(pnp_cnt)
             if int(pnp_cnt) <= cfg.min_pnp_inliers:
                 info["status"] = "rejected_pnp"
-                info["n_pnp_inliers"] = int(pnp_cnt)
                 return info
             cam_j = np.concatenate([lie.so3_log_np(np.asarray(R)), np.asarray(t)]).astype(np.float32)
-            info["n_pnp_inliers"] = int(pnp_cnt)
 
-        # ---- triangulate new tracks (ref sfm.py:130-131, 26-34) ----
-        new = inl & (track >= 0) & ~self.point_valid[tr_safe]
-        X_new, good = _triangulate_and_gate(
-            jnp.asarray(cam_i), jnp.asarray(cam_j), uv0n, uv1n, f,
-            cfg.ransac.threshold_px * 2.0,
-        )
-        new = new & np.asarray(good)
-        n_new = int(new.sum())
-
-        # Write cameras (ref sfm.py:125-128).
-        self.cams[pair.img1] = cam_j
-        if not self.has_cam[pair.img1]:
-            self.has_cam[pair.img1] = True
-            self.num_registered += 1
-        if first_pair and not self.has_cam[pair.img0]:
-            self.cams[pair.img0] = cam_i
-            self.has_cam[pair.img0] = True
+        # ---- write camera ----
+        self.cams[j] = cam_j
+        if not self.has_cam[j]:
+            self.has_cam[j] = True
             self.num_registered += 1
 
-        if n_new:
-            ids = track[new]
-            self.points[ids] = np.asarray(X_new)[new]
-            self.point_valid[ids] = True
-            self.point_color[ids] = pair.colors0[new]
+        # ---- triangulate new tracks per edge ----
+        n_new_total = 0
+        ba_edges = []
+        for e in edges:
+            tr = np.clip(e.track, 0, self.points.shape[0] - 1)
+            new = (e.track >= 0) & ~self.point_valid[tr]
+            m = min(len(e.idx_new), EDGE_CAP)
+            uv_r = _pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP)
+            uv_n = _pad(e.uv_new.astype(np.float32) / f, EDGE_CAP)
+            X_new, good = _triangulate_and_gate(
+                jnp.asarray(self.cams[e.ref_img]), jnp.asarray(cam_j),
+                jnp.asarray(uv_r), jnp.asarray(uv_n), f,
+                cfg.ransac.threshold_px * 2.0,
+            )
+            accept = np.zeros(len(e.idx_new), bool)
+            accept[:m] = np.asarray(good)[:m] & new[:m]
+            n_new = int(accept.sum())
+            if n_new:
+                ids = e.track[accept]
+                self.points[ids] = np.asarray(X_new)[:m][accept[:m]]
+                self.point_valid[ids] = True
+                self.point_color[ids] = e.colors_ref[accept]
+                n_new_total += n_new
+            ba_edges.append((e, accept))
 
-        # ---- pair BA: camera j + new points, both-view residuals ----
-        use = (new | known) & inl
-        if cfg.run_pair_ba and int(use.sum()) >= 8:
-            self._pair_ba(pair, cam_i, use, new, tr_safe)
+            # Record observations (both endpoints) for all live matches.
+            tr2 = np.clip(e.track, 0, self.points.shape[0] - 1)
+            live = (e.track >= 0) & self.point_valid[tr2]
+            if live.any():
+                self._record_obs(e.ref_img, e.idx_ref[live], e.track[live], e.uv_ref[live])
+                self._record_obs(j, e.idx_new[live], e.track[live], e.uv_new[live])
 
-        # Record observations for global BA / final stats.
-        obs_mask = (new | known) & inl
-        if obs_mask.any():
-            resolved = track[obs_mask]
-            self._record_obs(pair.img0, pair.idx0[obs_mask], resolved, pair.uv0[obs_mask])
-            self._record_obs(pair.img1, pair.idx1[obs_mask], resolved, pair.uv1[obs_mask])
+        # ---- local BA: camera j + its new points, residuals on all edges ----
+        if cfg.run_pair_ba:
+            self._local_ba(j, ba_edges)
 
-        info.update(status="registered", n_new_points=n_new)
+        info.update(status="registered", n_new_points=n_new_total)
         if cfg.run_global_ba and self.num_registered % cfg.global_ba_every == 0:
             self.global_ba()
             info["global_ba"] = True
@@ -225,38 +310,77 @@ class IncrementalSfM:
         return info
 
     # ------------------------------------------------------------------
-    def _pair_ba(self, pair: PairObservations, cam_i: np.ndarray, use: np.ndarray, new: np.ndarray, tr_safe: np.ndarray):
+    def _local_ba(self, j: int, ba_edges) -> None:
+        """Refine camera j + the points just triangulated, with residuals in
+        camera j AND every (frozen) reference camera."""
         f = self.focal
-        cap = len(use)
-        cams0 = jnp.asarray(np.stack([cam_i, self.cams[pair.img1]]))
-        pts0 = jnp.asarray(self.points[tr_safe])
-        w = use.astype(np.float32)
-        cam_idx = np.concatenate([np.zeros(cap, np.int32), np.ones(cap, np.int32)])
-        pt_idx = np.concatenate([np.arange(cap), np.arange(cap)]).astype(np.int32)
-        uv = np.concatenate([pair.uv0, pair.uv1]).astype(np.float32) / f
-        ww = np.concatenate([w, w])
-        cam_fixed = jnp.asarray([1.0, 0.0], jnp.float32)
-        # Only NEW points move (known ones are anchored by other views).
-        pt_fixed = jnp.asarray((~new).astype(np.float32))
+        # Collect the point set: live tracks observed on these edges.
+        track_slot: Dict[int, int] = {}
+        pts = []
+        pt_new = []
+        obs = []  # (cam_slot, pt_slot, u, v)
+        cams_list = [self.cams[j]]
+        cam_slot = {j: 0}
+        for e, accept in ba_edges:
+            if e.ref_img not in cam_slot:
+                cam_slot[e.ref_img] = len(cams_list)
+                cams_list.append(self.cams[e.ref_img])
+            cs = cam_slot[e.ref_img]
+            tr = np.clip(e.track, 0, self.points.shape[0] - 1)
+            live = (e.track >= 0) & self.point_valid[tr]
+            for m in np.nonzero(live)[0]:
+                t = int(e.track[m])
+                if t not in track_slot:
+                    if len(pts) >= BA_CAP_P:
+                        continue
+                    track_slot[t] = len(pts)
+                    pts.append(self.points[t])
+                    pt_new.append(bool(accept[m]))
+                ps = track_slot[t]
+                if len(obs) < BA_CAP_O - 1:
+                    obs.append((0, ps, e.uv_new[m, 0] / f, e.uv_new[m, 1] / f))
+                    obs.append((cs, ps, e.uv_ref[m, 0] / f, e.uv_ref[m, 1] / f))
+        if len(obs) < 16 or not pts:
+            return
+        C = MAX_REFS + 1
+        cams0 = np.zeros((C, 6), np.float32)
+        cams0[: len(cams_list)] = np.stack(cams_list)
+        cam_fixed = np.ones(C, np.float32)
+        cam_fixed[0] = 0.0  # only camera j moves
+        P = BA_CAP_P
+        pts_arr = _pad(np.asarray(pts, np.float32), P)
+        pt_fixed = np.ones(P, np.float32)
+        pt_fixed[: len(pts)] = (~np.asarray(pt_new)).astype(np.float32)
+        O = BA_CAP_O
+        obs_arr = np.zeros((O, 4), np.float32)
+        obs_arr[: len(obs)] = np.asarray(obs, np.float32)
+        w = np.zeros(O, np.float32)
+        w[: len(obs)] = 1.0
         st = bundle_adjust(
-            cams0, pts0, jnp.asarray(cam_idx), jnp.asarray(pt_idx),
-            jnp.asarray(uv), jnp.asarray(ww), cam_fixed, pt_fixed,
+            jnp.asarray(cams0), jnp.asarray(pts_arr),
+            jnp.asarray(obs_arr[:, 0].astype(np.int32)),
+            jnp.asarray(obs_arr[:, 1].astype(np.int32)),
+            jnp.asarray(obs_arr[:, 2:4]), jnp.asarray(w),
+            jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
             max_iters=self.cfg.ba.max_iters // 2, cg_iters=8,
         )
-        self.cams[pair.img1] = np.asarray(st.cams)[1]
-        if new.any():
-            ids = pair.track[new]
-            self.points[ids] = np.asarray(st.points)[new]
+        self.cams[j] = np.asarray(st.cams)[0]
+        new_pts = np.asarray(st.points)
+        for t, s in track_slot.items():
+            if pt_new[s]:
+                self.points[t] = new_pts[s]
 
     # ------------------------------------------------------------------
     def _gather_global_problem(self):
         if not self._obs:
             return None
         items = list(self._obs.items())
-        img_ids = np.array([k[0] for k, _ in items], np.int32)
+        keys = [k for k, _ in items]
+        img_ids = np.array([k[0] for k in keys], np.int32)
         tracks = np.array([v[0] for _, v in items], np.int64)
         uv = np.array([[v[1], v[2]] for _, v in items], np.float32) / self.focal
         live = self.point_valid[np.clip(tracks, 0, len(self.point_valid) - 1)] & self.has_cam[img_ids]
+        keys = [k for k, m in zip(keys, live) if m]
         img_ids, tracks, uv = img_ids[live], tracks[live], uv[live]
         if len(img_ids) == 0:
             return None
@@ -264,13 +388,16 @@ class IncrementalSfM:
         cam_map = {int(c): i for i, c in enumerate(cam_slots)}
         cam_idx = np.array([cam_map[int(i)] for i in img_ids], np.int32)
         uniq_tracks, pt_idx = np.unique(tracks, return_inverse=True)
-        return cam_slots, cam_idx, uniq_tracks, pt_idx.astype(np.int32), uv
+        return cam_slots, cam_idx, uniq_tracks, pt_idx.astype(np.int32), uv, keys
 
-    def global_ba(self, max_iters: Optional[int] = None):
+    def global_ba(self, max_iters: Optional[int] = None, prune: bool = True):
+        """Global BA with one round of residual-based observation pruning
+        (the reference has neither; its heavy outlier tail — BASELINE.md
+        median 0.31px vs mean 4.56px — is exactly what this removes)."""
         prob = self._gather_global_problem()
         if prob is None:
             return
-        cam_slots, cam_idx, uniq_tracks, pt_idx, uv = prob
+        cam_slots, cam_idx, uniq_tracks, pt_idx, uv, keys = prob
         C = len(cam_slots)
         P_real = len(uniq_tracks)
         O_real = len(cam_idx)
@@ -296,15 +423,40 @@ class IncrementalSfM:
             jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
             max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
         )
+        if prune:
+            r = reprojection_residuals(
+                st.cams, st.points, jnp.asarray(ci), jnp.asarray(pi),
+                jnp.asarray(uvp), jnp.asarray(w),
+            )
+            err_px = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
+            thr_px = 3.0 * self.cfg.ransac.threshold_px
+            bad = (err_px > thr_px) & (w > 0)
+            if bad.any():
+                for o in np.nonzero(bad[:O_real])[0]:
+                    self._obs.pop(keys[o], None)
+                w[bad] = 0.0
+                # Tracks left with <2 observations lose their 3D point.
+                live_counts = np.bincount(pi[:O_real][w[:O_real] > 0], minlength=P)
+                dead = np.nonzero(live_counts[:P_real] < 2)[0]
+                if len(dead):
+                    self.point_valid[uniq_tracks[dead]] = False
+                    pt_fixed[dead] = 1.0
+                st = bundle_adjust(
+                    st.cams, st.points, jnp.asarray(ci), jnp.asarray(pi),
+                    jnp.asarray(uvp), jnp.asarray(w),
+                    jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
+                    max_iters=(max_iters or self.cfg.ba.max_iters) // 2, cg_iters=32,
+                )
         self.cams[cam_slots] = np.asarray(st.cams)
-        self.points[uniq_tracks] = np.asarray(st.points)[:P_real]
+        keep = self.point_valid[uniq_tracks]
+        self.points[uniq_tracks[keep]] = np.asarray(st.points)[:P_real][keep]
 
     # ------------------------------------------------------------------
     def mean_reprojection_error(self) -> Tuple[float, int]:
         prob = self._gather_global_problem()
         if prob is None:
             return float("nan"), 0
-        cam_slots, cam_idx, uniq_tracks, pt_idx, uv = prob
+        cam_slots, cam_idx, uniq_tracks, pt_idx, uv, _keys = prob
         r = reprojection_residuals(
             jnp.asarray(self.cams[cam_slots]), jnp.asarray(self.points[uniq_tracks]),
             jnp.asarray(cam_idx), jnp.asarray(pt_idx), jnp.asarray(uv),

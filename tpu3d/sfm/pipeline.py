@@ -36,22 +36,40 @@ from tpu3d.matching import (
     vector_quantize,
 )
 from tpu3d.matching.pairs import connected_order_fallback
-from tpu3d.sfm.engine import IncrementalSfM, PairObservations
+from tpu3d.sfm.engine import (
+    MAX_REFS,
+    EdgeObservations,
+    ImageRegistration,
+    IncrementalSfM,
+    PairObservations,
+)
 from tpu3d.sfm.scene import Reconstruction
 
 
 @dataclasses.dataclass
 class ExtractedFeatures:
-    """Host-side mirror of the reference's stage-1 artifacts
-    (all_points / all_descriptors / all_colors / img_size, SURVEY §1)."""
+    """Stage-1 output (the reference's all_points / all_descriptors /
+    all_colors / img_size artifact set, SURVEY §1).
+
+    Descriptors and validity masks stay DEVICE-resident (`_dev` fields):
+    retrieval and matching consume them directly, so the multi-megabyte
+    descriptor tensors never cross the host link again (on a remote-TPU
+    backend every re-upload is seconds of wall clock). Small per-keypoint
+    geometry/color arrays live on the host for the numpy bookkeeping."""
 
     names: List[str]
     keypoints: np.ndarray     # (N, K, 2) centered
     keypoints_px: np.ndarray  # (N, K, 2)
-    descriptors: np.ndarray   # (N, K, 128)
-    valid: np.ndarray         # (N, K)
+    valid: np.ndarray         # (N, K) bool (host copy)
     colors_bgr: np.ndarray    # (N, K, 3)
     image_size: np.ndarray    # (N, 2) (W, H)
+    descriptors_dev: object   # jnp (N, K, 128) on device
+    valid_dev: object         # jnp (N, K) float32 on device
+
+    @property
+    def descriptors(self) -> np.ndarray:
+        """Host copy (artifact persistence only — one bulk download)."""
+        return np.asarray(self.descriptors_dev)
 
 
 def run_extraction(
@@ -63,7 +81,7 @@ def run_extraction(
 ) -> ExtractedFeatures:
     names = names if names is not None else list_images(img_dir)
     B = cfg.frontend.batch_size
-    kps, kps_px, descs, valids, colors, sizes = [], [], [], [], [], []
+    kps, kps_px, descs, valids_dev, valids, colors, sizes = [], [], [], [], [], [], []
     for s in range(0, len(names), B):
         chunk = names[s : s + B]
         gray, rgb = load_images(img_dir, chunk, downscale)
@@ -72,12 +90,16 @@ def run_extraction(
         if pad:
             gray = np.concatenate([gray, np.repeat(gray[-1:], pad, 0)])
             rgb = np.concatenate([rgb, np.repeat(rgb[-1:], pad, 0)])
-        fs = extract_features(jnp.asarray(gray), cfg.frontend)
+        # Upload as uint8 (4x less host-link traffic); the extractor
+        # normalizes on device.
+        gray_u8 = (gray * 255.0 + 0.5).astype(np.uint8)
+        fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
         cols = sample_colors(rgb[..., ::-1], np.asarray(fs.keypoints_px))  # BGR like cv2
         n = len(chunk)
         kps.append(np.asarray(fs.keypoints)[:n])
         kps_px.append(np.asarray(fs.keypoints_px)[:n])
-        descs.append(np.asarray(fs.descriptors)[:n])
+        descs.append(fs.descriptors[:n])          # stays on device
+        valids_dev.append(fs.valid[:n])
         valids.append(np.asarray(fs.valid)[:n])
         colors.append(np.asarray(cols)[:n])
         sizes.append(np.asarray(fs.image_size)[:n])
@@ -87,10 +109,11 @@ def run_extraction(
         names=list(names),
         keypoints=np.concatenate(kps),
         keypoints_px=np.concatenate(kps_px),
-        descriptors=np.concatenate(descs),
         valid=np.concatenate(valids),
         colors_bgr=np.concatenate(colors),
         image_size=np.concatenate(sizes),
+        descriptors_dev=jnp.concatenate(descs),
+        valid_dev=jnp.concatenate(valids_dev).astype(jnp.float32),
     )
 
 
@@ -98,10 +121,10 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     """BoW codebook + tf-idf retrieval + view graph (ref bow.py +
     matching.py:22-82). Returns the adjacency dict."""
     key = jax.random.PRNGKey(seed)
-    d = jnp.asarray(feats.descriptors)
-    v = jnp.asarray(feats.valid.astype(np.float32))
+    d = feats.descriptors_dev
+    v = feats.valid_dev
     codebook = build_codebook(key, d, v, cfg.retrieval.codebook_size, cfg.retrieval.kmeans_iters)
-    words = jax.vmap(lambda x: vector_quantize(x, codebook))(d)
+    words = jax.jit(jax.vmap(vector_quantize, in_axes=(0, None)))(d, codebook)
     tv = tfidf_vectors(words, v, cfg.retrieval.codebook_size)
     idx, sim = topk_similar(tv, cfg.retrieval.top_k)
     return build_view_graph(
@@ -112,13 +135,13 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
 
 def _match_one_pair(feats, i, j, cfg, key):
     """Mutual-NN match + E-gate for one candidate pair. Returns
-    (sel_mask, idx0, idx1, uv0, uv1, n_raw, n_front) — sel is None if the
-    pair fails the raw-match or inlier gates."""
-    d = feats.descriptors
-    v = feats.valid.astype(np.float32)
+    (sel_mask, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t) — sel is
+    None if the pair fails the raw-match or inlier gates. Descriptors are
+    sliced from the device-resident tensors (no host re-upload)."""
+    d = feats.descriptors_dev
+    v = feats.valid_dev
     res = match_descriptors(
-        jnp.asarray(d[i]), jnp.asarray(d[j]),
-        jnp.asarray(v[i]), jnp.asarray(v[j]),
+        d[i], d[j], v[i], v[j],
         ratio=cfg.matching.ratio_threshold,
     )
     mvalid = np.asarray(res.valid)
@@ -128,7 +151,7 @@ def _match_one_pair(feats, i, j, cfg, key):
     uv0 = feats.keypoints[i][idx0]
     uv1 = feats.keypoints[j][idx1]
     if n_raw < cfg.matching.min_raw_matches:
-        return None, idx0, idx1, uv0, uv1, n_raw, 0
+        return None, idx0, idx1, uv0, uv1, n_raw, 0, None, None
     eres = find_essential_ransac(
         key, jnp.asarray(uv0), jnp.asarray(uv1), jnp.asarray(mvalid.astype(np.float32)),
         cfg.camera.focal_length, threshold_px=cfg.matching.ransac_threshold_px,
@@ -136,9 +159,9 @@ def _match_one_pair(feats, i, j, cfg, key):
     )
     n_front = int(jnp.sum(eres.front))
     if n_front <= cfg.matching.min_inliers:
-        return None, idx0, idx1, uv0, uv1, n_raw, n_front
+        return None, idx0, idx1, uv0, uv1, n_raw, n_front, None, None
     sel = mvalid & np.asarray(eres.inliers)
-    return sel, idx0, idx1, uv0, uv1, n_raw, n_front
+    return sel, idx0, idx1, uv0, uv1, n_raw, n_front, np.asarray(eres.R), np.asarray(eres.t)
 
 
 def run_matching(
@@ -147,18 +170,20 @@ def run_matching(
     cfg: PipelineConfig,
     seed: int = 1,
     verbose: bool = True,
-) -> Tuple[List[PairObservations], TrackStore]:
-    """BFS matching with interleaved acceptance (mirrors matching.py:84-189).
+) -> Tuple[List[ImageRegistration], TrackStore]:
+    """BFS matching with interleaved acceptance and MULTI-REFERENCE edges.
 
-    The BFS frontier only grows when a pair passes all gates — exactly the
-    reference's queue semantics (matching.py:175): an image whose first
-    candidate pair fails can still be reached later through another visited
-    neighbor. For each new image, the reference image is the first visited
-    neighbor in its adjacency list (matching.py:98-105)."""
-    n_img, K, _ = feats.descriptors.shape
+    Like the reference (matching.py:84-189), the BFS frontier only grows
+    when a new image's primary pair passes all gates — an image whose first
+    candidate fails can still be reached later through another visited
+    neighbor. Unlike the reference (which keeps exactly one (ref, new)
+    edge, the root cause of its PnP fragility), every accepted image also
+    matches against up to MAX_REFS - 1 additional already-visited
+    neighbors; all passing edges feed the engine's joint PnP anchor set."""
+    n_img, K = feats.keypoints.shape[:2]
     ts = TrackStore(n_img, K, capacity=cfg.sfm.max_tracks)
     key = jax.random.PRNGKey(seed)
-    accepted: List[PairObservations] = []
+    accepted: List[ImageRegistration] = []
     if not adj or all(len(v) == 0 for v in adj.values()):
         adj = {i: ([i - 1] if i else []) + ([i + 1] if i + 1 < n_img else []) for i in range(n_img)}
     start = max(adj, key=lambda i: len(adj[i]))
@@ -166,6 +191,17 @@ def run_matching(
     queue = [start]
     first = True
     qi = 0
+
+    def make_edge(i, j, sel, idx0, idx1, uv0, uv1, rel_R, rel_t):
+        track_sel = ts.union_pair(i, j, idx0[sel], idx1[sel])
+        return EdgeObservations(
+            ref_img=i,
+            idx_ref=idx0[sel], idx_new=idx1[sel], track=track_sel,
+            uv_ref=uv0[sel].astype(np.float32), uv_new=uv1[sel].astype(np.float32),
+            colors_ref=feats.colors_bgr[i][idx0[sel]],
+            rel_R=rel_R, rel_t=rel_t,
+        )
+
     while qi < len(queue):
         u = queue[qi]
         qi += 1
@@ -181,49 +217,81 @@ def run_matching(
                     break
             i, j = ref, vtx
             key, sub = jax.random.split(key)
-            sel, idx0, idx1, uv0, uv1, n_raw, n_front = _match_one_pair(feats, i, j, cfg, sub)
+            sel, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t = _match_one_pair(feats, i, j, cfg, sub)
             if sel is None:
                 if verbose:
                     print(f"[match] ({i},{j}) rejected: raw={n_raw} front={n_front}", flush=True)
                 continue
-            if not first:
+            # Pair-size gate (ref matching.py:160: len(idx0) >= 500).
+            if n_raw < cfg.matching.min_pair_matches:
+                if verbose:
+                    print(f"[match] ({i},{j}) rejected: raw={n_raw} < min_pair_matches", flush=True)
+                continue
+            if first:
+                # The bootstrap pair defines the global frame and scale —
+                # demand a strong inlier set, not just a passing E-gate.
+                if int(sel.sum()) < cfg.matching.min_first_pair_inliers:
+                    if verbose:
+                        print(f"[match] ({i},{j}) rejected: weak bootstrap ({int(sel.sum())} inliers)", flush=True)
+                    continue
+            else:
                 overlap = ts.overlap_fraction(i, j, idx0[sel], idx1[sel])
                 if overlap < cfg.matching.min_track_overlap:
                     if verbose:
                         print(f"[match] ({i},{j}) rejected: overlap {overlap:.2f}", flush=True)
                     continue
-            track_sel = ts.union_pair(i, j, idx0[sel], idx1[sel])
-            track = np.full(K, -1, np.int64)
-            track[sel] = track_sel
-            accepted.append(
-                PairObservations(
-                    img0=i, img1=j,
-                    idx0=idx0, idx1=idx1, track=track,
-                    uv0=uv0.astype(np.float32), uv1=uv1.astype(np.float32),
-                    valid=sel,
-                    colors0=feats.colors_bgr[i][idx0],
-                )
-            )
+            edges = [make_edge(i, j, sel, idx0, idx1, uv0, uv1, rel_R, rel_t)]
+            # Secondary reference edges: other already-visited neighbors.
+            extra_refs = [w for w in adj[vtx] if w in visited and w != i][: MAX_REFS - 1]
+            for w in extra_refs:
+                key, sub = jax.random.split(key)
+                sel2, i0b, i1b, u0b, u1b, _, nf2, rR2, rt2 = _match_one_pair(feats, w, j, cfg, sub)
+                if sel2 is not None and nf2 > cfg.matching.min_inliers:
+                    edges.append(make_edge(w, j, sel2, i0b, i1b, u0b, u1b, rR2, rt2))
+            accepted.append(ImageRegistration(img=j, edges=edges))
             first = False
             visited.add(vtx)
             queue.append(vtx)
             if verbose:
-                print(f"[match] ({i},{j}) accepted: {int(sel.sum())} inlier matches", flush=True)
+                sizes = [len(e.idx_new) for e in edges]
+                refs = [e.ref_img for e in edges]
+                print(f"[match] img {j} accepted: refs {refs} edges {sizes}", flush=True)
+
+    # Retry pass: images the BFS never reached (their early candidates
+    # failed a gate) get one more attempt against every visited neighbor
+    # with only the E-gate applied — the engine's PnP decides registration.
+    for vtx in range(n_img):
+        if vtx in visited or first:
+            continue
+        edges = []
+        for w in adj.get(vtx, []):
+            if w not in visited or len(edges) >= MAX_REFS:
+                continue
+            key, sub = jax.random.split(key)
+            sel2, i0b, i1b, u0b, u1b, _, nf2, rR2, rt2 = _match_one_pair(feats, w, vtx, cfg, sub)
+            if sel2 is not None and nf2 > cfg.matching.min_inliers:
+                edges.append(make_edge(w, vtx, sel2, i0b, i1b, u0b, u1b, rR2, rt2))
+        if edges:
+            accepted.append(ImageRegistration(img=vtx, edges=edges))
+            visited.add(vtx)
+            if verbose:
+                print(f"[match] img {vtx} accepted on retry: refs {[e.ref_img for e in edges]}", flush=True)
     return accepted, ts
 
 
 def run_reconstruction(
     feats: ExtractedFeatures,
-    pairs: List[PairObservations],
+    registrations: List[ImageRegistration],
     ts: TrackStore,
     cfg: PipelineConfig,
     verbose: bool = True,
 ) -> Reconstruction:
     engine = IncrementalSfM(n_images=len(feats.names), config=cfg.sfm)
-    for p in pairs:
+    for reg in registrations:
         # Canonicalize track ids (unions may have merged since creation).
-        p.track[p.valid] = ts.resolve(p.track[p.valid])
-        info = engine.register_pair(p)
+        for e in reg.edges:
+            e.track = ts.resolve(e.track)
+        info = engine.register_image(reg)
         if verbose:
             print(f"[sfm] {info}", flush=True)
     return engine.finalize(feats.names)
