@@ -90,6 +90,7 @@ def _load_features(args):
         image_size=data["image_size"],
         descriptors_dev=jnp.asarray(data["descriptors"]),
         valid_dev=jnp.asarray(data["valid"].astype(np.float32)),
+        keypoints_dev=jnp.asarray(data["keypoints"]),
     ), meta
 
 

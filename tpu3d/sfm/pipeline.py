@@ -13,6 +13,7 @@ Stages:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -65,6 +66,7 @@ class ExtractedFeatures:
     image_size: np.ndarray    # (N, 2) (W, H)
     descriptors_dev: object   # jnp (N, K, 128) on device
     valid_dev: object         # jnp (N, K) float32 on device
+    keypoints_dev: object = None  # jnp (N, K, 2) on device (matching gathers)
 
     @property
     def descriptors(self) -> np.ndarray:
@@ -81,7 +83,11 @@ def run_extraction(
 ) -> ExtractedFeatures:
     names = names if names is not None else list_images(img_dir)
     B = cfg.frontend.batch_size
-    kps, kps_px, descs, valids_dev, valids, colors, sizes = [], [], [], [], [], [], []
+    # Device-resident accumulators; the only per-batch host transfer is the
+    # uint8 image upload + ONE keypoint download for color sampling (every
+    # additional device->host fetch is a costly round trip on a remote
+    # backend). Everything else is fetched in bulk after the loop.
+    kps_px, descs, valids_dev, colors, kps_dev, sizes_dev = [], [], [], [], [], []
     for s in range(0, len(names), B):
         chunk = names[s : s + B]
         gray, rgb = load_images(img_dir, chunk, downscale)
@@ -94,26 +100,29 @@ def run_extraction(
         # normalizes on device.
         gray_u8 = (gray * 255.0 + 0.5).astype(np.uint8)
         fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
-        cols = sample_colors(rgb[..., ::-1], np.asarray(fs.keypoints_px))  # BGR like cv2
         n = len(chunk)
-        kps.append(np.asarray(fs.keypoints)[:n])
-        kps_px.append(np.asarray(fs.keypoints_px)[:n])
-        descs.append(fs.descriptors[:n])          # stays on device
+        kp_px = np.asarray(fs.keypoints_px[:n])   # single per-batch download
+        cols = sample_colors(rgb[..., ::-1][:n], kp_px)  # BGR like cv2
+        kps_px.append(kp_px)
+        colors.append(cols)
+        kps_dev.append(fs.keypoints[:n])
+        descs.append(fs.descriptors[:n])
         valids_dev.append(fs.valid[:n])
-        valids.append(np.asarray(fs.valid)[:n])
-        colors.append(np.asarray(cols)[:n])
-        sizes.append(np.asarray(fs.image_size)[:n])
+        sizes_dev.append(fs.image_size[:n])
         if verbose:
             print(f"[extract] {s + n}/{len(names)} images", flush=True)
+    valid_dev = jnp.concatenate(valids_dev)
+    keypoints_dev = jnp.concatenate(kps_dev)
     return ExtractedFeatures(
         names=list(names),
-        keypoints=np.concatenate(kps),
+        keypoints=np.asarray(keypoints_dev),
         keypoints_px=np.concatenate(kps_px),
-        valid=np.concatenate(valids),
+        valid=np.asarray(valid_dev),
         colors_bgr=np.concatenate(colors),
-        image_size=np.concatenate(sizes),
+        image_size=np.asarray(jnp.concatenate(sizes_dev)),
         descriptors_dev=jnp.concatenate(descs),
-        valid_dev=jnp.concatenate(valids_dev).astype(jnp.float32),
+        valid_dev=valid_dev.astype(jnp.float32),
+        keypoints_dev=keypoints_dev,
     )
 
 
@@ -133,35 +142,54 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("ratio", "num_hypotheses"))
+def _match_and_gate_packed(d0, d1, v0, v1, kp0, kp1, key, focal, thr_px, ratio, num_hypotheses):
+    """Fused mutual-NN match + E-RANSAC gate, packed into ONE flat array so
+    the host pays a single device->host round trip per candidate pair."""
+    res = match_descriptors(d0, d1, v0, v1, ratio=ratio)
+    uv0 = kp0  # slot k of the match result is keypoint k of image 0
+    uv1 = kp1[res.idx1]
+    mvalid = res.valid.astype(jnp.float32)
+    eres = find_essential_ransac(
+        key, uv0, uv1, mvalid, focal,
+        threshold_px=thr_px, num_hypotheses=num_hypotheses,
+    )
+    sel = (res.valid & eres.inliers).astype(jnp.float32)
+    K = d0.shape[0]
+    per_kpt = jnp.stack([res.idx1.astype(jnp.float32), mvalid, sel], axis=-1)  # (K, 3)
+    stats = jnp.stack([jnp.sum(mvalid), jnp.sum(eres.front).astype(jnp.float32)])
+    return jnp.concatenate([per_kpt.reshape(-1), stats, eres.R.reshape(-1), eres.t])
+
+
 def _match_one_pair(feats, i, j, cfg, key):
     """Mutual-NN match + E-gate for one candidate pair. Returns
     (sel_mask, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t) — sel is
-    None if the pair fails the raw-match or inlier gates. Descriptors are
-    sliced from the device-resident tensors (no host re-upload)."""
+    None if the pair fails the raw-match or inlier gates. Descriptors and
+    keypoints are sliced from device-resident tensors (no re-upload), and
+    the whole result arrives in one packed download."""
     d = feats.descriptors_dev
     v = feats.valid_dev
-    res = match_descriptors(
-        d[i], d[j], v[i], v[j],
-        ratio=cfg.matching.ratio_threshold,
-    )
-    mvalid = np.asarray(res.valid)
+    kp = feats.keypoints_dev
+    K = d.shape[1]
+    flat = np.asarray(_match_and_gate_packed(
+        d[i], d[j], v[i], v[j], kp[i], kp[j], key,
+        cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
+        cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
+    ))
+    per_kpt = flat[: K * 3].reshape(K, 3)
+    idx1 = per_kpt[:, 0].astype(np.int64)
+    mvalid = per_kpt[:, 1] > 0
+    sel = per_kpt[:, 2] > 0
     n_raw = int(mvalid.sum())
-    idx0 = np.asarray(res.idx0)
-    idx1 = np.asarray(res.idx1)
-    uv0 = feats.keypoints[i][idx0]
+    n_front = int(flat[K * 3 + 1])
+    rel_R = flat[K * 3 + 2 : K * 3 + 11].reshape(3, 3)
+    rel_t = flat[K * 3 + 11 : K * 3 + 14]
+    idx0 = np.arange(K)
+    uv0 = feats.keypoints[i]
     uv1 = feats.keypoints[j][idx1]
-    if n_raw < cfg.matching.min_raw_matches:
-        return None, idx0, idx1, uv0, uv1, n_raw, 0, None, None
-    eres = find_essential_ransac(
-        key, jnp.asarray(uv0), jnp.asarray(uv1), jnp.asarray(mvalid.astype(np.float32)),
-        cfg.camera.focal_length, threshold_px=cfg.matching.ransac_threshold_px,
-        num_hypotheses=cfg.sfm.ransac.num_hypotheses,
-    )
-    n_front = int(jnp.sum(eres.front))
-    if n_front <= cfg.matching.min_inliers:
+    if n_raw < cfg.matching.min_raw_matches or n_front <= cfg.matching.min_inliers:
         return None, idx0, idx1, uv0, uv1, n_raw, n_front, None, None
-    sel = mvalid & np.asarray(eres.inliers)
-    return sel, idx0, idx1, uv0, uv1, n_raw, n_front, np.asarray(eres.R), np.asarray(eres.t)
+    return sel, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t
 
 
 def run_matching(
@@ -287,13 +315,28 @@ def run_reconstruction(
     verbose: bool = True,
 ) -> Reconstruction:
     engine = IncrementalSfM(n_images=len(feats.names), config=cfg.sfm)
-    for reg in registrations:
+    pending = list(registrations)
+    for reg in pending:
         # Canonicalize track ids (unions may have merged since creation).
         for e in reg.edges:
             e.track = ts.resolve(e.track)
-        info = engine.register_image(reg)
+    # Fixpoint retry: an image whose references register later in the pass
+    # (or whose anchor tracks get triangulated later) succeeds on a
+    # subsequent round — the matching-stage order is similarity-driven, not
+    # dependency-driven.
+    for round_ in range(4):
+        failed = []
+        for reg in pending:
+            info = engine.register_image(reg)
+            if verbose:
+                print(f"[sfm] {info}", flush=True)
+            if info.get("status") != "registered":
+                failed.append(reg)
+        if not failed or len(failed) == len(pending):
+            break
+        pending = failed
         if verbose:
-            print(f"[sfm] {info}", flush=True)
+            print(f"[sfm] retry round {round_ + 1}: {len(pending)} images", flush=True)
     return engine.finalize(feats.names)
 
 
