@@ -128,6 +128,44 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     return step
 
 
+def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -> None:
+    """Persist grid + Adam moments (the reference loses everything on a
+    training crash — SURVEY §5 checkpoint/resume row)."""
+    import numpy as np
+
+    flat, _ = jax.tree_util.tree_flatten(state.opt_state)
+    store.save(
+        "dense_ckpt",
+        grid=np.asarray(state.grid.grid),
+        min_bound=np.asarray(state.grid.min_bound),
+        max_bound=np.asarray(state.grid.max_bound),
+        step=np.asarray(state.step),
+        epoch=np.asarray(epoch),
+        losses=np.asarray(losses, np.float32),
+        **{f"opt_{i}": np.asarray(a) for i, a in enumerate(flat) if hasattr(a, "shape")},
+    )
+
+
+def load_checkpoint(store, optimizer) -> Optional[Tuple[TrainState, int, List[float]]]:
+    data = store.load("dense_ckpt")
+    if data is None:
+        return None
+    grid = VoxelGrid(jnp.asarray(data["grid"]), jnp.asarray(data["min_bound"]), jnp.asarray(data["max_bound"]))
+    opt_state = optimizer.init(grid.grid)
+    flat, treedef = jax.tree_util.tree_flatten(opt_state)
+    restored = []
+    k = 0
+    for a in flat:
+        if hasattr(a, "shape") and f"opt_{k}" in data:
+            restored.append(jnp.asarray(data[f"opt_{k}"]))
+            k += 1
+        else:
+            restored.append(a)
+    opt_state = jax.tree_util.tree_unflatten(treedef, restored)
+    state = TrainState(grid, opt_state, jnp.asarray(data["step"]))
+    return state, int(data["epoch"]), list(data["losses"])
+
+
 def train_plenoxel(
     dataset: RayDataset,
     cfg: Optional[DenseConfig] = None,
@@ -135,8 +173,11 @@ def train_plenoxel(
     grid: Optional[VoxelGrid] = None,
     verbose: bool = True,
     log_every: int = 170,
+    checkpoint_store=None,
+    resume: bool = False,
 ) -> Tuple[VoxelGrid, List[float]]:
-    """Reference training loop (plenoxel.py:96-121 / sdf.py:423-445)."""
+    """Reference training loop (plenoxel.py:96-121 / sdf.py:423-445), with
+    optional per-epoch checkpoint/resume through an ArtifactStore."""
     cfg = cfg or DenseConfig()
     n = len(dataset.origins)
     steps_per_epoch = max(n // cfg.batch_size, 1)
@@ -145,12 +186,20 @@ def train_plenoxel(
         grid = create_grid(cfg.grid_resolution, (-s, -s, -s), (s, s, s))
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
     state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0))
+    losses: List[float] = []
+    start_epoch = 0
+    if resume and checkpoint_store is not None:
+        ck = load_checkpoint(checkpoint_store, optimizer)
+        if ck is not None:
+            state, start_epoch, losses = ck
+            start_epoch += 1
+            if verbose:
+                print(f"[dense] resumed at epoch {start_epoch}", flush=True)
     step_fn = make_train_step(cfg, optimizer)
 
     key = jax.random.PRNGKey(seed)
-    losses: List[float] = []
     t0 = time.time()
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         key, pkey = jax.random.split(key)
         perm = np.asarray(jax.random.permutation(pkey, n))
         for b in range(steps_per_epoch):
@@ -168,6 +217,8 @@ def train_plenoxel(
                     rate = (b + 1) * cfg.batch_size / (time.time() - t0)
                     print(f"[dense] epoch {epoch} step {b}/{steps_per_epoch} "
                           f"loss {float(loss):.5f} ({rate:.0f} rays/s)", flush=True)
+        if checkpoint_store is not None:
+            save_checkpoint(checkpoint_store, state, epoch, losses)
     return state.grid, losses
 
 
