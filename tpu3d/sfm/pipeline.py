@@ -83,12 +83,8 @@ def run_extraction(
 ) -> ExtractedFeatures:
     names = names if names is not None else list_images(img_dir)
     B = cfg.frontend.batch_size
-    # Device-resident accumulators; the only per-batch host transfer is the
-    # uint8 image upload + ONE keypoint download for color sampling (every
-    # additional device->host fetch is a costly round trip on a remote
-    # backend). Everything else is fetched in bulk after the loop.
-    kps_px, descs, valids_dev, colors, kps_dev, sizes_dev = [], [], [], [], [], []
-    for s in range(0, len(names), B):
+
+    def load_batch(s):
         chunk = names[s : s + B]
         gray, rgb = load_images(img_dir, chunk, downscale)
         # Pad the trailing batch so the jitted extractor sees one shape.
@@ -96,9 +92,27 @@ def run_extraction(
         if pad:
             gray = np.concatenate([gray, np.repeat(gray[-1:], pad, 0)])
             rgb = np.concatenate([rgb, np.repeat(rgb[-1:], pad, 0)])
+        return chunk, (gray * 255.0 + 0.5).astype(np.uint8), rgb
+
+    # JPEG decode overlaps device compute: a single-worker prefetch thread
+    # keeps one decoded batch in flight ahead of the extractor.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    starts = list(range(0, len(names), B))
+    futures = {s: pool.submit(load_batch, s) for s in starts[:2]}
+
+    # Device-resident accumulators; the only per-batch host transfer is the
+    # uint8 image upload + ONE keypoint download for color sampling (every
+    # additional device->host fetch is a costly round trip on a remote
+    # backend). Everything else is fetched in bulk after the loop.
+    kps_px, descs, valids_dev, colors, kps_dev, sizes_dev = [], [], [], [], [], []
+    for bi, s in enumerate(starts):
+        chunk, gray_u8, rgb = futures.pop(s).result()
+        if bi + 2 < len(starts):
+            futures[starts[bi + 2]] = pool.submit(load_batch, starts[bi + 2])
         # Upload as uint8 (4x less host-link traffic); the extractor
         # normalizes on device.
-        gray_u8 = (gray * 255.0 + 0.5).astype(np.uint8)
         fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
         n = len(chunk)
         kp_px = np.asarray(fs.keypoints_px[:n])   # single per-batch download
@@ -111,6 +125,7 @@ def run_extraction(
         sizes_dev.append(fs.image_size[:n])
         if verbose:
             print(f"[extract] {s + n}/{len(names)} images", flush=True)
+    pool.shutdown(wait=False)
     valid_dev = jnp.concatenate(valids_dev)
     keypoints_dev = jnp.concatenate(kps_dev)
     return ExtractedFeatures(
