@@ -58,7 +58,11 @@ def essential_eight_point(x0: jnp.ndarray, x1: jnp.ndarray, weights: jnp.ndarray
     ones = jnp.ones_like(u0)
     # Row for x1^T F x0 = 0: [u1u0, u1v0, u1, v1u0, v1v0, v1, u0, v0, 1]
     A = jnp.stack([u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1)
-    A = A * weights[..., None]
+    # Normalize by the effective row count: otherwise ||AtA|| grows with N
+    # and the smallest eigenvalue of a many-point fit sinks below float32
+    # eigh noise (absolute eigensolver error scales with the matrix norm).
+    wsum = jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1.0)
+    A = A * (weights / jnp.sqrt(wsum))[..., None]
     # Smallest right singular vector of A == smallest eigvec of AᵀA (9x9).
     AtA = jnp.einsum("...ni,...nj->...ij", A, A)
     _, V = jnp.linalg.eigh(AtA)

@@ -55,19 +55,22 @@ def find_essential_ransac(
         def scorer(E):
             return sampson_error(E, x0, x1)
 
-        _, inliers0, _ = ransac(key, solver, scorer, valid, E_SAMPLE_SIZE, num_hypotheses, thr_sq)
-        # Iterated refit (local optimization): least-squares 8-point over
-        # the inlier set, recompute inliers, repeat. Two rounds pull the
-        # consensus to a stable fixed point — single-shot refits show high
-        # variance across RNG keys when many matches sit near the
-        # threshold.
-        inliers = inliers0
-        E = essential_eight_point(x0, x1, inliers.astype(x0.dtype))
-        for _ in range(2):
-            err = sampson_error(E, x0, x1)
-            inliers = (err < thr_sq) & (valid > 0)
-            E = essential_eight_point(x0, x1, inliers.astype(x0.dtype))
-        err = sampson_error(E, x0, x1)
-        inliers = (err < thr_sq) & (valid > 0)
+        key0, key1 = jax.random.split(key)
+        E, inliers, count = ransac(key0, solver, scorer, valid, E_SAMPLE_SIZE, num_hypotheses, thr_sq)
+        # LO-RANSAC inner round: re-draw minimal samples from the inlier
+        # set only (all-inlier 8-point hypotheses are well-conditioned) and
+        # keep the winner — never accept a model with fewer inliers than
+        # the best minimal hypothesis. A least-squares refit over the full
+        # inlier set is NOT used: the many-point algebraic fit's smallest
+        # eigenvalue sinks below float32 eigensolver noise and can collapse
+        # the consensus (observed: 799-inlier minimal model -> 0 after two
+        # LS refits).
+        E2, inliers2, count2 = ransac(
+            key1, solver, scorer, inliers.astype(x0.dtype), E_SAMPLE_SIZE,
+            max(num_hypotheses // 2, 64), thr_sq,
+        )
+        better = count2 > count
+        E = jnp.where(better, E2, E)
+        inliers = jnp.where(better, inliers2, inliers)
         R, t, front = recover_pose(E, x0, x1, inliers.astype(x0.dtype))
         return EssentialResult(E, R, t, inliers, front & inliers, jnp.sum(inliers))
