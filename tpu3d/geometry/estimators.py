@@ -72,5 +72,15 @@ def find_essential_ransac(
         better = count2 > count
         E = jnp.where(better, E2, E)
         inliers = jnp.where(better, inliers2, inliers)
+        count = jnp.maximum(count, count2)
+        # Guarded LS refit: when the full-inlier-set algebraic fit IS
+        # well-conditioned (clean low-noise sets) it sharpens the model —
+        # accept it only if it does not shrink the consensus.
+        E3 = essential_eight_point(x0, x1, inliers.astype(x0.dtype))
+        err3 = sampson_error(E3, x0, x1)
+        inliers3 = (err3 < thr_sq) & (valid > 0)
+        better3 = jnp.sum(inliers3) >= count
+        E = jnp.where(better3, E3, E)
+        inliers = jnp.where(better3, inliers3, inliers)
         R, t, front = recover_pose(E, x0, x1, inliers.astype(x0.dtype))
         return EssentialResult(E, R, t, inliers, front & inliers, jnp.sum(inliers))
