@@ -1,0 +1,84 @@
+"""Dense stage on the real reconstruction: train the plenoxel grid from the
+full-dataset SfM output and report train PSNR + a rendered view.
+
+Run after the sparse pipeline has produced artifacts:
+  python benchmarks/dense_real.py [artifacts_dir] [epochs] [stride]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(art_dir="artifacts_full", epochs=1, stride=4, n_views=40, res=192):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.config import DenseConfig
+    from tpu3d.dense.render import render_image
+    from tpu3d.dense.train import (
+        normalize_scene, psnr, rays_from_cameras, train_plenoxel,
+    )
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.io.images import load_images
+
+    store = ArtifactStore(art_dir)
+    rec = store.load("reconstruction")
+    meta = store.load_json("reconstruction_meta")
+    ds = meta["downscale"] * 2  # train at quarter res of the SfM input
+    names = meta["registered_names"][:n_views]
+    cams = rec["cams"][:n_views]
+    focal = 2378.98305085 / ds
+    gray, rgb = load_images("/root/reference/ystad_kloster", names, ds)
+    H, W = rgb.shape[1:3]
+    norm = normalize_scene(rec["points"])
+    t0 = time.time()
+    dataset = rays_from_cameras(cams, rgb, focal, norm, stride=stride)
+    print(f"{len(dataset.origins)} rays from {len(names)} views "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    cfg = DenseConfig(grid_resolution=res, num_samples=128, near=0.1, far=4.0,
+                      scene_scale=1.2, batch_size=8192, epochs=epochs,
+                      learning_rate=2e-1, lr_milestones=(max(epochs - 1, 1),))
+    t0 = time.time()
+    grid, losses = train_plenoxel(dataset, cfg, verbose=True, log_every=50,
+                                  checkpoint_store=store)
+    train_s = time.time() - t0
+    rays_per_s = len(dataset.origins) * epochs / train_s
+
+    # Render view 0 at the training resolution and compare to GT.
+    view = rays_from_cameras(cams[:1], rgb[:1], focal, norm, stride=1)
+    img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(view.origins),
+                       jnp.asarray(view.dirs), cfg.near, cfg.far, cfg.num_samples,
+                       chunk=8192)
+    img = np.asarray(img).reshape(H, W, 3)
+    gt = rgb[0].astype(np.float32) / 255.0
+    p = psnr(np.clip(img, 0, 1), gt)
+    try:
+        from PIL import Image
+
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(
+            os.path.join(art_dir, "render_view0.png"))
+        Image.fromarray(rgb[0]).save(os.path.join(art_dir, "gt_view0.png"))
+    except Exception:
+        pass
+    out = {
+        "rays": int(len(dataset.origins)),
+        "train_seconds": round(train_s, 1),
+        "rays_per_s": round(rays_per_s),
+        "final_loss": losses[-1] if losses else None,
+        "train_view_psnr_db": round(p, 2),
+    }
+    store.save_json("dense_report", out)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if a else "artifacts_full",
+         int(a[1]) if len(a) > 1 else 1,
+         int(a[2]) if len(a) > 2 else 4)
