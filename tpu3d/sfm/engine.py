@@ -223,11 +223,12 @@ class IncrementalSfM:
             self.num_registered += 1
             edges = [e0]
         else:
-            edges = [e for e in edges if self.has_cam[e.ref_img]]
-            if not edges:
-                info["status"] = "rejected_no_registered_refs"
-                return info
-            # ---- PnP over the union of known tracks across edges ----
+            # ---- PnP over the union of known tracks across ALL edges ----
+            # Anchors need valid 3D TRACKS, not registered reference
+            # cameras: a track triangulated from other views anchors this
+            # image even when this edge's reference never registered.
+            # (Filtering edges by registered refs here caused huge
+            # registration cascades on the full dataset.)
             X_list, uv_list = [], []
             seen_kpts = set()
             for e in edges:
@@ -241,6 +242,10 @@ class IncrementalSfM:
                     X_list.append(self.points[tr[m]])
                     uv_list.append(e.uv_new[m])
             n_known = len(X_list)
+            if n_known < 10 and not any(self.has_cam[e.ref_img] for e in edges):
+                info["status"] = "rejected_no_registered_refs"
+                info["n_known"] = n_known
+                return info
             info["n_known"] = n_known
             if n_known < 10:
                 info["status"] = "rejected_few_known3d"
@@ -266,10 +271,21 @@ class IncrementalSfM:
             self.has_cam[j] = True
             self.num_registered += 1
 
-        # ---- triangulate new tracks per edge ----
+        # ---- triangulate new tracks per edge (needs the ref camera) ----
         n_new_total = 0
         ba_edges = []
         for e in edges:
+            if not self.has_cam[e.ref_img]:
+                # Ref not registered (yet): still record this image's own
+                # observations of already-valid tracks — the global-problem
+                # gather filters by has_cam, so they activate when/if the
+                # ref registers.
+                tr2 = np.clip(e.track, 0, self.points.shape[0] - 1)
+                live = (e.track >= 0) & self.point_valid[tr2]
+                if live.any():
+                    self._record_obs(j, e.idx_new[live], e.track[live], e.uv_new[live])
+                    self._record_obs(e.ref_img, e.idx_ref[live], e.track[live], e.uv_ref[live])
+                continue
             tr = np.clip(e.track, 0, self.points.shape[0] - 1)
             new = (e.track >= 0) & ~self.point_valid[tr]
             m = min(len(e.idx_new), EDGE_CAP)
