@@ -1,0 +1,183 @@
+"""Batched five-point essential-matrix solver (Nistér's minimal problem),
+formulated for TPU: no symbolic Gröbner elimination and no nonsymmetric
+eigensolver (TPU has neither) — everything is fixed-shape batched linear
+algebra:
+
+  1. nullspace basis: the 4 smallest eigenvectors of QᵀQ (9x9 eigh) give
+     E(x, y, z) = xW + yX + zY + Z;
+  2. the 10 cubic constraints (det E = 0 and 2EEᵀE − tr(EEᵀ)E = 0) are
+     never expanded symbolically: for a fixed z they are cubics in (x, y)
+     whose 10 coefficients are recovered by EVALUATING the constraints at
+     10 fixed generic (x, y) samples and multiplying by a precomputed
+     inverse Vandermonde — giving the 10x10 matrix M(z) numerically;
+  3. solutions require det M(z) = 0. d(z) is scanned on a tan-warped grid
+     covering the whole real line, sign changes are bracketed, and each
+     bracket is refined by fixed-iteration bisection — all `vmap`ed;
+  4. per root, (x, y) come from the nullvector of M(z) (10x10 eigh), and
+     E is projected onto the essential manifold.
+
+Each minimal sample yields up to MAX_ROOTS candidate models with a
+validity mask, so the RANSAC layer scores (hypotheses x roots) models in
+one batch. Replaces the capability of cv2.findEssentialMat's 5-point
+kernel (ref sfm.py:108, matching.py:134); unlike the 8-point solver this
+one handles planar scenes.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_ROOTS = 10
+GRID = 256           # sign-change scan resolution over the warped real line
+BISECT_ITERS = 30
+
+# --- constant xy-interpolation machinery (float64 on host, then frozen) ---
+# monomial order: [x^3, x^2 y, x y^2, y^3, x^2, x y, y^2, x, y, 1]
+_RNG = np.random.default_rng(12345)
+_XY = _RNG.uniform(-1.5, 1.5, (10, 2))
+
+
+def _monomials_xy(x, y):
+    return np.stack([x**3, x**2 * y, x * y**2, y**3, x**2, x * y, y**2, x, y, np.ones_like(x)], -1)
+
+
+_VXY = _monomials_xy(_XY[:, 0], _XY[:, 1])            # (10, 10)
+_VXY_INV_T = np.linalg.inv(_VXY).T.astype(np.float32)  # M = C @ _VXY_INV_T
+
+
+def _constraints(E: jnp.ndarray) -> jnp.ndarray:
+    """The 10 Demazure constraints for a batch of E: (..., 3, 3) ->
+    (..., 10): [det E, (2 E Eᵀ E − tr(E Eᵀ) E).flatten()]."""
+    det = jnp.linalg.det(E)
+    EEt = E @ jnp.swapaxes(E, -1, -2)
+    tr = jnp.trace(EEt, axis1=-2, axis2=-1)
+    G = 2.0 * (EEt @ E) - tr[..., None, None] * E
+    return jnp.concatenate([det[..., None], G.reshape(*E.shape[:-2], 9)], axis=-1)
+
+
+def _nullspace_basis(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """(5, 2) correspondences -> (4, 3, 3) basis spanning the E nullspace."""
+    u0, v0 = x0[:, 0], x0[:, 1]
+    u1, v1 = x1[:, 0], x1[:, 1]
+    ones = jnp.ones_like(u0)
+    Q = jnp.stack([u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1)
+    _, V = jnp.linalg.eigh(Q.T @ Q)
+    return V[:, :4].T.reshape(4, 3, 3)  # 4 smallest eigvecs
+
+
+def _M_of_z(basis: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Numeric M(z): (..., 10, 10) for a batch of z values.
+    basis: (4, 3, 3) = [W, X, Y, Zb]."""
+    xs = jnp.asarray(_XY[:, 0], jnp.float32)
+    ys = jnp.asarray(_XY[:, 1], jnp.float32)
+    W, X, Y, Zb = basis[0], basis[1], basis[2], basis[3]
+    # E at each (x_s, y_s, z): (..., 10, 3, 3)
+    E = (
+        xs[:, None, None] * W
+        + ys[:, None, None] * X
+        + z[..., None, None, None] * Y
+        + Zb
+    )
+    C = _constraints(E)                       # (..., 10s, 10c)
+    C = jnp.swapaxes(C, -1, -2)               # rows = constraints, cols = samples
+    return C @ jnp.asarray(_VXY_INV_T)        # (..., 10, 10)
+
+
+def _detM(basis: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    return jnp.linalg.det(_M_of_z(basis, z))
+
+
+def essential_five_point(x0: jnp.ndarray, x1: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the 5-point problem for one minimal sample.
+
+    x0, x1: (5, 2) focal-normalized correspondences.
+    Returns (E (MAX_ROOTS, 3, 3), valid (MAX_ROOTS,))."""
+    basis = _nullspace_basis(x0, x1)
+
+    # 1. bracket real roots of d(z) on a tan-warped grid over all reals
+    u = jnp.linspace(-1.55, 1.55, GRID)
+    zs = jnp.tan(u)
+    d = _detM(basis, zs)                       # (GRID,)
+    sign = jnp.sign(d)
+    change = (sign[:-1] * sign[1:]) < 0        # (GRID-1,)
+    # take up to MAX_ROOTS brackets (prefer large |slope| changes = robust)
+    idx = jnp.argsort(jnp.where(change, 0.0, 1.0))[:MAX_ROOTS]
+    have = change[idx]
+    lo = zs[idx]
+    hi = zs[idx + 1]
+
+    # 2. fixed-iteration bisection per bracket
+    d_lo = _detM(basis, lo)
+
+    def bis(carry, _):
+        lo, hi, d_lo = carry
+        mid = 0.5 * (lo + hi)
+        d_mid = _detM(basis, mid)
+        go_left = (d_lo * d_mid) < 0
+        new_lo = jnp.where(go_left, lo, mid)
+        new_hi = jnp.where(go_left, mid, hi)
+        new_dlo = jnp.where(go_left, d_lo, d_mid)
+        return (new_lo, new_hi, new_dlo), None
+
+    (lo, hi, _), _ = jax.lax.scan(bis, (lo, hi, d_lo), None, length=BISECT_ITERS)
+    roots = 0.5 * (lo + hi)                    # (MAX_ROOTS,)
+
+    # 3. per root: nullvector of M(z) -> (x, y); build E
+    M = _M_of_z(basis, roots)                  # (MAX_ROOTS, 10, 10)
+    MtM = jnp.swapaxes(M, -1, -2) @ M
+    _, V = jnp.linalg.eigh(MtM)
+    v = V[..., :, 0]                           # (MAX_ROOTS, 10)
+    w = v[..., 9]
+    w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    x = v[..., 7] / w_safe
+    y = v[..., 8] / w_safe
+    W_, X_, Y_, Zb = basis[0], basis[1], basis[2], basis[3]
+    E = (
+        x[:, None, None] * W_
+        + y[:, None, None] * X_
+        + roots[:, None, None] * Y_
+        + Zb
+    )
+    # project to the essential manifold
+    U, S, Vt = jnp.linalg.svd(E)
+    dvals = jnp.ones_like(S).at[..., 2].set(0.0)
+    E = U @ (dvals[..., :, None] * Vt)
+    valid = have & (jnp.abs(w) > 1e-9)
+    return E, valid
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def five_point_ransac(
+    key: jax.Array,
+    uv0: jnp.ndarray,
+    uv1: jnp.ndarray,
+    valid: jnp.ndarray,
+    focal,
+    threshold_px: float = 1.0,
+    num_hypotheses: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RANSAC over 5-point minimal samples; every hypothesis contributes up
+    to MAX_ROOTS models, all scored in one (H*MAX_ROOTS, N) batch.
+
+    Returns (E, inliers, count) in the same convention as the 8-point path
+    (Sampson threshold in pixels converted to normalized units)."""
+    from tpu3d.geometry.epipolar import sampson_error
+    from tpu3d.geometry.ransac import _sample_indices
+
+    with jax.default_matmul_precision("float32"):
+        x0 = uv0 / focal
+        x1 = uv1 / focal
+        thr_sq = (threshold_px / focal) ** 2
+        idx = _sample_indices(key, valid, num_hypotheses, 5)   # (H, 5)
+        Es, ok = jax.vmap(lambda i: essential_five_point(x0[i], x1[i]))(idx)
+        Es = Es.reshape(-1, 3, 3)                              # (H*R, 3, 3)
+        ok = ok.reshape(-1)
+        errors = jax.vmap(lambda E: sampson_error(E, x0, x1))(Es)
+        inl = (errors < thr_sq) & (valid > 0)[None, :] & ok[:, None]
+        counts = jnp.sum(inl, axis=-1)
+        best = jnp.argmax(counts)
+        return Es[best], inl[best], counts[best]

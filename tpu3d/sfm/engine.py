@@ -247,23 +247,31 @@ class IncrementalSfM:
                 info["n_known"] = n_known
                 return info
             info["n_known"] = n_known
-            if n_known < 10:
-                info["status"] = "rejected_few_known3d"
-                return info
-            Xk = _pad(np.asarray(X_list, np.float32), PNP_CAP)
-            uvk = _pad(np.asarray(uv_list, np.float32) / f, PNP_CAP)
-            wk = np.zeros(PNP_CAP, np.float32)
-            wk[: min(n_known, PNP_CAP)] = 1.0
-            thr = (2.0 * cfg.ransac.threshold_px / f) ** 2
-            R, t, pnp_inl, pnp_cnt = pnp_ransac(
-                self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk), jnp.asarray(wk),
-                thr, num_hypotheses=cfg.ransac.num_hypotheses // 2,
-            )
-            info["n_pnp_inliers"] = int(pnp_cnt)
-            if int(pnp_cnt) <= cfg.min_pnp_inliers:
-                info["status"] = "rejected_pnp"
-                return info
-            cam_j = np.concatenate([lie.so3_log_np(np.asarray(R)), np.asarray(t)]).astype(np.float32)
+            cam_j = None
+            if n_known >= 10:
+                Xk = _pad(np.asarray(X_list, np.float32), PNP_CAP)
+                uvk = _pad(np.asarray(uv_list, np.float32) / f, PNP_CAP)
+                wk = np.zeros(PNP_CAP, np.float32)
+                wk[: min(n_known, PNP_CAP)] = 1.0
+                thr = (2.0 * cfg.ransac.threshold_px / f) ** 2
+                R, t, pnp_inl, pnp_cnt = pnp_ransac(
+                    self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk), jnp.asarray(wk),
+                    thr, num_hypotheses=cfg.ransac.num_hypotheses // 2,
+                )
+                info["n_pnp_inliers"] = int(pnp_cnt)
+                if int(pnp_cnt) > cfg.min_pnp_inliers:
+                    cam_j = np.concatenate([lie.so3_log_np(np.asarray(R)), np.asarray(t)]).astype(np.float32)
+            if cam_j is None:
+                # ---- relative-pose fallback (breaks registration cascades) ----
+                # PnP failed or too few anchors: take the matching stage's
+                # essential-matrix pose w.r.t. a REGISTERED reference and
+                # resolve the scale from whatever shared triangulated
+                # points exist. A chain break at one weak image otherwise
+                # unregisters everything behind it.
+                cam_j = self._relative_pose_fallback(j, edges, info)
+                if cam_j is None:
+                    info["status"] = info.get("status", "rejected_pnp")
+                    return info
 
         # ---- write camera ----
         self.cams[j] = cam_j
@@ -324,6 +332,58 @@ class IncrementalSfM:
             info["global_ba"] = True
         self.pair_log.append(info)
         return info
+
+    # ------------------------------------------------------------------
+    def _relative_pose_fallback(self, j: int, edges, info: dict):
+        """world->j from a registered ref's camera + the edge's relative
+        pose (from E), with translation scale from shared valid tracks.
+
+        x_newcam = rel_R x_refcam + s*rel_t  ⇒  R_j = rel_R R_r,
+        t_j = rel_R t_r + s rel_t. Scale s = median z-ratio between the
+        known world points (in ref-cam frame) and the unit-baseline
+        two-view triangulation of the same correspondences."""
+        from tpu3d.geometry.triangulate import triangulate_midpoint
+
+        f = self.focal
+        best = None
+        for e in edges:
+            if e.rel_R is None or not self.has_cam[e.ref_img]:
+                continue
+            tr = np.clip(e.track, 0, self.points.shape[0] - 1)
+            known = (e.track >= 0) & self.point_valid[tr]
+            if known.sum() < 3:
+                continue
+            R_r = lie.so3_exp_np(self.cams[e.ref_img, :3])
+            t_r = self.cams[e.ref_img, 3:6]
+            Xw = self.points[tr[known]]
+            X_ref = Xw @ R_r.T + t_r                      # ref-cam frame
+            # unit-baseline triangulation in the ref-cam frame
+            m = int(known.sum())
+            uv_r = jnp.asarray(e.uv_ref[known].astype(np.float32) / f)
+            uv_n = jnp.asarray(e.uv_new[known].astype(np.float32) / f)
+            X_rel = np.asarray(triangulate_midpoint(
+                jnp.eye(3), jnp.zeros(3), jnp.asarray(e.rel_R), jnp.asarray(e.rel_t),
+                uv_r[None], uv_n[None],
+            ))[0]
+            z_ratio = X_ref[:, 2] / np.where(np.abs(X_rel[:, 2]) < 1e-9, 1e-9, X_rel[:, 2])
+            z_ratio = z_ratio[(z_ratio > 1e-6) & np.isfinite(z_ratio)]
+            if len(z_ratio) < 3:
+                continue
+            s = float(np.median(z_ratio))
+            R_j = e.rel_R @ R_r
+            t_j = e.rel_R @ t_r + s * e.rel_t
+            # sanity gate: reproject the known points into the new camera
+            Xc = Xw @ R_j.T + t_j
+            ok_z = Xc[:, 2] > 1e-4
+            pred = f * Xc[:, :2] / np.where(np.abs(Xc[:, 2:3]) < 1e-9, 1e-9, Xc[:, 2:3])
+            err = np.linalg.norm(pred - e.uv_new[known], axis=1)
+            good = int(np.sum(ok_z & (err < 8.0 * self.cfg.ransac.threshold_px)))
+            if best is None or good > best[0]:
+                best = (good, R_j, t_j, len(err))
+        if best is None or best[0] < 3:
+            return None
+        info["fallback_relpose_inliers"] = f"{best[0]}/{best[3]}"
+        return np.concatenate([lie.so3_log_np(best[1]), best[2]]).astype(np.float32)
 
     # ------------------------------------------------------------------
     def _local_ba(self, j: int, ba_edges) -> None:

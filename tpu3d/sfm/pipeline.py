@@ -339,7 +339,7 @@ def run_reconstruction(
     # (or whose anchor tracks get triangulated later) succeeds on a
     # subsequent round — the matching-stage order is similarity-driven, not
     # dependency-driven.
-    for round_ in range(4):
+    for round_ in range(8):
         failed = []
         for reg in pending:
             info = engine.register_image(reg)
