@@ -57,6 +57,10 @@ class RetrievalConfig:
     # keeps the graph connected regardless.
     similarity_threshold: float = 0.5
     min_neighbors: int = 3        # always keep this many top neighbors
+    # Photo sequences (like ystad_kloster's walk-around capture) have a
+    # strong temporal prior: always include (i, i±1), (i, i±2) edges. The
+    # E-matrix gate discards any that don't actually overlap.
+    sequential_prior: int = 2     # 0 disables
 
 
 @dataclasses.dataclass(frozen=True)

@@ -341,8 +341,28 @@ class IncrementalSfM:
         x_newcam = rel_R x_refcam + s*rel_t  ⇒  R_j = rel_R R_r,
         t_j = rel_R t_r + s rel_t. Scale s = median z-ratio between the
         known world points (in ref-cam frame) and the unit-baseline
-        two-view triangulation of the same correspondences."""
-        from tpu3d.geometry.triangulate import triangulate_midpoint
+        two-view triangulation of the same correspondences.
+
+        Pure numpy on purpose: the per-edge point counts vary, and a jnp
+        implementation would recompile for every distinct shape."""
+
+        def midpoint_np(Rrel, trel, xr, xn):
+            d0 = np.concatenate([xr, np.ones((len(xr), 1), np.float32)], -1)
+            d1 = np.concatenate([xn, np.ones((len(xn), 1), np.float32)], -1)
+            d1 = d1 @ Rrel  # rotate new-cam dirs into ref frame (Rᵀ·d)
+            d0 = d0 / np.linalg.norm(d0, axis=-1, keepdims=True)
+            d1 = d1 / np.linalg.norm(d1, axis=-1, keepdims=True)
+            c1 = -Rrel.T @ trel
+            b = c1[None, :]
+            d01 = np.sum(d0 * d1, -1)
+            denom = np.maximum(1.0 - d01**2, 1e-9)
+            bd0 = d0 @ c1
+            bd1 = d1 @ c1
+            s0 = (bd0 - d01 * bd1) / denom
+            s1 = (d01 * bd0 - bd1) / denom
+            p0 = s0[:, None] * d0
+            p1 = b + s1[:, None] * d1
+            return 0.5 * (p0 + p1)
 
         f = self.focal
         best = None
@@ -358,13 +378,9 @@ class IncrementalSfM:
             Xw = self.points[tr[known]]
             X_ref = Xw @ R_r.T + t_r                      # ref-cam frame
             # unit-baseline triangulation in the ref-cam frame
-            m = int(known.sum())
-            uv_r = jnp.asarray(e.uv_ref[known].astype(np.float32) / f)
-            uv_n = jnp.asarray(e.uv_new[known].astype(np.float32) / f)
-            X_rel = np.asarray(triangulate_midpoint(
-                jnp.eye(3), jnp.zeros(3), jnp.asarray(e.rel_R), jnp.asarray(e.rel_t),
-                uv_r[None], uv_n[None],
-            ))[0]
+            uv_r = e.uv_ref[known].astype(np.float32) / f
+            uv_n = e.uv_new[known].astype(np.float32) / f
+            X_rel = midpoint_np(e.rel_R.astype(np.float32), e.rel_t.astype(np.float32), uv_r, uv_n)
             z_ratio = X_ref[:, 2] / np.where(np.abs(X_rel[:, 2]) < 1e-9, 1e-9, X_rel[:, 2])
             z_ratio = z_ratio[(z_ratio > 1e-6) & np.isfinite(z_ratio)]
             if len(z_ratio) < 3:

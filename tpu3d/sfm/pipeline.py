@@ -151,10 +151,20 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     words = jax.jit(jax.vmap(vector_quantize, in_axes=(0, None)))(d, codebook)
     tv = tfidf_vectors(words, v, cfg.retrieval.codebook_size)
     idx, sim = topk_similar(tv, cfg.retrieval.top_k)
-    return build_view_graph(
+    adj = build_view_graph(
         np.asarray(idx), np.asarray(sim),
         cfg.retrieval.similarity_threshold, cfg.retrieval.min_neighbors,
     )
+    # Temporal prior for ordered captures; bogus edges die at the E-gate.
+    n = len(feats.names)
+    for k in range(1, cfg.retrieval.sequential_prior + 1):
+        for i in range(n - k):
+            j = i + k
+            if j not in adj[i]:
+                adj[i].append(j)
+            if i not in adj[j]:
+                adj[j].append(i)
+    return adj
 
 
 @functools.partial(jax.jit, static_argnames=("ratio", "num_hypotheses"))
