@@ -99,6 +99,13 @@ def main():
     prewarm(cfg, H, W)
     warmup_s = time.time() - t0
 
+    # Pass 1 is the cold pass: it absorbs remaining compiles AND — on this
+    # shared remote-TPU pool — multi-minute device re-claim stalls that can
+    # strike at any dispatch. Pass 2 is the steady-state measurement
+    # (deterministic pipeline: both passes produce identical outputs).
+    t0 = time.time()
+    rec, timings_cold = P.reconstruct(DATASET, cfg, names=names, downscale=DOWNSCALE, verbose=False)
+    cold_total = time.time() - t0
     t0 = time.time()
     rec, timings = P.reconstruct(DATASET, cfg, names=names, downscale=DOWNSCALE, verbose=False)
     total = time.time() - t0
@@ -111,6 +118,7 @@ def main():
         "registered_cameras": len(rec.registered),
         "points": int(len(rec.points)),
         "mean_reproj_px": round(float(rec.mean_reproj_px), 3),
+        "quality_vs_baseline": round(BASELINE_MEAN_REPROJ_PX / max(float(rec.mean_reproj_px), 1e-6), 2),
         "baseline": {
             "seconds": BASELINE_SECONDS,
             "registered": BASELINE_REGISTERED,
@@ -118,6 +126,7 @@ def main():
             "source": "baselines/reference_like.py (cv2 SIFT + cv2 SfM, CPU)",
         },
         "stage_seconds": {k: round(v, 2) for k, v in timings.items()},
+        "cold_pass_seconds": round(cold_total, 2),
         "warmup_compile_seconds": round(warmup_s, 1),
     }
     print(json.dumps(out))
