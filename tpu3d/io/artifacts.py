@@ -23,7 +23,13 @@ class ArtifactStore:
         return os.path.join(self.root, f"{name}.npz")
 
     def save(self, name: str, **arrays: np.ndarray) -> None:
-        np.savez_compressed(self._path(name), **arrays)
+        # Compress only small artifacts: zlib on a multi-hundred-MB float32
+        # voxel grid costs minutes of CPU for ~no ratio.
+        total = sum(getattr(a, "nbytes", 0) for a in arrays.values())
+        if total > 64 * 1024 * 1024:
+            np.savez(self._path(name), **arrays)
+        else:
+            np.savez_compressed(self._path(name), **arrays)
 
     def load(self, name: str) -> Optional[Dict[str, np.ndarray]]:
         p = self._path(name)
