@@ -104,6 +104,35 @@ def test_ba_padded_obs_invariant(rng):
     np.testing.assert_allclose(np.asarray(st1.cams), np.asarray(st2.cams), atol=1e-4)
 
 
+def test_ba_huber_resists_outliers(rng):
+    """With gross outlier observations, Huber BA recovers poses far better
+    than plain L2."""
+    p = make_ba_problem(rng, noise_px=0.2)
+    uv = p["uv"].copy()
+    n_out = len(uv) // 10
+    rng2 = np.random.default_rng(7)
+    idx = rng2.choice(len(uv), n_out, replace=False)
+    # gross outliers: 30-80 px at f=1000, random direction
+    mag = rng2.uniform(0.03, 0.08, (n_out, 1))
+    ang = rng2.uniform(0, 2 * np.pi, n_out)
+    uv[idx] += mag * np.stack([np.cos(ang), np.sin(ang)], -1)
+
+    def run(robust):
+        st = bundle_adjust(
+            jnp.asarray(p["cams0"]), jnp.asarray(p["X0"]),
+            jnp.asarray(p["cam_idx"]), jnp.asarray(p["pt_idx"]),
+            jnp.asarray(uv), jnp.asarray(p["w"]), jnp.asarray(p["cam_fixed"]),
+            max_iters=15, robust_delta=robust,
+        )
+        return np.abs(np.asarray(st.cams) - p["cams_gt"]).max()
+
+    err_l2 = run(None)
+    err_huber = run(3.0 / p["focal"])
+    assert err_huber < err_l2 * 0.5
+    # Huber is not redescending, so some outlier influence remains
+    assert err_huber < 0.02
+
+
 def test_ba_monotonic_cost(rng):
     """Metamorphic: LM with accept/reject never increases cost with iters."""
     p = make_ba_problem(rng)

@@ -74,7 +74,7 @@ def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta"))
 def bundle_adjust(
     cams0: jnp.ndarray,
     points0: jnp.ndarray,
@@ -87,6 +87,7 @@ def bundle_adjust(
     max_iters: int = 20,
     cg_iters: int = 32,
     lam0: float = 1e-3,
+    robust_delta: float | None = None,
 ) -> BAState:
     """Joint pose+structure refinement.
 
@@ -96,13 +97,13 @@ def bundle_adjust(
     with jax.default_matmul_precision("float32"):  # bf16 MXU breaks normal eqs
         return _bundle_adjust_body(
             cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-            max_iters, cg_iters, lam0,
+            max_iters, cg_iters, lam0, robust_delta,
         )
 
 
 def _bundle_adjust_body(
     cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-    max_iters, cg_iters, lam0,
+    max_iters, cg_iters, lam0, robust_delta,
 ) -> BAState:
     C = cams0.shape[0]
     P = points0.shape[0]
@@ -120,6 +121,15 @@ def _bundle_adjust_body(
     def lm_step(carry, _):
         cams, points, lam, cost = carry
         r, Jc, Jp = observation_jacobians(cams, points, cam_idx, pt_idx, uv, w)
+        if robust_delta is not None:
+            # Huber IRLS: reweight residual rows by sqrt(ψ(|r|)/|r|) so the
+            # normal equations solve the robustified problem. |r| is in the
+            # residual's (focal-normalized) units.
+            rn = jnp.linalg.norm(r, axis=-1)
+            w_rob = jnp.sqrt(jnp.minimum(1.0, robust_delta / jnp.maximum(rn, 1e-12)))
+            r = r * w_rob[:, None]
+            Jc = Jc * w_rob[:, None, None]
+            Jp = Jp * w_rob[:, None, None]
         # Zero out Jacobians of frozen variables (gauge fixing).
         Jc_m = Jc * cam_free[cam_idx][:, None, :]
         Jp_m = Jp * pt_free[pt_idx][:, None, :]
@@ -180,7 +190,7 @@ def _bundle_adjust_body(
 
         new_cams = cams - dc
         new_points = points - dp
-        new_cost = ba_cost(new_cams, new_points, cam_idx, pt_idx, uv, w)
+        new_cost = _cost(new_cams, new_points)
         accept = new_cost < cost
         cams = jnp.where(accept, new_cams, cams)
         points = jnp.where(accept, new_points, points)
@@ -188,7 +198,17 @@ def _bundle_adjust_body(
         cost = jnp.where(accept, new_cost, cost)
         return (cams, points, lam, cost), cost
 
-    cost0 = ba_cost(cams0, points0, cam_idx, pt_idx, uv, w)
+    def _cost(cams, points):
+        """Accept/reject on the robustified objective when IRLS is on —
+        stepping down the Huber cost can legitimately raise the raw SSE."""
+        r = reprojection_residuals(cams, points, cam_idx, pt_idx, uv, w)
+        if robust_delta is None:
+            return jnp.sum(r * r)
+        rn = jnp.linalg.norm(r, axis=-1)
+        quad = rn <= robust_delta
+        return jnp.sum(jnp.where(quad, rn * rn, 2 * robust_delta * rn - robust_delta**2))
+
+    cost0 = _cost(cams0, points0)
     (cams, points, lam, cost), _ = jax.lax.scan(
         lm_step, (cams0, points0, jnp.asarray(lam0, dtype), cost0), None, length=max_iters
     )

@@ -106,6 +106,10 @@ class BAConfig:
     lm_lambda_up: float = 3.0
     lm_lambda_down: float = 3.0
     ftol: float = 1e-8                 # ref sfm.py:38 ftol=1e-8
+    # Huber threshold for the GLOBAL BA in pixels (None = plain L2). The
+    # reference's scipy BA is pure L2 — its 4-9px mean-error tail is partly
+    # outlier leverage this removes.
+    robust_huber_px: float = 3.0
 
 
 @dataclasses.dataclass(frozen=True)

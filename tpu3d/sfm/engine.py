@@ -510,10 +510,13 @@ class IncrementalSfM:
         cam_fixed[0] = 1.0
         pt_fixed = np.zeros(P, np.float32)
         pt_fixed[P_real:] = 1.0
+        rb = self.cfg.ba.robust_huber_px
+        robust = (rb / self.focal) if rb else None
         st = bundle_adjust(
             cams0, jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
             jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
             max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
+            robust_delta=robust,
         )
         if prune:
             r = reprojection_residuals(
