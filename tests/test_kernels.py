@@ -39,3 +39,28 @@ def test_mutual_nn_pallas_matches_jnp(rng):
     np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(ref.valid))
     sel = np.asarray(ref.valid)
     np.testing.assert_array_equal(np.asarray(got.idx1)[sel], np.asarray(ref.idx1)[sel])
+
+
+def test_patch_sample_matches_reference(rng):
+    from tpu3d.kernels.patch_sample import (
+        NSAMP, sample_gradient_patches, sample_gradient_patches_reference,
+    )
+    import jax.numpy as jnp
+
+    H, W = 128, 160
+    gx = rng.normal(0, 1, (H, W)).astype(np.float32)
+    gy = rng.normal(0, 1, (H, W)).astype(np.float32)
+    K = 8
+    # keypoints well inside; rotated-grid-like sample clouds of radius ~20
+    cy = rng.uniform(40, H - 40, (K, 1))
+    cx = rng.uniform(40, W - 40, (K, 1))
+    ys = (cy + rng.uniform(-20, 20, (K, NSAMP))).astype(np.float32)
+    xs = (cx + rng.uniform(-20, 20, (K, NSAMP))).astype(np.float32)
+    got = np.asarray(sample_gradient_patches(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ys), jnp.asarray(xs),
+        interpret=True,
+    ))
+    ref = np.asarray(sample_gradient_patches_reference(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_allclose(got[:, 0, :], ref[..., 0], atol=1e-5)
+    np.testing.assert_allclose(got[:, 1, :], ref[..., 1], atol=1e-5)

@@ -56,10 +56,28 @@ def _bilinear(img: jnp.ndarray, lvl: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarr
     )
 
 
+def _use_pallas_sampling() -> bool:
+    """Pallas DMA+matmul patch sampling on TPU; jnp gathers elsewhere.
+    The gather formulation compiles pathologically on the TPU backend
+    (scalar address pressure) and runs ~2800x slower there."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx):
     """Gradient samples at kp + offsets. dy/dx: (K, N)."""
     ys = ky[:, None] + dy
     xs = kx[:, None] + dx
+    if _use_pallas_sampling():
+        from tpu3d.kernels.patch_sample import NSAMP, sample_gradient_patches
+
+        n = ys.shape[1]
+        if n < NSAMP:  # pad sample axis to the kernel's static width
+            ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:, :1], (ys.shape[0], NSAMP - n))], axis=1)
+            xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:, :1], (xs.shape[0], NSAMP - n))], axis=1)
+        out = sample_gradient_patches(gx, gy, ys, xs, lvl[:, 0])
+        return out[:, 0, :n], out[:, 1, :n]
     return _bilinear(gx, lvl, ys, xs), _bilinear(gy, lvl, ys, xs)
 
 

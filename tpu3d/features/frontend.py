@@ -80,7 +80,12 @@ def _extract(
             d = sift_descriptors(gx, gy, kx, ky, lvl_b, sig_b, theta)
             return d
 
-        d = jax.vmap(per_image)(g_o, kp.x, kp.y, lvl, sigma_local)
+        # Static python loop, not vmap: the Pallas patch-sampling kernel
+        # uses scalar prefetch, which does not batch under vmap.
+        d = jnp.stack([
+            per_image(g_o[b], kp.x[b], kp.y[b], lvl[b], sigma_local[b])
+            for b in range(B)
+        ])
         factor = float(2**o)
         xs.append(kp.x * factor)
         ys.append(kp.y * factor)

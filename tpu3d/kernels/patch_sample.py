@@ -1,0 +1,189 @@
+"""Pallas TPU kernel: batched bilinear gradient-patch sampling for the
+descriptor front-end.
+
+The jnp descriptor path gathers ~256 bilinear samples per keypoint with
+advanced indexing; on TPU that lowers to scalar address arithmetic that
+(a) compiles pathologically and (b) overflows the scalar register
+allocator beyond batch 4 (see features/detector.py history). This kernel
+replaces every gather with DMA + matmuls:
+
+  per keypoint (one grid instance, scalar-prefetched coordinates):
+    1. DMA a PATCH x PATCH window of the gradient images around the
+       keypoint from HBM into VMEM (dynamic base indices from prefetch);
+    2. express bilinear interpolation as TWO matmuls: sample_i =
+       Σ_y Σ_x Wrow[i,y]·patch[y,x]·Wcol[i,x] = rowwise-dot(Wrow @ patch,
+       Wcol) — the one-hot-pair weight matrices are built with iota
+       comparisons, so the whole kernel is vector/MXU work, zero gathers.
+
+Outputs (K, S, 2) gradient samples (gx, gy). The orientation/histogram
+math stays in jnp where it is already matmul-shaped.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM window per keypoint. The DMA base offsets must be provably aligned
+# to the (8, 128) float32 tiling, so corners are rounded down to those
+# multiples and the window is widened to keep the sample cloud covered:
+# max supported sample spread is PATCH_Y-8-2 rows / PATCH_X-128-2 cols.
+PATCH_Y = 64
+PATCH_X = 256
+NSAMP = 256     # samples per keypoint (16x16 descriptor grid)
+
+
+def _weights(frac_pos: jnp.ndarray, width: int) -> jnp.ndarray:
+    """(S,) continuous in-patch positions -> (S, width) bilinear one-hot
+    pair weights via iota comparisons."""
+    p0 = jnp.floor(frac_pos)
+    f = frac_pos - p0
+    p0i = p0.astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (NSAMP, width), 1)
+    w0 = jnp.where(iota == p0i[:, None], 1.0 - f[:, None], 0.0)
+    w1 = jnp.where(iota == p0i[:, None] + 1, f[:, None], 0.0)
+    return w0 + w1
+
+
+def _patch_kernel(lyx0_ref, ys_ref, xs_ref, gx_hbm, gy_hbm, out_ref, patch, sem):
+    k = pl.program_id(0)
+    lvl = lyx0_ref[0, k]
+    y0 = pl.multiple_of(lyx0_ref[1, k], 8)
+    x0 = pl.multiple_of(lyx0_ref[2, k], 128)
+    # DMA the two gradient patches (gx, gy stacked on a leading axis) from
+    # the per-keypoint pyramid level.
+    cp = pltpu.make_async_copy(
+        gx_hbm.at[lvl, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_X)], patch.at[0], sem.at[0]
+    )
+    cp2 = pltpu.make_async_copy(
+        gy_hbm.at[lvl, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_X)], patch.at[1], sem.at[1]
+    )
+    cp.start()
+    cp2.start()
+
+    ys = ys_ref[0, 0, :] - y0.astype(jnp.float32)   # in-patch float coords (S,)
+    xs = xs_ref[0, 0, :] - x0.astype(jnp.float32)
+    wr = _weights(jnp.clip(ys, 0.0, PATCH_Y - 2.0), PATCH_Y)   # (S, PATCH_Y)
+    wc = _weights(jnp.clip(xs, 0.0, PATCH_X - 2.0), PATCH_X)
+
+    cp.wait()
+    cp2.wait()
+
+    # sample = rowwise_dot(Wrow @ patch, Wcol): two MXU matmuls + reduce.
+    # float32 precision: default bf16 MXU rounding leaks ~1e-2 absolute
+    # error into the samples.
+    rgx = jnp.dot(wr, patch[0], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # (S, PATCH)
+    rgy = jnp.dot(wr, patch[1], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    out_ref[0, 0, :] = jnp.sum(rgx * wc, axis=1)
+    out_ref[0, 1, :] = jnp.sum(rgy * wc, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sample_gradient_patches(
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    lvl: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilinear samples of (gx, gy) at per-keypoint coordinate grids.
+
+    gx, gy: (H, W) or (L, H, W) float32 gradient images; with a level
+    stack, `lvl` gives each keypoint's (int32) level.
+    ys, xs: (K, NSAMP) float sample coordinates (image frame).
+    Returns (K, 2, NSAMP) = (gx, gy) samples. Coordinates must fit a
+    PATCH-sized window per keypoint; callers keep keypoints away from the
+    border (the detector's border margin already does)."""
+    K = ys.shape[0]
+    if gx.ndim == 2:
+        gx = gx[None]
+        gy = gy[None]
+    if lvl is None:
+        lvl = jnp.zeros((K,), jnp.int32)
+    L, H, W = gx.shape
+    # Pad the images so aligned windows always fit, and round the corners
+    # down to the (8, 128) tiling (Mosaic must prove DMA-slice alignment).
+    Hp = -(-max(H, PATCH_Y) // 8) * 8
+    Wp = -(-max(W, PATCH_X) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        gx = jnp.pad(gx, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        gy = jnp.pad(gy, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    ymin = jnp.min(ys, axis=1).astype(jnp.int32) - 2
+    xmin = jnp.min(xs, axis=1).astype(jnp.int32) - 2
+    ymin = jnp.clip((ymin // 8) * 8, 0, Hp - PATCH_Y)
+    xmin = jnp.clip((xmin // 128) * 128, 0, Wp - PATCH_X)
+    # (3, K) layout: an SMEM-prefetched (K, 3) array pads its last dim to
+    # the 128-lane width and blows the 1MB SMEM budget at K=2048.
+    yx0 = jnp.stack([lvl.astype(jnp.int32), ymin, xmin], axis=0)  # (3, K)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,            # yx0
+        grid=(K,),
+        in_specs=[
+            # (K, 1, S) with block (1, 1, S): Mosaic requires the trailing
+            # two block dims divisible by (8, 128) OR equal to the array
+            # dims — the singleton middle axis satisfies that.
+            pl.BlockSpec((1, 1, NSAMP), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, NSAMP), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # gx stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # gy stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 2, NSAMP), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, PATCH_Y, PATCH_X), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        _patch_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, 2, NSAMP), jnp.float32),
+        interpret=interpret,
+    )(yx0, ys[:, None, :], xs[:, None, :], gx, gy)
+
+
+def sample_gradient_patches_reference(gx, gy, ys, xs, lvl=None):
+    """Pure-jnp oracle (the gather formulation) for kernel tests."""
+    if gx.ndim == 3:
+        l = lvl if lvl is not None else jnp.zeros(ys.shape[0], jnp.int32)
+        gx2 = gx[l]  # (K, H, W) gathered per keypoint
+        gy2 = gy[l]
+        H, W = gx.shape[1:]
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
+        fy = jnp.clip(ys, 0, H - 2.0) - y0
+        fx = jnp.clip(xs, 0, W - 2.0) - x0
+        ki = jnp.arange(ys.shape[0])[:, None]
+
+        def bil(img):
+            v00 = img[ki, y0, x0]
+            v01 = img[ki, y0, x0 + 1]
+            v10 = img[ki, y0 + 1, x0]
+            v11 = img[ki, y0 + 1, x0 + 1]
+            return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+                    + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+        return jnp.stack([bil(gx2), bil(gy2)], axis=-1)
+    H, W = gx.shape
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
+    fy = jnp.clip(ys, 0, H - 2.0) - y0
+    fx = jnp.clip(xs, 0, W - 2.0) - x0
+
+    def bil(img):
+        v00 = img[y0, x0]
+        v01 = img[y0, x0 + 1]
+        v10 = img[y0 + 1, x0]
+        v11 = img[y0 + 1, x0 + 1]
+        return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+                + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+    return jnp.stack([bil(gx), bil(gy)], axis=-1)
