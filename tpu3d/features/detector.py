@@ -49,18 +49,47 @@ def _edge_mask(d: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
     return (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
 
 
+def _neighbors27(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
+    """Fetch the 3x3x3 DoG neighborhood of every keypoint.
+
+    TPU: three calls of the Pallas patch-sampling kernel (integer
+    coordinates => exact values) — the advanced-indexing gather lowers to
+    a ~2048-iteration scalar loop that overflows the TPU register
+    allocator. CPU: plain gathers.
+    Returns a dict (ds, dy, dx) -> (K,)."""
+    import jax as _jax
+
+    out = {}
+    if _jax.default_backend() == "tpu":
+        from tpu3d.kernels.patch_sample import NSAMP, sample_gradient_patches
+
+        K = s.shape[0]
+        offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+        ys = jnp.stack([y.astype(jnp.float32) + dy for dy, _ in offs], axis=1)
+        xs = jnp.stack([x.astype(jnp.float32) + dx for _, dx in offs], axis=1)
+        ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:, :1], (K, NSAMP - 9))], axis=1)
+        xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:, :1], (K, NSAMP - 9))], axis=1)
+        for ds in (-1, 0, 1):
+            lv = jnp.clip(s + ds, 0, dog.shape[0] - 1)
+            vals = sample_gradient_patches(dog, dog, ys, xs, lv)[:, 0, :9]
+            for i, (dy, dx) in enumerate(offs):
+                out[(ds, dy, dx)] = vals[:, i]
+    else:
+        for ds in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    out[(ds, dy, dx)] = dog[s + ds, y + dy, x + dx]
+    return out
+
+
 def _subpixel_offsets(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray):
     """3D quadratic refinement at integer extrema (s, y, x) of one image's
     DoG stack (S+2, H, W). Returns (K, 3) offsets clamped to ±0.6.
-
-    One advanced-indexing gather pulls all 27 neighbors for every keypoint
-    at once (a per-keypoint dynamic_slice here overflows the TPU scalar
-    register allocator at realistic batch sizes); the damped 3x3 Newton
-    solve uses the closed-form adjugate inverse — no linalg, no scalar
-    loops."""
+    Damped 3x3 Newton solve in closed adjugate form — no linalg."""
+    nb = _neighbors27(dog, s, y, x)
 
     def at(ds, dy, dx):
-        return dog[s + ds, y + dy, x + dx]  # (K,)
+        return nb[(ds, dy, dx)]
 
     c = at(0, 0, 0)
     gs = 0.5 * (at(1, 0, 0) - at(-1, 0, 0))
@@ -132,7 +161,11 @@ def detect_octave(
     def per_image(d, si, yi, xi):
         return _subpixel_offsets(d, si + 1, yi, xi)
 
-    off = jax.vmap(per_image)(dog, s_idx, y_idx, x_idx)  # (B, K, 3)
+    # Static loop, not vmap: the Pallas path uses scalar prefetch, which
+    # does not batch under vmap.
+    off = jnp.stack([
+        per_image(dog[b], s_idx[b], y_idx[b], x_idx[b]) for b in range(B)
+    ])  # (B, K, 3)
     valid = vals > 0
     return OctaveKeypoints(
         x=x_idx.astype(jnp.float32) + off[..., 2],
