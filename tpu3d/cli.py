@@ -148,7 +148,7 @@ def cmd_reconstruct(args):
     t0 = time.time()
     adj = run_retrieval(feats, cfg)
     pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
-    rec = run_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet)
+    rec = run_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet, adj=adj)
     store = ArtifactStore(args.artifacts)
     store.save(
         "reconstruction",

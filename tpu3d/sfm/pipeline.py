@@ -338,6 +338,8 @@ def run_reconstruction(
     ts: TrackStore,
     cfg: PipelineConfig,
     verbose: bool = True,
+    adj: Optional[Dict[int, List[int]]] = None,
+    seed: int = 3,
 ) -> Reconstruction:
     engine = IncrementalSfM(n_images=len(feats.names), config=cfg.sfm)
     pending = list(registrations)
@@ -362,6 +364,46 @@ def run_reconstruction(
         pending = failed
         if verbose:
             print(f"[sfm] retry round {round_ + 1}: {len(pending)} images", flush=True)
+
+    # Rescue pass: the matching stage only ever pairs a new image with
+    # already-VISITED neighbors; an image whose visited refs never
+    # REGISTERED is stuck with useless edges. Re-match such images
+    # directly against registered adjacency neighbors (fresh edges, fresh
+    # tracks), then register. Repeat while it makes progress.
+    if adj:
+        key = jax.random.PRNGKey(seed)
+        for rescue_round in range(6):
+            todo = [v for v in range(len(feats.names)) if not engine.has_cam[v]]
+            progressed = 0
+            for v in todo:
+                refs = [r for r in adj.get(v, []) if engine.has_cam[r]][: MAX_REFS]
+                if not refs:
+                    continue
+                edges = []
+                for r in refs:
+                    key, sub = jax.random.split(key)
+                    sel, i0, i1, u0, u1, _, nf, rR, rt = _match_one_pair(feats, r, v, cfg, sub)
+                    if sel is not None and nf > cfg.matching.min_inliers:
+                        track_sel = ts.union_pair(r, v, i0[sel], i1[sel])
+                        edges.append(EdgeObservations(
+                            ref_img=r, idx_ref=i0[sel], idx_new=i1[sel],
+                            track=ts.resolve(track_sel),
+                            uv_ref=u0[sel].astype(np.float32),
+                            uv_new=u1[sel].astype(np.float32),
+                            colors_ref=feats.colors_bgr[r][i0[sel]],
+                            rel_R=rR, rel_t=rt,
+                        ))
+                if not edges:
+                    continue
+                info = engine.register_image(ImageRegistration(img=v, edges=edges))
+                if info.get("status") == "registered":
+                    progressed += 1
+                if verbose:
+                    print(f"[sfm-rescue] {info}", flush=True)
+            if verbose:
+                print(f"[sfm] rescue round {rescue_round}: +{progressed} registered", flush=True)
+            if progressed == 0:
+                break
     return engine.finalize(feats.names)
 
 
@@ -385,7 +427,7 @@ def reconstruct(
     pairs, ts = run_matching(feats, adj, cfg, verbose=verbose)
     timings["match"] = time.time() - t0
     t0 = time.time()
-    rec = run_reconstruction(feats, pairs, ts, cfg, verbose=verbose)
+    rec = run_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
     timings["reconstruct"] = time.time() - t0
     timings["total"] = sum(timings.values())
     return rec, timings
