@@ -1,10 +1,15 @@
 # Repo-root conftest: makes `import tpu3d` work from a source checkout and
 # pins tests to a virtual 8-device CPU platform (the JAX-idiomatic fake pod).
 #
-# Note: this image's sitecustomize registers an 'axon' remote-TPU backend and
-# force-sets jax_platforms='axon,cpu' at interpreter start, overriding the
-# JAX_PLATFORMS env var — so we must override back through jax.config, before
-# any backend is initialized.
+# Notes on this image:
+# - sitecustomize registers an 'axon' remote-TPU backend and force-sets
+#   jax_platforms='axon,cpu' at interpreter start, overriding the
+#   JAX_PLATFORMS env var — we override back through jax.config before any
+#   backend initializes.
+# - The registration itself contends for the SHARED TPU pool (a CPU-only
+#   pytest run can stall many minutes behind a device claim). Running tests
+#   with PALLAS_AXON_POOL_IPS unset skips the registration entirely:
+#       PALLAS_AXON_POOL_IPS= python -m pytest tests/ -q
 import os
 import sys
 
