@@ -155,3 +155,47 @@ def test_voxel_traversal_matches_bruteforce(rng):
         got = {tuple(v) for v in vis[i] if v[0] >= 0}
         missing = brute - got
         assert not missing, f"ray {i}: DDA missed voxels {missing}"
+
+
+def test_sdf_path_trains(rng):
+    """SDF-grid variant (per-ray AABB bounds, masked invalid rays): a few
+    gradient steps through render_rays_aabb must reduce the loss."""
+    import optax
+    from tpu3d.dense.render import render_rays_aabb
+
+    res = 16
+    sg_gt = SDFGrid(
+        jnp.asarray(np.concatenate([
+            np.full((res, res, res, 1), 5.0, np.float32),
+            np.full((res, res, res, 27), 0.3, np.float32)], -1)),
+        jnp.asarray([-1.0, -1, -1]), jnp.asarray([1.0, 1, 1]))
+    n = 512
+    o = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=1, keepdims=True)
+    d = (-o / np.linalg.norm(o, axis=1, keepdims=True)).astype(np.float32)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    key = jax.random.PRNGKey(0)
+    gt, valid = render_rays_aabb(sg_gt, key, oj, dj, n_samples=32, perturb=False)
+    assert bool(jnp.all(valid))
+
+    grid0 = jnp.full((res, res, res, 28), 0.01, jnp.float32)
+    opt = optax.adam(5e-2)
+    state = opt.init(grid0)
+
+    def loss_fn(g):
+        sg = SDFGrid(g, sg_gt.min_bound, sg_gt.max_bound)
+        pred, v = render_rays_aabb(sg, key, oj, dj, n_samples=32, perturb=False)
+        return jnp.mean(jnp.where(v[:, None], (pred - gt) ** 2, 0.0))
+
+    @jax.jit
+    def step(g, s):
+        l, gr = jax.value_and_grad(loss_fn)(g)
+        up, s = opt.update(gr, s, g)
+        return optax.apply_updates(g, up), s, l
+
+    g = grid0
+    losses = []
+    for _ in range(30):
+        g, state, l = step(g, state)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] * 0.3

@@ -94,6 +94,11 @@ class RansacConfig:
     num_hypotheses: int = 512
     threshold_px: float = 1.0          # ref sfm.py:108 (threshold=1)
     seed: int = 0
+    # Minimal solver for the essential matrix: the 8-point solver (default)
+    # is cheaper and fine for general scenes; the 5-point Nistér solver
+    # (geometry/fivepoint.py) also handles planar scenes and matches the
+    # reference's cv2 kernel choice.
+    use_five_point: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

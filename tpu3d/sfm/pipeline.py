@@ -167,18 +167,36 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     return adj
 
 
-@functools.partial(jax.jit, static_argnames=("ratio", "num_hypotheses"))
-def _match_and_gate_packed(d0, d1, v0, v1, kp0, kp1, key, focal, thr_px, ratio, num_hypotheses):
+@functools.partial(jax.jit, static_argnames=("ratio", "num_hypotheses", "five_point"))
+def _match_and_gate_packed(d0, d1, v0, v1, kp0, kp1, key, focal, thr_px, ratio, num_hypotheses,
+                           five_point=False):
     """Fused mutual-NN match + E-RANSAC gate, packed into ONE flat array so
     the host pays a single device->host round trip per candidate pair."""
     res = match_descriptors(d0, d1, v0, v1, ratio=ratio)
     uv0 = kp0  # slot k of the match result is keypoint k of image 0
     uv1 = kp1[res.idx1]
     mvalid = res.valid.astype(jnp.float32)
-    eres = find_essential_ransac(
-        key, uv0, uv1, mvalid, focal,
-        threshold_px=thr_px, num_hypotheses=num_hypotheses,
-    )
+    if five_point:
+        # Nistér minimal solver (planar-safe) for the consensus set, then
+        # the shared refit + cheirality machinery via a warm-started
+        # 8-point path on the 5-point inliers.
+        from tpu3d.geometry.fivepoint import five_point_ransac
+
+        k5, k8 = jax.random.split(key)
+        _, inl5, _ = five_point_ransac(
+            k5, uv0, uv1, mvalid, focal,
+            threshold_px=thr_px, num_hypotheses=max(num_hypotheses // 4, 64),
+        )
+        gate_valid = jnp.where(jnp.sum(inl5) >= 8, inl5.astype(jnp.float32), mvalid)
+        eres = find_essential_ransac(
+            k8, uv0, uv1, gate_valid, focal,
+            threshold_px=thr_px, num_hypotheses=num_hypotheses,
+        )
+    else:
+        eres = find_essential_ransac(
+            key, uv0, uv1, mvalid, focal,
+            threshold_px=thr_px, num_hypotheses=num_hypotheses,
+        )
     sel = (res.valid & eres.inliers).astype(jnp.float32)
     K = d0.shape[0]
     per_kpt = jnp.stack([res.idx1.astype(jnp.float32), mvalid, sel], axis=-1)  # (K, 3)
@@ -200,6 +218,7 @@ def _match_one_pair(feats, i, j, cfg, key):
         d[i], d[j], v[i], v[j], kp[i], kp[j], key,
         cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
         cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
+        five_point=cfg.sfm.ransac.use_five_point,
     ))
     per_kpt = flat[: K * 3].reshape(K, 3)
     idx1 = per_kpt[:, 0].astype(np.int64)
