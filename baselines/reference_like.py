@@ -165,6 +165,15 @@ def run(n_images=24, downscale=2):
         errs.append(np.linalg.norm(proj[:, 0, :] - obs, axis=1))
     errs = np.concatenate(errs) if errs else np.array([np.nan])
 
+    # Persist the trajectory + names for ATE comparison
+    # (benchmarks/compare_trajectories.py).
+    reg_idx = [i for i, c in enumerate(cameras) if c is not None]
+    np.savez(
+        "/tmp/reference_like_cams.npz",
+        names=np.array([names[i] for i in reg_idx]),
+        extrinsics=np.stack([cameras[i] for i in reg_idx]).astype(np.float64),
+    )
+
     out = {
         "n_images": n_images,
         "downscale": downscale,

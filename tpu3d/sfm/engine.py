@@ -383,9 +383,16 @@ class IncrementalSfM:
             X_rel = midpoint_np(e.rel_R.astype(np.float32), e.rel_t.astype(np.float32), uv_r, uv_n)
             z_ratio = X_ref[:, 2] / np.where(np.abs(X_rel[:, 2]) < 1e-9, 1e-9, X_rel[:, 2])
             z_ratio = z_ratio[(z_ratio > 1e-6) & np.isfinite(z_ratio)]
-            if len(z_ratio) < 3:
+            if len(z_ratio) < 6:
                 continue
             s = float(np.median(z_ratio))
+            # Scale-consistency gate: a wrongly-scaled placement creates an
+            # internally-consistent but globally-teleported camera island
+            # (observed on the full dataset). Demand that the depth ratios
+            # actually agree on one scale.
+            mad = float(np.median(np.abs(z_ratio - s))) / max(abs(s), 1e-9)
+            if mad > 0.25:
+                continue
             R_j = e.rel_R @ R_r
             t_j = e.rel_R @ t_r + s * e.rel_t
             # sanity gate: reproject the known points into the new camera
@@ -396,7 +403,9 @@ class IncrementalSfM:
             good = int(np.sum(ok_z & (err < 8.0 * self.cfg.ransac.threshold_px)))
             if best is None or good > best[0]:
                 best = (good, R_j, t_j, len(err))
-        if best is None or best[0] < 3:
+        # Majority of the anchors must agree with the placement, not just a
+        # handful.
+        if best is None or best[0] < 6 or best[0] < 0.5 * best[3]:
             return None
         info["fallback_relpose_inliers"] = f"{best[0]}/{best[3]}"
         return np.concatenate([lie.so3_log_np(best[1]), best[2]]).astype(np.float32)
@@ -560,9 +569,48 @@ class IncrementalSfM:
         err = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
         return float(err.mean()), len(err)
 
+    def deregister_weak_cameras(self, min_obs: int = 12, max_median_px: float = 4.0) -> int:
+        """Drop cameras whose surviving observation support is too thin or
+        too inconsistent. A camera placed at a wrong scale (fallback gone
+        bad) ends up with its anchor observations pruned — internally
+        consistent but teleported relative to the main component. Better to
+        report it unregistered than to ship a wrong pose."""
+        prob = self._gather_global_problem()
+        if prob is None:
+            return 0
+        cam_slots, cam_idx, uniq_tracks, pt_idx, uv, keys = prob
+        r = reprojection_residuals(
+            jnp.asarray(self.cams[cam_slots]), jnp.asarray(self.points[uniq_tracks]),
+            jnp.asarray(cam_idx), jnp.asarray(pt_idx), jnp.asarray(uv),
+            jnp.ones(len(cam_idx), jnp.float32),
+        )
+        err = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
+        dropped = 0
+        for ci, img in enumerate(cam_slots):
+            sel = cam_idx == ci
+            n = int(sel.sum())
+            if n < min_obs or (n and float(np.median(err[sel])) > max_median_px):
+                self.has_cam[img] = False
+                self.num_registered -= 1
+                dropped += 1
+                for o in np.nonzero(sel)[0]:
+                    self._obs.pop(keys[o], None)
+        if dropped:
+            # Tracks that lost support down to <2 observations die with them.
+            remaining = {}
+            for (img, kpt), (tr, u, v) in self._obs.items():
+                remaining[tr] = remaining.get(tr, 0) + 1
+            for tr in np.flatnonzero(self.point_valid):
+                if remaining.get(int(tr), 0) < 2:
+                    self.point_valid[tr] = False
+        return dropped
+
     def finalize(self, image_names: Sequence[str]) -> Reconstruction:
         if self.cfg.run_global_ba:
             self.global_ba()
+            dropped = self.deregister_weak_cameras()
+            if dropped:
+                self.global_ba()
         mean_err, n_obs = self.mean_reprojection_error()
         track_ids = np.flatnonzero(self.point_valid)
         registered = np.flatnonzero(self.has_cam)
