@@ -569,7 +569,7 @@ class IncrementalSfM:
         err = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
         return float(err.mean()), len(err)
 
-    def deregister_weak_cameras(self, min_obs: int = 12, max_median_px: float = 4.0) -> int:
+    def deregister_weak_cameras(self, min_obs: int = 8, max_median_px: float = 8.0) -> int:
         """Drop cameras whose surviving observation support is too thin or
         too inconsistent. A camera placed at a wrong scale (fallback gone
         bad) ends up with its anchor observations pruned — internally

@@ -392,6 +392,13 @@ def run_reconstruction(
     if adj:
         key = jax.random.PRNGKey(seed)
         for rescue_round in range(6):
+            if rescue_round == 2:
+                # Clear out badly-placed cameras mid-rescue so their slots
+                # can be re-attempted with fresh edges against the (now
+                # larger) registered set.
+                dropped = engine.deregister_weak_cameras()
+                if dropped and verbose:
+                    print(f"[sfm] deregistered {dropped} weak cameras mid-rescue", flush=True)
             todo = [v for v in range(len(feats.names)) if not engine.has_cam[v]]
             progressed = 0
             for v in todo:
