@@ -108,3 +108,24 @@ def test_engine_rejects_garbage_pair(rng):
     info = engine.register_pair(bad)
     assert info["status"].startswith("rejected")
     assert not engine.has_cam[2]
+
+
+def test_deregister_weak_cameras(rng):
+    """A camera whose observation support is thin/inconsistent gets dropped
+    by the integrity gate; healthy cameras survive."""
+    X, cams_gt, pairs, focal = build_synthetic_sequence(rng)
+    cfg = SfMConfig(camera=CameraConfig(focal_length=focal),
+                    ransac=RansacConfig(num_hypotheses=128), max_tracks=5000,
+                    global_ba_every=100)
+    engine = IncrementalSfM(n_images=5, config=cfg)
+    for p in pairs:
+        assert engine.register_pair(p)["status"] == "registered"
+    n0 = engine.num_registered
+    # Corrupt camera 3's pose: its observations now have huge residuals.
+    engine.cams[3, 3:6] += 50.0
+    dropped = engine.deregister_weak_cameras(min_obs=8, max_median_px=8.0)
+    assert dropped >= 1
+    assert not engine.has_cam[3]
+    assert engine.num_registered == n0 - dropped
+    # Healthy anchor cameras survive.
+    assert engine.has_cam[0] and engine.has_cam[1]
