@@ -433,6 +433,77 @@ def run_reconstruction(
     return engine.finalize(feats.names)
 
 
+def run_global_reconstruction(
+    feats: ExtractedFeatures,
+    registrations: List[ImageRegistration],
+    ts: TrackStore,
+    cfg: PipelineConfig,
+    verbose: bool = True,
+) -> Reconstruction:
+    """Global-SfM mode: pose-graph initialization (rotation + translation
+    averaging over ALL pairwise relative poses) instead of incremental
+    chaining, then joint triangulation and global BA. Immune to the
+    chain's scale-drift islands; the integrity gates still prune stragglers.
+    """
+    from tpu3d.sfm.posegraph import pose_graph_init
+
+    n = len(feats.names)
+    edges, rel_R, rel_t = [], [], []
+    for reg in registrations:
+        for e in reg.edges:
+            e.track = ts.resolve(e.track)
+            if e.rel_R is not None:
+                edges.append((e.ref_img, reg.img))
+                rel_R.append(np.asarray(e.rel_R, np.float64))
+                rel_t.append(np.asarray(e.rel_t, np.float64))
+    cams, has_cam, mask = pose_graph_init(n, edges, rel_R, rel_t)
+    if verbose:
+        print(f"[sfm-global] pose graph: {int(mask.sum())}/{n} cameras in the "
+              f"largest component over {len(edges)} edges", flush=True)
+
+    engine = IncrementalSfM(n_images=n, config=cfg.sfm)
+    engine.cams[:] = cams
+    engine.has_cam[:] = has_cam
+    engine.num_registered = int(has_cam.sum())
+    f = engine.focal
+
+    # Joint triangulation: every edge whose endpoints both have cameras.
+    n_new_total = 0
+    for reg in registrations:
+        for e in reg.edges:
+            if not (engine.has_cam[e.ref_img] and engine.has_cam[reg.img]):
+                continue
+            tr = np.clip(e.track, 0, engine.points.shape[0] - 1)
+            new = (e.track >= 0) & ~engine.point_valid[tr]
+            from tpu3d.sfm.engine import EDGE_CAP, _pad, _triangulate_and_gate
+
+            m = min(len(e.idx_new), EDGE_CAP)
+            X_new, good = _triangulate_and_gate(
+                jnp.asarray(engine.cams[e.ref_img]), jnp.asarray(engine.cams[reg.img]),
+                jnp.asarray(_pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP)),
+                jnp.asarray(_pad(e.uv_new.astype(np.float32) / f, EDGE_CAP)),
+                f, cfg.sfm.ransac.threshold_px * 4.0,
+            )
+            accept = np.zeros(len(e.idx_new), bool)
+            accept[:m] = np.asarray(good)[:m] & new[:m]
+            if accept.any():
+                ids = e.track[accept]
+                engine.points[ids] = np.asarray(X_new)[:m][accept[:m]]
+                engine.point_valid[ids] = True
+                engine.point_color[ids] = e.colors_ref[accept]
+                n_new_total += int(accept.sum())
+            live = (e.track >= 0) & engine.point_valid[tr]
+            if live.any():
+                engine._record_obs(e.ref_img, e.idx_ref[live], e.track[live], e.uv_ref[live])
+                engine._record_obs(reg.img, e.idx_new[live], e.track[live], e.uv_new[live])
+    if verbose:
+        print(f"[sfm-global] triangulated {n_new_total} points", flush=True)
+    # Pose-graph initializations are coarse: several BA+prune rounds.
+    for _ in range(3):
+        engine.global_ba()
+    return engine.finalize(feats.names)
+
+
 def reconstruct(
     img_dir: str,
     cfg: Optional[PipelineConfig] = None,
