@@ -478,11 +478,13 @@ def run_global_reconstruction(
             from tpu3d.sfm.engine import EDGE_CAP, _pad, _triangulate_and_gate
 
             m = min(len(e.idx_new), EDGE_CAP)
+            # Very loose reprojection gate (~50px): pose-graph poses are
+            # coarse; Huber BA + residual pruning clean up afterwards.
             X_new, good = _triangulate_and_gate(
                 jnp.asarray(engine.cams[e.ref_img]), jnp.asarray(engine.cams[reg.img]),
                 jnp.asarray(_pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP)),
                 jnp.asarray(_pad(e.uv_new.astype(np.float32) / f, EDGE_CAP)),
-                f, cfg.sfm.ransac.threshold_px * 4.0,
+                f, 25.0 * cfg.sfm.ransac.threshold_px,
             )
             accept = np.zeros(len(e.idx_new), bool)
             accept[:m] = np.asarray(good)[:m] & new[:m]

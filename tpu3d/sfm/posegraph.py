@@ -58,28 +58,49 @@ def average_rotations(
     edges: Sequence[Tuple[int, int]],
     rel_R: Sequence[np.ndarray],
     mask: Optional[np.ndarray] = None,
+    irls_rounds: int = 3,
 ) -> np.ndarray:
-    """Chordal rotation averaging. rel_R[e] maps cam_i coords to cam_j
-    coords (R_j = rel_R R_i, world->cam convention). Returns (n, 3, 3)
-    global rotations (identity outside the mask)."""
+    """Chordal rotation averaging with IRLS outlier down-weighting.
+    rel_R[e] maps cam_i coords to cam_j coords (R_j = rel_R R_i,
+    world->cam convention). L2 chordal averaging is poisoned by even a few
+    wrong relative poses (real match graphs have them), so edges are
+    reweighted by their consistency residual over a few rounds.
+    Returns (n, 3, 3) global rotations (identity outside the mask)."""
     if mask is None:
         mask = np.ones(n, bool)
     idx_of = -np.ones(n, np.int64)
     nodes = np.flatnonzero(mask)
     idx_of[nodes] = np.arange(len(nodes))
     m = len(nodes)
-    L = np.zeros((3 * m, 3 * m))
-    for (i, j), Rij in zip(edges, rel_R):
-        a, b = idx_of[i], idx_of[j]
-        if a < 0 or b < 0:
-            continue
-        # ||M_b - R_ij M_a||² contributes: L_aa += RᵀR = I, L_bb += I,
-        # L_ab += -R_ijᵀ, L_ba += -R_ij
-        L[3 * a : 3 * a + 3, 3 * a : 3 * a + 3] += np.eye(3)
-        L[3 * b : 3 * b + 3, 3 * b : 3 * b + 3] += np.eye(3)
-        L[3 * a : 3 * a + 3, 3 * b : 3 * b + 3] -= Rij.T
-        L[3 * b : 3 * b + 3, 3 * a : 3 * a + 3] -= Rij
-    w, V = np.linalg.eigh(L)
+    weights = np.ones(len(edges))
+    for round_ in range(irls_rounds):
+        L = np.zeros((3 * m, 3 * m))
+        for w_e, (i, j), Rij in zip(weights, edges, rel_R):
+            a, b = idx_of[i], idx_of[j]
+            if a < 0 or b < 0:
+                continue
+            # w·||M_b - R_ij M_a||² contributes: L_aa += wI, L_bb += wI,
+            # L_ab += -w R_ijᵀ, L_ba += -w R_ij
+            L[3 * a : 3 * a + 3, 3 * a : 3 * a + 3] += w_e * np.eye(3)
+            L[3 * b : 3 * b + 3, 3 * b : 3 * b + 3] += w_e * np.eye(3)
+            L[3 * a : 3 * a + 3, 3 * b : 3 * b + 3] -= w_e * Rij.T
+            L[3 * b : 3 * b + 3, 3 * a : 3 * a + 3] -= w_e * Rij
+        w, V = np.linalg.eigh(L)
+        if round_ < irls_rounds - 1:
+            # Residual per edge from the current solution, Cauchy weights.
+            X = V[:, :3]
+            dets = [np.linalg.det(X[3 * k : 3 * k + 3]) for k in range(m)]
+            if np.median(dets) < 0:
+                X = X.copy()
+                X[:, 0] *= -1.0
+            Rs = [_project_so3(X[3 * k : 3 * k + 3]) for k in range(m)]
+            sigma = 0.2  # ~11 deg chordal scale
+            for eidx, ((i, j), Rij) in enumerate(zip(edges, rel_R)):
+                a, b = idx_of[i], idx_of[j]
+                if a < 0 or b < 0:
+                    continue
+                r = np.linalg.norm(Rs[b] - Rij @ Rs[a])
+                weights[eidx] = 1.0 / (1.0 + (r / sigma) ** 2)
     X = V[:, :3]  # (3m, 3): columns span the block-rotation solution
     # The blocks are R_i G for one shared mixing matrix G. If det(G) < 0,
     # per-block SO(3) projection flips the (noise-dependent!) smallest
