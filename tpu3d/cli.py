@@ -95,7 +95,7 @@ def _load_features(args):
 
 
 def cmd_match(args):
-    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.io.matches import save_matches
     from tpu3d.sfm.pipeline import run_matching, run_retrieval
 
     cfg = _build_config(args)
@@ -104,23 +104,7 @@ def cmd_match(args):
     t0 = time.time()
     adj = run_retrieval(feats, cfg)
     regs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
-    store = ArtifactStore(args.artifacts)
-    store.save_json("pairs_meta", {
-        "registrations": [
-            {"img": r.img, "refs": [e.ref_img for e in r.edges],
-             "edge_sizes": [len(e.idx_new) for e in r.edges]}
-            for r in regs
-        ],
-        "seconds": time.time() - t0,
-    })
-    arrays = {"kp_track": ts.kp_track, "parent": ts.parent[: max(ts.next_track, 1)]}
-    for ri, r in enumerate(regs):
-        for ei, e in enumerate(r.edges):
-            pre = f"r{ri}_e{ei}"
-            arrays[f"{pre}_idx_ref"] = e.idx_ref
-            arrays[f"{pre}_idx_new"] = e.idx_new
-            arrays[f"{pre}_track"] = e.track
-    np.savez_compressed(os.path.join(args.artifacts, "matches.npz"), **arrays)
+    save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
     n_edges = sum(len(r.edges) for r in regs)
     print(f"matched {len(regs)} images / {n_edges} edges in {time.time() - t0:.1f}s")
 
@@ -140,15 +124,34 @@ def _rescale_cfg(cfg, meta, args):
 def cmd_reconstruct(args):
     from tpu3d.io.artifacts import ArtifactStore
     from tpu3d.io.ply import write_ply
-    from tpu3d.sfm.pipeline import run_matching, run_reconstruction, run_retrieval
+    from tpu3d.sfm.pipeline import (
+        run_global_reconstruction, run_matching, run_reconstruction, run_retrieval,
+    )
 
     cfg = _build_config(args)
     feats, meta = _load_features(args)
     cfg = _rescale_cfg(cfg, meta, args)
     t0 = time.time()
-    adj = run_retrieval(feats, cfg)
-    pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
-    rec = run_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet, adj=adj)
+    from tpu3d.io.matches import load_matches, save_matches
+
+    loaded = None
+    if args.from_matches:
+        loaded = load_matches(
+            args.artifacts, len(feats.names), feats.keypoints.shape[1], cfg.sfm.max_tracks
+        )
+        if loaded is None:
+            print("no saved matches — run `match` first", file=sys.stderr)
+            sys.exit(1)
+    if loaded is not None:
+        pairs, ts, adj = loaded
+    else:
+        adj = run_retrieval(feats, cfg)
+        pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
+        save_matches(args.artifacts, pairs, ts, adj, time.time() - t0)
+    if args.mode == "global":
+        rec = run_global_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet)
+    else:
+        rec = run_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet, adj=adj)
     store = ArtifactStore(args.artifacts)
     store.save(
         "reconstruction",
@@ -160,6 +163,7 @@ def cmd_reconstruct(args):
         "registered_names": rec.registered_names(),
         "mean_reproj_px": rec.mean_reproj_px,
         "num_obs": rec.num_obs,
+        "mode": args.mode,
         "seconds": time.time() - t0,
     })
     if args.ply:
@@ -240,8 +244,19 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--ray-stride", type=int, default=2)
     p.add_argument("--ply", default="")
+    p.add_argument("--mode", choices=["incremental", "global"], default="incremental")
+    p.add_argument("--from-matches", action="store_true",
+                   help="reconstruct from the saved matching artifacts (no re-matching)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (useful off-TPU; the axon "
+                        "sitecustomize overrides JAX_PLATFORMS so this must "
+                        "be a jax.config update, not an env var)")
     args = p.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     {
         "extract": cmd_extract,
         "match": cmd_match,
