@@ -176,12 +176,8 @@ def cmd_reconstruct(args):
 
 
 def cmd_densify(args):
-    import jax.numpy as jnp
-
-    from tpu3d.config import DenseConfig
-    from tpu3d.dense.train import (
-        normalize_scene, psnr, rays_from_cameras, train_plenoxel, RayDataset,
-    )
+    from tpu3d.dense.eval import dataset_from_views, evaluate_views, split_views
+    from tpu3d.dense.train import normalize_scene, rays_from_cameras, train_plenoxel
     from tpu3d.io.artifacts import ArtifactStore
     from tpu3d.io.images import load_images
 
@@ -197,14 +193,33 @@ def cmd_densify(args):
     gray, rgb = load_images(args.images, meta["registered_names"], ds)
     norm = normalize_scene(rec["points"])
     focal = args.focal / ds
-    dataset = rays_from_cameras(rec["cams"], rgb, focal, norm, stride=args.ray_stride)
-    print(f"{len(dataset.origins)} rays from {len(rec['cams'])} cameras")
+    train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
+    dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
+                                 stride=args.ray_stride)
+    print(f"{len(dataset.origins)} rays from {len(train_idx)} train cameras "
+          f"({len(test_idx)} held out)")
     dcfg = cfg.dense
-    grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet)
+    grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
+                                  checkpoint_store=store, resume=args.resume)
     store.save("dense_grid", grid=np.asarray(grid.grid),
                min_bound=np.asarray(grid.min_bound), max_bound=np.asarray(grid.max_bound))
-    print(json.dumps({"final_loss": losses[-1] if losses else None,
-                      "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}))
+    out = {"final_loss": losses[-1] if losses else None,
+           "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
+    if len(test_idx):
+        ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx], focal, dcfg,
+                            norm, stride=2, max_views=args.max_eval_views)
+        out.update(test_psnr=ev["mean_psnr"],
+                   test_psnr_per_view=[round(p, 2) for p in ev["per_view"]])
+        try:
+            from PIL import Image
+
+            Image.fromarray((np.clip(ev["renders"][0], 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(args.artifacts, "test_render0.png"))
+            gt0 = rgb[test_idx[0]][::2, ::2]
+            Image.fromarray(gt0).save(os.path.join(args.artifacts, "test_gt0.png"))
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 def cmd_full(args):
@@ -243,6 +258,11 @@ def main(argv=None):
     p.add_argument("--global-ba-every", type=int, default=8)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--ray-stride", type=int, default=2)
+    p.add_argument("--holdout-every", type=int, default=8,
+                   help="hold out every k-th camera as a PSNR test view (0 = off)")
+    p.add_argument("--max-eval-views", type=int, default=8)
+    p.add_argument("--resume", action="store_true",
+                   help="resume dense training from the saved checkpoint")
     p.add_argument("--ply", default="")
     p.add_argument("--mode", choices=["incremental", "global"], default="incremental")
     p.add_argument("--from-matches", action="store_true",

@@ -1,0 +1,95 @@
+"""Held-out view evaluation for the dense stage.
+
+The reference's only test protocol is eyeballing four train-view renders
+(plenoxel.py:134-135 — views 0/60/120/180 of the TRAINING set; README's
+result gallery). Here: the standard NeRF-style protocol — hold out every
+k-th registered camera from training, render those views in full, and
+report per-view + mean PSNR against the real photographs.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu3d.config import DenseConfig
+from tpu3d.core import lie
+from tpu3d.dense.grid import VoxelGrid
+from tpu3d.dense.render import render_image
+from tpu3d.dense.train import RayDataset, SceneNormalization, psnr
+
+
+def split_views(n_views: int, holdout_every: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """(train_idx, test_idx). holdout_every <= 0 disables the split."""
+    idx = np.arange(n_views)
+    if holdout_every <= 0 or n_views < 2:
+        return idx, np.array([], np.int64)
+    test = idx[holdout_every // 2 :: holdout_every]
+    train = np.setdiff1d(idx, test)
+    return train, test
+
+
+def view_rays(cam: np.ndarray, H: int, W: int, focal: float,
+              norm: Optional[SceneNormalization] = None,
+              stride: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-view ray grid for one camera. Returns (origins (P, 3),
+    dirs (P, 3)) in the normalized scene frame, row-major pixel order."""
+    ys, xs = np.meshgrid(np.arange(0, H, stride), np.arange(0, W, stride), indexing="ij")
+    u = xs.reshape(-1).astype(np.float32) - W / 2.0
+    v = -(ys.reshape(-1).astype(np.float32) - H / 2.0)
+    d_cam = np.stack([u / focal, v / focal, np.ones_like(u)], axis=-1)
+    R = lie.so3_exp_np(cam[:3])
+    t = cam[3:6]
+    o = -R.T @ t
+    d = d_cam @ R
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    if norm is not None:
+        o = norm.apply(o)
+    return np.broadcast_to(o.astype(np.float32), d.shape).copy(), d
+
+
+def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
+                cfg: DenseConfig, norm: Optional[SceneNormalization] = None,
+                stride: int = 1, chunk: int = 8192) -> np.ndarray:
+    """Render one full camera view. Returns (H', W', 3) float in [0, 1]."""
+    ro, rd = view_rays(cam, H, W, focal, norm, stride)
+    img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro), jnp.asarray(rd),
+                       cfg.near, cfg.far, cfg.num_samples, chunk=chunk)
+    h = len(range(0, H, stride))
+    w = len(range(0, W, stride))
+    return np.asarray(img).reshape(h, w, 3)
+
+
+def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
+                   focal: float, cfg: DenseConfig,
+                   norm: Optional[SceneNormalization] = None,
+                   stride: int = 2, chunk: int = 8192,
+                   max_views: int = 0) -> dict:
+    """PSNR of rendered vs ground-truth photographs for the given cameras.
+    Returns {"per_view": [...], "mean_psnr": float, "renders": [...]}."""
+    n = len(cams) if not max_views else min(len(cams), max_views)
+    per_view: List[float] = []
+    renders = []
+    H, W = images_rgb.shape[1:3]
+    for m in range(n):
+        pred = render_view(grid, cams[m], H, W, focal, cfg, norm, stride, chunk)
+        gt = images_rgb[m, ::stride, ::stride].astype(np.float32) / 255.0
+        per_view.append(psnr(pred, gt[: pred.shape[0], : pred.shape[1]]))
+        renders.append(pred)
+    return {
+        "per_view": per_view,
+        "mean_psnr": float(np.mean(per_view)) if per_view else float("nan"),
+        "renders": renders,
+    }
+
+
+def dataset_from_views(cams: np.ndarray, images_rgb: np.ndarray, focal: float,
+                       view_idx: np.ndarray,
+                       norm: Optional[SceneNormalization] = None,
+                       stride: int = 1) -> RayDataset:
+    """RayDataset restricted to a view subset (train split)."""
+    from tpu3d.dense.train import rays_from_cameras
+
+    return rays_from_cameras(cams[view_idx], images_rgb[view_idx], focal, norm, stride)
