@@ -125,23 +125,36 @@ def average_translations(
     rel_t: Sequence[np.ndarray],
     R_global: np.ndarray,
     mask: Optional[np.ndarray] = None,
+    rounds: int = 60,
 ) -> np.ndarray:
-    """Least-squares translation averaging. Returns camera centers
-    (n, 3) with the gauge C[first node] = 0 and unit mean edge length."""
+    """LUD-style translation averaging (Özyeşil & Singer, CVPR'15 pattern).
+
+    The textbook cross-product LS ((C_j − C_i) × d_ij = 0) is unusable on
+    real graphs: with NOISY directions the all-centers-equal collapse has
+    exactly zero residual on every cross row while the true geometry does
+    not, so least squares returns the collapse (observed on the full
+    ystad_kloster graph: median consecutive step 0.0, one 591x outlier
+    step absorbing the scale constraint). Instead solve
+
+        min_{C, s}  Σ_e w_e ||C_j − C_i − s_e d_e||²   s.t.  s_e ≥ 1
+
+    exactly, with an active-set iteration on the jointly-convex QP: for
+    inactive constraints s_e is eliminated analytically (its optimum is
+    the projection d_eᵀ(C_j − C_i)), leaving a perpendicular-projection
+    block w_e(I − d_e d_eᵀ); active (clamped) edges contribute the full
+    w_e||C_j − C_i − d_e||² term and anchor the scale. A Cauchy-IRLS
+    outer loop down-weights outlier directions. Initialized by a BFS
+    spanning-tree walk with unit edge lengths. Returns (n, 3) camera
+    centers, gauge C[first node] = 0."""
     if mask is None:
         mask = np.ones(n, bool)
     nodes = np.flatnonzero(mask)
     idx_of = -np.ones(n, np.int64)
     idx_of[nodes] = np.arange(len(nodes))
     m = len(nodes)
-    rows = []
-    rhs = []
 
-    def cross_mat(v):
-        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
-
-    scale_row = np.zeros(3 * m)
-    n_used = 0
+    # Edge list in component-local indices with unit world directions.
+    ea, eb, dirs = [], [], []
     for (i, j), t in zip(edges, rel_t):
         a, b = idx_of[i], idx_of[j]
         if a < 0 or b < 0:
@@ -150,29 +163,75 @@ def average_translations(
         nd = np.linalg.norm(d)
         if nd < 1e-9:
             continue
-        d = d / nd
-        X = cross_mat(d)
-        row = np.zeros((3, 3 * m))
-        row[:, 3 * b : 3 * b + 3] = X
-        row[:, 3 * a : 3 * a + 3] = -X
-        rows.append(row)
-        rhs.append(np.zeros(3))
-        scale_row[3 * b : 3 * b + 3] += d
-        scale_row[3 * a : 3 * a + 3] -= d
-        n_used += 1
-    # gauge: C of the first node = 0 (weighted hard-ish)
-    g = np.zeros((3, 3 * m))
-    g[:, :3] = np.eye(3) * 10.0
-    rows.append(g)
-    rhs.append(np.zeros(3))
-    rows.append(scale_row[None, :])
-    rhs.append(np.array([float(n_used)]))
-    A = np.concatenate(rows)
-    b = np.concatenate(rhs)
-    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+        ea.append(a)
+        eb.append(b)
+        dirs.append(d / nd)
+    if not ea:
+        return np.zeros((n, 3))
+    ea = np.asarray(ea)
+    eb = np.asarray(eb)
+    D = np.asarray(dirs)          # (E, 3)
+    E = len(ea)
+
+    # ---- spanning-tree init: BFS walk placing C_b = C_a ± d ----
+    C = np.zeros((m, 3))
+    placed = np.zeros(m, bool)
+    placed[ea[0]] = True
+    adj: Dict[int, List[Tuple[int, np.ndarray, float]]] = {}
+    for k in range(E):
+        adj.setdefault(ea[k], []).append((eb[k], D[k], 1.0))
+        adj.setdefault(eb[k], []).append((ea[k], D[k], -1.0))
+    queue = [int(ea[0])]
+    while queue:
+        u = queue.pop()
+        for v, d, sgn in adj.get(u, []):
+            if not placed[v]:
+                C[v] = C[u] + sgn * d
+                placed[v] = True
+                queue.append(v)
+
+    def solve_active_set(C, w, max_rounds=30):
+        eye3 = np.eye(3)
+        Pperp = eye3[None] - D[:, :, None] * D[:, None, :]   # (E, 3, 3)
+        active_prev = None
+        for _ in range(max_rounds):
+            proj = np.einsum("ed,ed->e", C[eb] - C[ea], D)
+            active = proj <= 1.0
+            if active_prev is not None and np.array_equal(active, active_prev):
+                break
+            active_prev = active
+            if not active.any():
+                # nothing anchors the scale: clamp the best-supported edge
+                active[np.argmax(w)] = True
+            A = np.zeros((3 * m, 3 * m))
+            b = np.zeros(3 * m)
+            M = np.where(active[:, None, None], eye3[None], Pperp) * w[:, None, None]
+            for k in range(E):
+                a3, b3 = 3 * ea[k], 3 * eb[k]
+                A[a3 : a3 + 3, a3 : a3 + 3] += M[k]
+                A[b3 : b3 + 3, b3 : b3 + 3] += M[k]
+                A[a3 : a3 + 3, b3 : b3 + 3] -= M[k]
+                A[b3 : b3 + 3, a3 : a3 + 3] -= M[k]
+                if active[k]:
+                    b[b3 : b3 + 3] += w[k] * D[k]
+                    b[a3 : a3 + 3] -= w[k] * D[k]
+            A[:3, :] = 0.0
+            A[:3, :3] = eye3
+            b[:3] = 0.0
+            C = np.linalg.solve(A + 1e-10 * np.eye(3 * m), b).reshape(m, 3)
+        return C
+
+    w = np.ones(E)
+    for irls in range(4):
+        C = solve_active_set(C, w)
+        bvec = C[eb] - C[ea]
+        s = np.maximum(np.einsum("ed,ed->e", bvec, D), 1.0)
+        r = np.linalg.norm(bvec - s[:, None] * D, axis=1) / s
+        sigma = max(float(np.median(r)) * 1.4826, 1e-3)
+        w = 1.0 / (1.0 + (r / sigma) ** 2)
     C_out = np.zeros((n, 3))
     for k, node in enumerate(nodes):
-        C_out[node] = sol[3 * k : 3 * k + 3]
+        C_out[node] = C[k]
     return C_out
 
 
