@@ -21,11 +21,18 @@ import numpy as np
 
 
 class TrackStore:
-    def __init__(self, num_images: int, kpts_per_image: int, capacity: int = 400_000):
+    def __init__(self, num_images: int, kpts_per_image: int, capacity: int = 400_000,
+                 use_native: bool = True):
         self.kp_track = np.full((num_images, kpts_per_image), -1, np.int64)
         self.parent = np.arange(capacity, dtype=np.int64)
         self.capacity = capacity
         self.next_track = 0
+        if use_native:
+            from tpu3d import native
+
+            self._native = native if native.available() else None
+        else:
+            self._native = None
 
     # -- union-find ---------------------------------------------------------
     def _find(self, t: int) -> int:
@@ -38,6 +45,8 @@ class TrackStore:
 
     def resolve(self, ids: np.ndarray) -> np.ndarray:
         """Canonicalize track ids after merges. -1 passes through."""
+        if self._native is not None:
+            return self._native.resolve(self.parent, np.asarray(ids))
         out = np.asarray(ids).copy()
         for i, t in enumerate(out.ravel()):
             if t >= 0:
@@ -52,6 +61,11 @@ class TrackStore:
         matches). Returns (M,) canonical track ids for each match."""
         idx0 = np.asarray(idx0, np.int64)
         idx1 = np.asarray(idx1, np.int64)
+        if self._native is not None:
+            out, self.next_track = self._native.union_pair(
+                self.parent, self.kp_track, img0, img1, idx0, idx1, self.next_track
+            )
+            return out
         t0 = self.resolve(self.kp_track[img0, idx0])
         t1 = self.resolve(self.kp_track[img1, idx1])
 
