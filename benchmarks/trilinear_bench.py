@@ -1,0 +1,68 @@
+"""Trilinear grid-sample microbenchmark: forward and forward+backward at
+dense-training shapes (the dominant cost of the dense stage — the prior
+run measured 804 rays/s end-to-end, far below HBM speed-of-light for the
+~8 full-grid passes per Adam step).
+
+Usage: python benchmarks/trilinear_bench.py [resolution] [n_points] [--cpu]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    res = int(args[0]) if args else 256
+    n = int(args[1]) if len(args) > 1 else 2048 * 192
+
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from tpu3d.dense.grid import VoxelGrid, trilinear_sample
+
+    rng = np.random.default_rng(0)
+    grid = jnp.asarray(rng.normal(0, 0.1, (res, res, res, 28)).astype(np.float32))
+    lo = jnp.asarray([-1.0, -1, -1])
+    hi = jnp.asarray([1.0, 1, 1])
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+
+    fwd = jax.jit(lambda g, p: trilinear_sample(g, lo, hi, p)[0])
+
+    def loss(g, p):
+        return jnp.sum(trilinear_sample(g, lo, hi, p)[0] ** 2)
+
+    fwdbwd = jax.jit(jax.grad(loss))
+
+    out = fwd(grid, pts)
+    out.block_until_ready()
+    t0 = time.time()
+    reps = 10
+    for _ in range(reps):
+        out = fwd(grid, pts)
+    out.block_until_ready()
+    t_fwd = (time.time() - t0) / reps
+
+    g = fwdbwd(grid, pts)
+    g.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        g = fwdbwd(grid, pts)
+    g.block_until_ready()
+    t_bwd = (time.time() - t0) / reps
+
+    bytes_gather = n * 8 * 28 * 4
+    print(f"res={res} n={n}")
+    print(f"forward      {t_fwd*1000:8.2f} ms  ({bytes_gather/t_fwd/1e9:7.1f} GB/s gather traffic)")
+    print(f"fwd+backward {t_bwd*1000:8.2f} ms  "
+          f"(equiv batch rate {n/192/t_bwd:8.0f} rays/s at 192 samples)")
+
+
+if __name__ == "__main__":
+    main()

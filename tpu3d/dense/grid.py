@@ -44,37 +44,51 @@ def create_grid(resolution, min_bound, max_bound, channels: int = 28, init: floa
     return VoxelGrid(g, jnp.asarray(min_bound, dtype), jnp.asarray(max_bound, dtype))
 
 
-def trilinear_sample(grid: jnp.ndarray, min_bound: jnp.ndarray, max_bound: jnp.ndarray, pts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Trilinearly interpolate (N, 3) world points into an (X, Y, Z, C)
-    grid with align_corners=True semantics (ref grid_sample call,
-    plenoxel.py:39). Returns (values (N, C), in_bounds (N,))."""
-    res = jnp.asarray(grid.shape[:3], pts.dtype)
+def _corner_setup(grid_shape, min_bound, max_bound, pts):
+    res = jnp.asarray(grid_shape, pts.dtype)
     u = (pts - min_bound) / (max_bound - min_bound)  # [0, 1] inside
     in_bounds = jnp.all((u >= 0.0) & (u <= 1.0), axis=-1)
     v = u * (res - 1.0)
-    i0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, jnp.asarray(grid.shape[:3]) - 2)
+    i0 = jnp.clip(jnp.floor(v).astype(jnp.int32), 0, jnp.asarray(grid_shape) - 2)
     # frac relative to the CLIPPED base so the upper boundary (v = res-1)
     # interpolates with frac=1 instead of re-reading node res-2.
     frac = v - i0.astype(v.dtype)
-    x0, y0, z0 = i0[:, 0], i0[:, 1], i0[:, 2]
-    fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+    return i0, frac, in_bounds
 
-    c000 = grid[x0, y0, z0]
-    c001 = grid[x0, y0, z0 + 1]
-    c010 = grid[x0, y0 + 1, z0]
-    c011 = grid[x0, y0 + 1, z0 + 1]
-    c100 = grid[x0 + 1, y0, z0]
-    c101 = grid[x0 + 1, y0, z0 + 1]
-    c110 = grid[x0 + 1, y0 + 1, z0]
-    c111 = grid[x0 + 1, y0 + 1, z0 + 1]
 
+def _lerp8(c, fx, fy, fz):
+    """c: tuple of 8 corner values in zyx bit order (c000..c111)."""
+    c000, c001, c010, c011, c100, c101, c110, c111 = c
     c00 = c000 * (1 - fz) + c001 * fz
     c01 = c010 * (1 - fz) + c011 * fz
     c10 = c100 * (1 - fz) + c101 * fz
     c11 = c110 * (1 - fz) + c111 * fz
     c0 = c00 * (1 - fy) + c01 * fy
     c1 = c10 * (1 - fy) + c11 * fy
-    out = c0 * (1 - fx) + c1 * fx
+    return c0 * (1 - fx) + c1 * fx
+
+
+def trilinear_sample(grid: jnp.ndarray, min_bound: jnp.ndarray, max_bound: jnp.ndarray, pts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Trilinearly interpolate (N, 3) world points into an (X, Y, Z, C)
+    grid with align_corners=True semantics (ref grid_sample call,
+    plenoxel.py:39). Returns (values (N, C), in_bounds (N,)).
+
+    The 8 corner reads go through ONE flat row-gather on a (X·Y·Z, C)
+    view (the embedding-lookup pattern XLA lowers well on TPU) instead of
+    8 multi-dimensional advanced-indexing gathers; the backward pass
+    correspondingly becomes one row scatter-add."""
+    X, Y, Z = grid.shape[:3]
+    i0, frac, in_bounds = _corner_setup(grid.shape[:3], min_bound, max_bound, pts)
+    x0, y0, z0 = i0[:, 0], i0[:, 1], i0[:, 2]
+    fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+
+    flat = grid.reshape(X * Y * Z, grid.shape[3])
+    base = (x0 * Y + y0) * Z + z0                      # (N,)
+    # zyx bit order: offsets for c000, c001, c010, c011, c100, ...
+    offs = jnp.asarray([0, 1, Z, Z + 1, Y * Z, Y * Z + 1, Y * Z + Z, Y * Z + Z + 1], jnp.int32)
+    idx = base[:, None] + offs[None, :]                # (N, 8)
+    vals = jnp.take(flat, idx.reshape(-1), axis=0).reshape(*idx.shape, grid.shape[3])
+    out = _lerp8(tuple(vals[:, k] for k in range(8)), fx, fy, fz)
     return out * in_bounds[:, None], in_bounds
 
 
