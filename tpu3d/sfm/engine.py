@@ -161,8 +161,21 @@ class IncrementalSfM:
         self.points = np.zeros((cap, 3), np.float32)
         self.point_valid = np.zeros(cap, bool)
         self.point_color = np.zeros((cap, 3), np.uint8)
-        # Deduplicated observation table keyed by (img, kpt).
-        self._obs: Dict[Tuple[int, int], Tuple[int, float, float]] = {}
+        # Deduplicated (first-wins) observation table keyed by (img, kpt),
+        # stored DENSE: slot = img * K + kpt. The previous dict-of-tuples
+        # was iterated in full Python on every global BA / error / prune
+        # call (~166k entries x dozens of calls on the full dataset).
+        K = self.cfg.match_capacity
+        self._K = K
+        self.obs_valid = np.zeros(n_images * K, np.uint8)
+        self.obs_track = np.zeros(n_images * K, np.int64)
+        self.obs_uv = np.zeros((n_images * K, 2), np.float32)
+        try:
+            from tpu3d import native
+
+            self._native = native if native.available() else None
+        except Exception:
+            self._native = None
         self.key = jax.random.PRNGKey(seed)
         self.num_registered = 0
         self.pair_log: List[dict] = []
@@ -173,10 +186,27 @@ class IncrementalSfM:
         return sub
 
     def _record_obs(self, img: int, idx: np.ndarray, track: np.ndarray, uv: np.ndarray):
-        for k, t, (u, v) in zip(idx.tolist(), track.tolist(), uv.tolist()):
-            key = (img, int(k))
-            if key not in self._obs:
-                self._obs[key] = (int(t), float(u), float(v))
+        """First-wins insert into the dense observation table."""
+        if len(idx) == 0:
+            return
+        if self._native is not None:
+            self._native.record_obs(
+                self.obs_valid, self.obs_track, self.obs_uv, self._K, int(img),
+                np.asarray(idx, np.int64), np.asarray(track, np.int64),
+                np.asarray(uv, np.float32),
+            )
+            return
+        # numpy fallback: dedup within the batch (keep first), then mask
+        # out already-occupied slots.
+        idx = np.asarray(idx, np.int64)
+        uniq, first = np.unique(idx, return_index=True)
+        slots = img * self._K + uniq
+        free = self.obs_valid[slots] == 0
+        slots = slots[free]
+        sel = first[free]
+        self.obs_valid[slots] = 1
+        self.obs_track[slots] = np.asarray(track, np.int64)[sel]
+        self.obs_uv[slots] = np.asarray(uv, np.float32)[sel]
 
     # ------------------------------------------------------------------
     def register_pair(self, pair: PairObservations) -> dict:
@@ -473,23 +503,24 @@ class IncrementalSfM:
 
     # ------------------------------------------------------------------
     def _gather_global_problem(self):
-        if not self._obs:
+        """Vectorized over the dense obs table. `keys` are flat slot ids
+        (pop an observation by zeroing obs_valid[slot])."""
+        slots = np.flatnonzero(self.obs_valid)
+        if len(slots) == 0:
             return None
-        items = list(self._obs.items())
-        keys = [k for k, _ in items]
-        img_ids = np.array([k[0] for k in keys], np.int32)
-        tracks = np.array([v[0] for _, v in items], np.int64)
-        uv = np.array([[v[1], v[2]] for _, v in items], np.float32) / self.focal
+        img_ids = (slots // self._K).astype(np.int32)
+        tracks = self.obs_track[slots]
+        uv = self.obs_uv[slots] / self.focal
         live = self.point_valid[np.clip(tracks, 0, len(self.point_valid) - 1)] & self.has_cam[img_ids]
-        keys = [k for k, m in zip(keys, live) if m]
-        img_ids, tracks, uv = img_ids[live], tracks[live], uv[live]
+        slots, img_ids, tracks, uv = slots[live], img_ids[live], tracks[live], uv[live]
         if len(img_ids) == 0:
             return None
         cam_slots = np.flatnonzero(self.has_cam)
-        cam_map = {int(c): i for i, c in enumerate(cam_slots)}
-        cam_idx = np.array([cam_map[int(i)] for i in img_ids], np.int32)
+        cam_map = np.full(self.n_images, -1, np.int32)
+        cam_map[cam_slots] = np.arange(len(cam_slots), dtype=np.int32)
+        cam_idx = cam_map[img_ids]
         uniq_tracks, pt_idx = np.unique(tracks, return_inverse=True)
-        return cam_slots, cam_idx, uniq_tracks, pt_idx.astype(np.int32), uv, keys
+        return cam_slots, cam_idx, uniq_tracks, pt_idx.astype(np.int32), uv, slots
 
     def global_ba(self, max_iters: Optional[int] = None, prune: bool = True):
         """Global BA with one round of residual-based observation pruning
@@ -536,8 +567,7 @@ class IncrementalSfM:
             thr_px = 3.0 * self.cfg.ransac.threshold_px
             bad = (err_px > thr_px) & (w > 0)
             if bad.any():
-                for o in np.nonzero(bad[:O_real])[0]:
-                    self._obs.pop(keys[o], None)
+                self.obs_valid[keys[np.nonzero(bad[:O_real])[0]]] = 0
                 w[bad] = 0.0
                 # Tracks left with <2 observations lose their 3D point.
                 live_counts = np.bincount(pi[:O_real][w[:O_real] > 0], minlength=P)
@@ -593,16 +623,12 @@ class IncrementalSfM:
                 self.has_cam[img] = False
                 self.num_registered -= 1
                 dropped += 1
-                for o in np.nonzero(sel)[0]:
-                    self._obs.pop(keys[o], None)
+                self.obs_valid[keys[np.nonzero(sel)[0]]] = 0
         if dropped:
             # Tracks that lost support down to <2 observations die with them.
-            remaining = {}
-            for (img, kpt), (tr, u, v) in self._obs.items():
-                remaining[tr] = remaining.get(tr, 0) + 1
-            for tr in np.flatnonzero(self.point_valid):
-                if remaining.get(int(tr), 0) < 2:
-                    self.point_valid[tr] = False
+            slots = np.flatnonzero(self.obs_valid)
+            counts = np.bincount(self.obs_track[slots], minlength=len(self.point_valid))
+            self.point_valid &= counts[: len(self.point_valid)] >= 2
         return dropped
 
     def finalize(self, image_names: Sequence[str]) -> Reconstruction:
