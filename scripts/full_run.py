@@ -134,7 +134,7 @@ def main():
                            cfg.sfm.max_tracks)
         regs_m, ts_m, adj_m = sub
         if mode == "global":
-            rec = run_global_reconstruction(feats, regs_m, ts_m, cfg, verbose=verbose)
+            rec = run_global_reconstruction(feats, regs_m, ts_m, cfg, verbose=verbose, adj=adj_m)
         else:
             rec = run_reconstruction(feats, regs_m, ts_m, cfg, verbose=verbose, adj=adj_m)
         dt = time.time() - t0

@@ -149,7 +149,7 @@ def cmd_reconstruct(args):
         pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
         save_matches(args.artifacts, pairs, ts, adj, time.time() - t0)
     if args.mode == "global":
-        rec = run_global_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet)
+        rec = run_global_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet, adj=adj)
     else:
         rec = run_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet, adj=adj)
     store = ArtifactStore(args.artifacts)

@@ -384,53 +384,56 @@ def run_reconstruction(
         if verbose:
             print(f"[sfm] retry round {round_ + 1}: {len(pending)} images", flush=True)
 
-    # Rescue pass: the matching stage only ever pairs a new image with
-    # already-VISITED neighbors; an image whose visited refs never
-    # REGISTERED is stuck with useless edges. Re-match such images
-    # directly against registered adjacency neighbors (fresh edges, fresh
-    # tracks), then register. Repeat while it makes progress.
     if adj:
-        key = jax.random.PRNGKey(seed)
-        for rescue_round in range(6):
-            if rescue_round == 2:
-                # Clear out badly-placed cameras mid-rescue so their slots
-                # can be re-attempted with fresh edges against the (now
-                # larger) registered set.
-                dropped = engine.deregister_weak_cameras()
-                if dropped and verbose:
-                    print(f"[sfm] deregistered {dropped} weak cameras mid-rescue", flush=True)
-            todo = [v for v in range(len(feats.names)) if not engine.has_cam[v]]
-            progressed = 0
-            for v in todo:
-                refs = [r for r in adj.get(v, []) if engine.has_cam[r]][: MAX_REFS]
-                if not refs:
-                    continue
-                edges = []
-                for r in refs:
-                    key, sub = jax.random.split(key)
-                    sel, i0, i1, u0, u1, _, nf, rR, rt = _match_one_pair(feats, r, v, cfg, sub)
-                    if sel is not None and nf > cfg.matching.min_inliers:
-                        track_sel = ts.union_pair(r, v, i0[sel], i1[sel])
-                        edges.append(EdgeObservations(
-                            ref_img=r, idx_ref=i0[sel], idx_new=i1[sel],
-                            track=ts.resolve(track_sel),
-                            uv_ref=u0[sel].astype(np.float32),
-                            uv_new=u1[sel].astype(np.float32),
-                            colors_ref=feats.colors_bgr[r][i0[sel]],
-                            rel_R=rR, rel_t=rt,
-                        ))
-                if not edges:
-                    continue
-                info = engine.register_image(ImageRegistration(img=v, edges=edges))
-                if info.get("status") == "registered":
-                    progressed += 1
-                if verbose:
-                    print(f"[sfm-rescue] {info}", flush=True)
-            if verbose:
-                print(f"[sfm] rescue round {rescue_round}: +{progressed} registered", flush=True)
-            if progressed == 0:
-                break
+        _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed)
     return engine.finalize(feats.names)
+
+
+def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
+                 rounds: int = 6, deregister_round: int = 2):
+    """Re-matching rescue: the matching stage only ever pairs a new image
+    with already-VISITED neighbors; an image whose visited refs never
+    REGISTERED is stuck with useless edges. Re-match such images directly
+    against registered adjacency neighbors (fresh edges, fresh tracks),
+    then register. Repeats while it makes progress; mid-way, weak cameras
+    are deregistered so their slots get re-attempted with fresh edges."""
+    key = jax.random.PRNGKey(seed)
+    for rescue_round in range(rounds):
+        if rescue_round == deregister_round:
+            dropped = engine.deregister_weak_cameras()
+            if dropped and verbose:
+                print(f"[sfm] deregistered {dropped} weak cameras mid-rescue", flush=True)
+        todo = [v for v in range(len(feats.names)) if not engine.has_cam[v]]
+        progressed = 0
+        for v in todo:
+            refs = [r for r in adj.get(v, []) if engine.has_cam[r]][: MAX_REFS]
+            if not refs:
+                continue
+            edges = []
+            for r in refs:
+                key, sub = jax.random.split(key)
+                sel, i0, i1, u0, u1, _, nf, rR, rt = _match_one_pair(feats, r, v, cfg, sub)
+                if sel is not None and nf > cfg.matching.min_inliers:
+                    track_sel = ts.union_pair(r, v, i0[sel], i1[sel])
+                    edges.append(EdgeObservations(
+                        ref_img=r, idx_ref=i0[sel], idx_new=i1[sel],
+                        track=ts.resolve(track_sel),
+                        uv_ref=u0[sel].astype(np.float32),
+                        uv_new=u1[sel].astype(np.float32),
+                        colors_ref=feats.colors_bgr[r][i0[sel]],
+                        rel_R=rR, rel_t=rt,
+                    ))
+            if not edges:
+                continue
+            info = engine.register_image(ImageRegistration(img=v, edges=edges))
+            if info.get("status") == "registered":
+                progressed += 1
+            if verbose:
+                print(f"[sfm-rescue] {info}", flush=True)
+        if verbose:
+            print(f"[sfm] rescue round {rescue_round}: +{progressed} registered", flush=True)
+        if progressed == 0:
+            break
 
 
 def run_global_reconstruction(
@@ -439,12 +442,17 @@ def run_global_reconstruction(
     ts: TrackStore,
     cfg: PipelineConfig,
     verbose: bool = True,
+    adj: Optional[Dict[int, List[int]]] = None,
+    seed: int = 3,
 ) -> Reconstruction:
     """Global-SfM mode: pose-graph initialization (rotation + translation
     averaging over ALL pairwise relative poses) instead of incremental
     chaining, then joint triangulation and global BA. Immune to the
-    chain's scale-drift islands; the integrity gates still prune stragglers.
-    """
+    chain's scale-drift islands; the integrity gates still prune
+    stragglers. Cameras outside the pose-graph component (or dropped by
+    the integrity gates) are then PnP-registered against the trusted
+    backbone — and, when `adj` is given, re-matched in a rescue pass —
+    combining global coherence with incremental recall."""
     from tpu3d.sfm.posegraph import pose_graph_init
 
     n = len(feats.names)
@@ -503,6 +511,25 @@ def run_global_reconstruction(
     # Pose-graph initializations are coarse: several BA+prune rounds.
     for _ in range(3):
         engine.global_ba()
+
+    # ---- recall phase: register everything the backbone missed ----
+    # PnP against the (now BA-refined) global structure using the edges
+    # the matching stage already has; fixpoint like run_reconstruction.
+    pending = [r for r in registrations if not engine.has_cam[r.img]]
+    for round_ in range(4):
+        failed = []
+        for reg in pending:
+            info = engine.register_image(reg)
+            if verbose:
+                print(f"[sfm-global] {info}", flush=True)
+            if info.get("status") != "registered":
+                failed.append(reg)
+        if not failed or len(failed) == len(pending):
+            break
+        pending = failed
+    engine.global_ba()
+    if adj:
+        _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed)
     return engine.finalize(feats.names)
 
 
