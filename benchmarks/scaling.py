@@ -61,13 +61,69 @@ def bench_dense(n_devices, steps=20, rays_per_device=2048, res=64):
     return nb * steps / dt
 
 
+def bench_ba(n_devices, steps=5, n_cams=64, n_pts=4096, obs_per_device=8192):
+    """Observation-sharded global BA (weak scaling over the obs axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.config import MeshConfig
+    from tpu3d.dist import make_mesh, sharded_bundle_adjust
+
+    devices = jax.devices()[:n_devices]
+    mesh = make_mesh(MeshConfig(data_parallel=n_devices, model_parallel=1), devices)
+    O = obs_per_device * n_devices
+    rng = np.random.default_rng(0)
+    cams = np.zeros((n_cams, 6), np.float32)
+    cams[:, 5] = 4.0
+    cams[:, :3] = rng.normal(0, 0.05, (n_cams, 3))
+    pts = rng.uniform(-1, 1, (n_pts, 3)).astype(np.float32)
+    ci = rng.integers(0, n_cams, O).astype(np.int32)
+    pi = rng.integers(0, n_pts, O).astype(np.int32)
+    from tpu3d.core import lie
+
+    uv = np.zeros((O, 2), np.float32)
+    for c in range(n_cams):
+        sel = ci == c
+        R = lie.so3_exp_np(cams[c, :3])
+        X = pts[pi[sel]] @ R.T + cams[c, 3:6]
+        uv[sel] = X[:, :2] / X[:, 2:3]
+    w = np.ones(O, np.float32)
+    cam_fixed = np.zeros(n_cams, np.float32)
+    cam_fixed[0] = 1.0
+    st = sharded_bundle_adjust(
+        mesh, jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
+        jnp.asarray(uv), jnp.asarray(w), jnp.asarray(cam_fixed),
+        jnp.asarray(np.zeros(n_pts, np.float32)), max_iters=3, cg_iters=8,
+    )
+    jax.block_until_ready(st.cams)
+    t0 = time.time()
+    for _ in range(steps):
+        st = sharded_bundle_adjust(
+            mesh, jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
+            jnp.asarray(uv), jnp.asarray(w), jnp.asarray(cam_fixed),
+            jnp.asarray(np.zeros(n_pts, np.float32)), max_iters=3, cg_iters=8,
+        )
+        jax.block_until_ready(st.cams)
+    dt = time.time() - t0
+    return O * steps / dt
+
+
 def main():
     import jax
 
     n_avail = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8) if c <= n_avail]
-    report = {"platform": jax.default_backend(), "devices_available": n_avail, "dense": {}}
-    base = None
+    report = {
+        "platform": jax.default_backend(),
+        "devices_available": n_avail,
+        "note": ("weak scaling: work per device fixed; on a CPU virtual mesh "
+                 "all devices share the same host cores, so efficiency there "
+                 "validates CORRECTNESS of the sharded programs, not speedup — "
+                 "real efficiency must be read on a TPU slice"),
+        "dense": {},
+        "ba": {},
+    }
+    base = base_ba = None
     for c in counts:
         rps = bench_dense(c)
         if base is None:
@@ -76,6 +132,14 @@ def main():
             "rays_per_s": round(rps),
             "speedup": round(rps / base, 2),
             "efficiency": round(rps / (base * c), 3),
+        }
+        ops = bench_ba(c)
+        if base_ba is None:
+            base_ba = ops
+        report["ba"][str(c)] = {
+            "obs_per_s": round(ops),
+            "speedup": round(ops / base_ba, 2),
+            "efficiency": round(ops / (base_ba * c), 3),
         }
     print(json.dumps(report, indent=2))
 
