@@ -234,3 +234,36 @@ def test_heldout_view_eval(rng):
     fake_gt = (np.clip(img, 0, 1) * 255).astype(np.uint8)[None]
     ev = evaluate_views(grid, cam[None], fake_gt, focal, cfg, stride=1, chunk=256)
     assert ev["mean_psnr"] > 45.0
+
+
+def test_hierarchical_render_matches_dense_sampling(rng):
+    """Hierarchical coarse->fine rendering must closely match brute-force
+    dense sampling on a smooth scene, and training with it must converge."""
+    from tpu3d.config import DenseConfig
+    from tpu3d.dense.render import render_rays_hierarchical
+    from tpu3d.dense.train import RayDataset, train_plenoxel
+
+    res = 32
+    coords = np.stack(np.meshgrid(*[np.linspace(-1, 1, res)] * 3, indexing="ij"), -1)
+    inside = (np.linalg.norm(coords, axis=-1) < 0.5).astype(np.float32)
+    g = np.zeros((res, res, res, 28), np.float32)
+    g[..., 0] = inside * 50.0
+    g[..., 1] = inside / 0.282095
+    vg = VoxelGrid(jnp.asarray(g), jnp.asarray([-1.0, -1, -1]), jnp.asarray([1.0, 1, 1]))
+    n = 256
+    o = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=1, keepdims=True)
+    d = (-o / np.linalg.norm(o, axis=1, keepdims=True)).astype(np.float32)
+    dense = np.asarray(render_rays(vg, jax.random.PRNGKey(1), jnp.asarray(o), jnp.asarray(d),
+                                   1.0, 5.0, 256, perturb=False))
+    hier = np.asarray(render_rays_hierarchical(vg, jax.random.PRNGKey(1), jnp.asarray(o),
+                                               jnp.asarray(d), 1.0, 5.0, 64, 64))
+    # 128 hierarchical samples vs 256 dense: close agreement
+    assert np.abs(hier - dense).mean() < 0.03
+
+    cfg = DenseConfig(grid_resolution=32, near=1.0, far=5.0, scene_scale=1.0,
+                      batch_size=256, epochs=8, learning_rate=1e-1,
+                      lr_milestones=(5, 7), hierarchical=True, n_coarse=32, n_fine=32)
+    ds = RayDataset(o, d, dense)
+    grid, losses = train_plenoxel(ds, cfg, verbose=False, log_every=1)
+    assert losses[-1] < losses[0] * 0.3

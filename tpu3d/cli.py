@@ -40,7 +40,8 @@ def _build_config(args):
             ransac=RansacConfig(num_hypotheses=args.ransac_hypotheses),
             global_ba_every=args.global_ba_every,
         ),
-        dense=DenseConfig(epochs=args.epochs),
+        dense=DenseConfig(epochs=args.epochs,
+                          hierarchical=getattr(args, "hierarchical", False)),
         image_dir=args.images,
         artifact_dir=args.artifacts,
     )
@@ -258,6 +259,8 @@ def main(argv=None):
     p.add_argument("--global-ba-every", type=int, default=8)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--ray-stride", type=int, default=2)
+    p.add_argument("--hierarchical", action="store_true",
+                   help="coarse->fine importance sampling in the dense stage")
     p.add_argument("--holdout-every", type=int, default=8,
                    help="hold out every k-th camera as a PSNR test view (0 = off)")
     p.add_argument("--max-eval-views", type=int, default=8)

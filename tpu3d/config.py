@@ -147,6 +147,9 @@ class DenseConfig:
     lr_gamma: float = 0.5
     epochs: int = 1                    # ref sdf.py:411
     white_background: bool = True      # ref compositing adds (1 - acc)
+    hierarchical: bool = False         # coarse->fine importance sampling
+    n_coarse: int = 64                 # density-only pass samples
+    n_fine: int = 64                   # importance samples (total = sum)
     density_activation: str = "relu"   # ref sdf.py:376-377 relu(sdf)
 
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu3d.dense.grid import VoxelGrid, query
-from tpu3d.dense.sdf import SDFGrid, query_sdf_sh, ray_aabb, sample_stratified
+from tpu3d.dense.sdf import SDFGrid, query_sdf_sh, ray_aabb, sample_pdf, sample_stratified
 
 
 def composite(sigma: jnp.ndarray, rgb: jnp.ndarray, z: jnp.ndarray, white_bg: bool = True) -> jnp.ndarray:
@@ -29,6 +29,16 @@ def composite(sigma: jnp.ndarray, rgb: jnp.ndarray, z: jnp.ndarray, white_bg: bo
     if white_bg:
         c = c + 1.0 - jnp.sum(w, axis=(1, 2))[..., None]
     return c
+
+
+def composite_weights(sigma: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample compositing weights w = T·alpha (for importance
+    resampling). sigma, z: (N, S) -> (N, S)."""
+    delta = jnp.concatenate([z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+    return trans * alpha
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb"))
@@ -76,6 +86,50 @@ def render_rays_aabb(
     sigma, rgb = query_sdf_sh(sg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
     out = composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg)
     return out, valid
+
+
+@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "white_bg", "perturb"))
+def render_rays_hierarchical(
+    vg: VoxelGrid,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    n_coarse: int = 64,
+    n_fine: int = 64,
+    white_bg: bool = True,
+    perturb: bool = True,
+) -> jnp.ndarray:
+    """Two-pass hierarchical rendering (NeRF coarse→fine; the reference
+    COMPUTES importance samples then throws them away, sdf.py:248-252 —
+    here they are the point).
+
+    Pass 1 reads only the 1-channel density grid at n_coarse stratified
+    depths (cheap gather); its compositing weights drive inverse-CDF
+    resampling; pass 2 reads the full 28-channel grid at the merged
+    coarse+fine depths. For equal sample budgets this cuts the heavy
+    wide-channel gather traffic roughly in half while concentrating
+    samples at surfaces."""
+    n = rays_o.shape[0]
+    k1, k2 = jax.random.split(key)
+    t_near = jnp.full((n,), near, rays_o.dtype)
+    t_far = jnp.full((n,), far, rays_o.dtype)
+    z_c = sample_stratified(k1, t_near, t_far, n_coarse, perturb)
+    pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
+    from tpu3d.dense.grid import trilinear_sample
+
+    dens, in_b = trilinear_sample(vg.grid[..., :1], vg.min_bound, vg.max_bound,
+                                  pts_c.reshape(-1, 3))
+    sigma_c = jax.nn.relu(dens[:, 0] * in_b).reshape(n, n_coarse)
+    w = composite_weights(sigma_c, z_c)
+    z_f = sample_pdf(k2, z_c, jax.lax.stop_gradient(w), n_fine)
+    z = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
+    pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
+    sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
+    S = n_coarse + n_fine
+    return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg)
 
 
 def render_image(

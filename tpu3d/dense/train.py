@@ -109,9 +109,17 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
 
     def loss_fn(grid_arr, vg_template, key, ro, rd, rgb):
         vg = VoxelGrid(grid_arr, vg_template.min_bound, vg_template.max_bound)
-        pred = render_rays(
-            vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background
-        )
+        if cfg.hierarchical:
+            from tpu3d.dense.render import render_rays_hierarchical
+
+            pred = render_rays_hierarchical(
+                vg, key, ro, rd, cfg.near, cfg.far, cfg.n_coarse, cfg.n_fine,
+                cfg.white_background,
+            )
+        else:
+            pred = render_rays(
+                vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background
+            )
         return jnp.mean((pred - rgb) ** 2)
 
     @jax.jit
