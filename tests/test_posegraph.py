@@ -79,3 +79,36 @@ def test_pose_graph_init_end_to_end(rng):
         Rj = lie.so3_exp_np(cams[j, :3])
         dR = (Rj @ Ri.T) @ Rij.T
         assert np.linalg.norm(lie.so3_log_np(dR)) < 0.08
+
+
+def test_averaging_survives_outlier_edges(rng):
+    """15% gross outlier edges (random R, random t direction) must not
+    corrupt the solution — the IRLS reweighting in both averagers is what
+    makes pose-graph init usable on real match graphs."""
+    Rs, Cs, edges, rel_R, rel_t = make_graph(rng, n=16, extra_edges=24,
+                                             rot_noise=0.005, t_noise=0.005)
+    n_out = max(len(edges) * 15 // 100, 1)
+    out_idx = rng.choice(len(edges), n_out, replace=False)
+    for k in out_idx:
+        rel_R[k] = lie.so3_exp_np(rng.normal(0, 2.0, 3).astype(np.float32))
+        d = rng.normal(0, 1, 3)
+        rel_t[k] = d / np.linalg.norm(d)
+
+    R_est = average_rotations(16, edges, rel_R)
+    out_set = set(out_idx.tolist())
+    errs = []
+    for e, (i, j) in enumerate(edges):
+        if e in out_set:
+            continue
+        dR = (R_est[j] @ R_est[i].T) @ (Rs[j] @ Rs[i].T).T
+        errs.append(np.linalg.norm(lie.so3_log_np(dR)))
+    assert np.median(errs) < 0.05
+
+    C_est = average_translations(16, edges, rel_t, np.stack(Rs))
+    C_gt = np.stack(Cs)
+    C0 = C_est - C_est.mean(0)
+    G0 = C_gt - C_gt.mean(0)
+    s = np.sum(C0 * G0) / np.sum(C0 * C0)
+    err = np.linalg.norm(s * C0 - G0, axis=1).mean()
+    spread = np.linalg.norm(G0, axis=1).mean()
+    assert err < 0.12 * spread, f"err/spread = {err/spread:.3f}"

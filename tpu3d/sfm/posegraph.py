@@ -125,7 +125,9 @@ def average_translations(
     rel_t: Sequence[np.ndarray],
     R_global: np.ndarray,
     mask: Optional[np.ndarray] = None,
-    rounds: int = 60,
+    init_weights: Optional[np.ndarray] = None,
+    irls_rounds: int = 8,
+    trim: float = 4.0,
 ) -> np.ndarray:
     """LUD-style translation averaging (Özyeşil & Singer, CVPR'15 pattern).
 
@@ -138,13 +140,19 @@ def average_translations(
 
         min_{C, s}  Σ_e w_e ||C_j − C_i − s_e d_e||²   s.t.  s_e ≥ 1
 
-    exactly, with an active-set iteration on the jointly-convex QP: for
-    inactive constraints s_e is eliminated analytically (its optimum is
-    the projection d_eᵀ(C_j − C_i)), leaving a perpendicular-projection
-    block w_e(I − d_e d_eᵀ); active (clamped) edges contribute the full
-    w_e||C_j − C_i − d_e||² term and anchor the scale. A Cauchy-IRLS
-    outer loop down-weights outlier directions. Initialized by a BFS
-    spanning-tree walk with unit edge lengths. Returns (n, 3) camera
+    with per-edge scales as first-class unknowns:
+
+        min_{C, s}  Σ_e w_e ||C_j − C_i − s_e d_e||²
+        s.t.        C_gauge = 0,   Σ_e s_e = E
+
+    solved EXACTLY as one linear KKT system. The Σs equality pins the
+    scale gauge across ALL edges, which removes both failure modes seen
+    with the alternatives: the cross-product LS's zero-residual collapse
+    (all centers equal) and the s_e ≥ 1 active-set variant's
+    noise-amplifying shrink (scale resting on a handful of clamped
+    edges). A Cauchy-IRLS outer loop (optionally seeded by
+    rotation-consistency weights) down-weights outlier directions, with
+    hard trimming once the solution has shape. Returns (n, 3) camera
     centers, gauge C[first node] = 0."""
     if mask is None:
         mask = np.ones(n, bool)
@@ -154,8 +162,8 @@ def average_translations(
     m = len(nodes)
 
     # Edge list in component-local indices with unit world directions.
-    ea, eb, dirs = [], [], []
-    for (i, j), t in zip(edges, rel_t):
+    ea, eb, dirs, w0 = [], [], [], []
+    for k, ((i, j), t) in enumerate(zip(edges, rel_t)):
         a, b = idx_of[i], idx_of[j]
         if a < 0 or b < 0:
             continue
@@ -166,69 +174,78 @@ def average_translations(
         ea.append(a)
         eb.append(b)
         dirs.append(d / nd)
+        w0.append(1.0 if init_weights is None else float(init_weights[k]))
     if not ea:
         return np.zeros((n, 3))
     ea = np.asarray(ea)
     eb = np.asarray(eb)
     D = np.asarray(dirs)          # (E, 3)
+    w = np.asarray(w0)
     E = len(ea)
 
-    # ---- spanning-tree init: BFS walk placing C_b = C_a ± d ----
-    C = np.zeros((m, 3))
-    placed = np.zeros(m, bool)
-    placed[ea[0]] = True
-    adj: Dict[int, List[Tuple[int, np.ndarray, float]]] = {}
-    for k in range(E):
-        adj.setdefault(ea[k], []).append((eb[k], D[k], 1.0))
-        adj.setdefault(eb[k], []).append((ea[k], D[k], -1.0))
-    queue = [int(ea[0])]
-    while queue:
-        u = queue.pop()
-        for v, d, sgn in adj.get(u, []):
-            if not placed[v]:
-                C[v] = C[u] + sgn * d
-                placed[v] = True
-                queue.append(v)
+    base_idx = np.arange(3 * m)
 
-    def solve_active_set(C, w, max_rounds=30):
-        eye3 = np.eye(3)
-        Pperp = eye3[None] - D[:, :, None] * D[:, None, :]   # (E, 3, 3)
-        active_prev = None
-        for _ in range(max_rounds):
-            proj = np.einsum("ed,ed->e", C[eb] - C[ea], D)
-            active = proj <= 1.0
-            if active_prev is not None and np.array_equal(active, active_prev):
-                break
-            active_prev = active
-            if not active.any():
-                # nothing anchors the scale: clamp the best-supported edge
-                active[np.argmax(w)] = True
-            A = np.zeros((3 * m, 3 * m))
-            b = np.zeros(3 * m)
-            M = np.where(active[:, None, None], eye3[None], Pperp) * w[:, None, None]
+    def solve_qp(w, max_as_rounds=40):
+        """Exact primal active-set solve of the convex QP
+
+            min_{C,s} Σ w_e ||C_b − C_a − s_e d_e||²  s.t. s_e ≥ 1, C_0 = 0.
+
+        Each round solves the equality-KKT for the current working set W
+        (s_k = 1 for k ∈ W), then exchanges constraints: release k ∈ W
+        whose multiplier 2w(1 − proj) < 0 (objective wants s_k > 1), add
+        k ∉ W whose free s_k fell below 1. Starts from W = all edges (the
+        all-unit-lengths solution)."""
+        nv = 3 * m + E
+        active = np.ones(E, bool)
+        live = w > 1e-9
+        C = np.zeros((m, 3))
+        for _ in range(max_as_rounds):
+            A = np.zeros((nv, nv))
+            b = np.zeros(nv)
             for k in range(E):
                 a3, b3 = 3 * ea[k], 3 * eb[k]
-                A[a3 : a3 + 3, a3 : a3 + 3] += M[k]
-                A[b3 : b3 + 3, b3 : b3 + 3] += M[k]
-                A[a3 : a3 + 3, b3 : b3 + 3] -= M[k]
-                A[b3 : b3 + 3, a3 : a3 + 3] -= M[k]
-                if active[k]:
-                    b[b3 : b3 + 3] += w[k] * D[k]
-                    b[a3 : a3 + 3] -= w[k] * D[k]
+                sk = 3 * m + k
+                wk = w[k]
+                I3 = wk * np.eye(3)
+                A[a3 : a3 + 3, a3 : a3 + 3] += I3
+                A[b3 : b3 + 3, b3 : b3 + 3] += I3
+                A[a3 : a3 + 3, b3 : b3 + 3] -= I3
+                A[b3 : b3 + 3, a3 : a3 + 3] -= I3
+                wd = wk * D[k]
+                A[b3 : b3 + 3, sk] -= wd
+                A[a3 : a3 + 3, sk] += wd
+                if active[k] or not live[k]:
+                    A[sk, sk] = 1.0
+                    b[sk] = 1.0
+                else:
+                    A[sk, b3 : b3 + 3] = -wd
+                    A[sk, a3 : a3 + 3] = wd
+                    A[sk, sk] = wk
             A[:3, :] = 0.0
-            A[:3, :3] = eye3
+            A[:3, :3] = np.eye(3)
             b[:3] = 0.0
-            C = np.linalg.solve(A + 1e-10 * np.eye(3 * m), b).reshape(m, 3)
+            x = np.linalg.solve(A + 1e-10 * np.eye(nv), b)
+            C = x[: 3 * m].reshape(m, 3)
+            s = x[3 * m :]
+            proj = np.einsum("ed,ed->e", C[eb] - C[ea], D)
+            release = active & live & (proj > 1.0)
+            add = ~active & live & (s < 1.0)
+            if not release.any() and not add.any():
+                break
+            active = (active & ~release) | add
         return C
 
-    w = np.ones(E)
-    for irls in range(4):
-        C = solve_active_set(C, w)
+    C = None
+    for irls in range(irls_rounds):
+        C = solve_qp(w)
         bvec = C[eb] - C[ea]
-        s = np.maximum(np.einsum("ed,ed->e", bvec, D), 1.0)
+        s = np.maximum(np.einsum("ed,ed->e", bvec, D), 1e-3)
         r = np.linalg.norm(bvec - s[:, None] * D, axis=1) / s
         sigma = max(float(np.median(r)) * 1.4826, 1e-3)
-        w = 1.0 / (1.0 + (r / sigma) ** 2)
+        w = np.asarray(w0) / (1.0 + (r / sigma) ** 2)
+        # Trim gross outliers outright once the solution has shape.
+        if irls >= 2:
+            w[r > trim * sigma] = 0.0
     C_out = np.zeros((n, 3))
     for k, node in enumerate(nodes):
         C_out[node] = C[k]
@@ -247,7 +264,15 @@ def pose_graph_init(
 
     mask = largest_component(n_images, edges)
     R = average_rotations(n_images, edges, rel_R, mask)
-    C = average_translations(n_images, edges, rel_t, R, mask)
+    # Rotation-consistency weights seed the translation IRLS: an edge whose
+    # relative ROTATION disagrees with the global solution almost surely
+    # has a bogus translation direction too.
+    w0 = np.ones(len(edges))
+    for k, ((i, j), Rij) in enumerate(zip(edges, rel_R)):
+        if mask[i] and mask[j]:
+            r = np.linalg.norm(R[j] - Rij @ R[i])
+            w0[k] = 1.0 / (1.0 + (r / 0.2) ** 2)
+    C = average_translations(n_images, edges, rel_t, R, mask, init_weights=w0)
     cams = np.zeros((n_images, 6), np.float32)
     for i in range(n_images):
         if not mask[i]:
