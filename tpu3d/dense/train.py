@@ -14,6 +14,7 @@ single jitted function whose ray batch axis shards over the device mesh
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -122,7 +123,11 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
             )
         return jnp.mean((pred - rgb) ** 2)
 
-    @jax.jit
+    # Donating the state is what makes a 256^3 grid fit: grid + Adam
+    # moments are 5.6 GB, and without donation the old and new state
+    # coexist during the step (plus temporaries) — ResourceExhausted on a
+    # 16 GB chip.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, key, ro, rd, rgb):
         loss, g = jax.value_and_grad(loss_fn)(state.grid.grid, state.grid, key, ro, rd, rgb)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
