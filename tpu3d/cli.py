@@ -233,7 +233,8 @@ def cmd_full(args):
     names = list_images(args.images)
     if args.limit:
         names = names[: args.limit]
-    rec, timings = reconstruct(args.images, cfg, names, args.downscale, verbose=not args.quiet)
+    rec, timings = reconstruct(args.images, cfg, names, args.downscale,
+                               verbose=not args.quiet, mode=args.mode)
     if args.ply:
         write_ply(args.ply, rec.points, rec.colors_bgr)
     print(json.dumps({

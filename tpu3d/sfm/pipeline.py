@@ -539,8 +539,11 @@ def reconstruct(
     names: Optional[List[str]] = None,
     downscale: int = 1,
     verbose: bool = True,
+    mode: str = "incremental",
 ) -> Tuple[Reconstruction, Dict[str, float]]:
-    """Full pipeline. Returns (reconstruction, stage timings in seconds)."""
+    """Full pipeline. Returns (reconstruction, stage timings in seconds).
+    mode: "incremental" (chain registration) or "global" (pose-graph
+    backbone + PnP recall)."""
     cfg = cfg or PipelineConfig()
     timings: Dict[str, float] = {}
     t0 = time.time()
@@ -553,7 +556,10 @@ def reconstruct(
     pairs, ts = run_matching(feats, adj, cfg, verbose=verbose)
     timings["match"] = time.time() - t0
     t0 = time.time()
-    rec = run_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
+    if mode == "global":
+        rec = run_global_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
+    else:
+        rec = run_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
     timings["reconstruct"] = time.time() - t0
     timings["total"] = sum(timings.values())
     return rec, timings
