@@ -11,10 +11,11 @@ accepted edge):
      smallest eigenvectors of the (3N, 3N) connection Laplacian, then
      project each block onto SO(3);
   2. translation averaging — with global rotations fixed, each edge gives
-     the world-frame baseline direction d_ij = −R_jᵀ t_ij^rel; the camera
-     centers satisfy (C_j − C_i) × d_ij = 0, a sparse LINEAR system solved
-     least-squares with gauge fixed by C_a = 0 and the scale by
-     Σ d_ijᵀ(C_j − C_i) = |E|.
+     the world-frame baseline direction d_ij = −R_jᵀ t_ij^rel; camera
+     centers and per-edge scales solve the LUD-style convex QP
+     min Σ w_e ||C_j − C_i − s_e d_e||² s.t. s_e ≥ 1 (exact active-set
+     solver + IRLS; see average_translations for why weaker
+     formulations collapse).
 
 Small dense numpy by design: N ≈ hundreds of cameras means a 3Nx3N
 eigensolve and a 3N least squares — milliseconds on the host, and the
@@ -22,7 +23,7 @@ heavy work (triangulation, BA) stays in the batched device kernels.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -136,21 +137,18 @@ def average_translations(
     exactly zero residual on every cross row while the true geometry does
     not, so least squares returns the collapse (observed on the full
     ystad_kloster graph: median consecutive step 0.0, one 591x outlier
-    step absorbing the scale constraint). Instead solve
-
-        min_{C, s}  Σ_e w_e ||C_j − C_i − s_e d_e||²   s.t.  s_e ≥ 1
-
-    with per-edge scales as first-class unknowns:
+    step absorbing the scale constraint). A Σ_e s_e = E equality gauge
+    fails differently: one stretched outlier edge satisfies the scale row
+    while everything else collapses. What survives both real data and
+    noise is per-edge lower-bounded scales,
 
         min_{C, s}  Σ_e w_e ||C_j − C_i − s_e d_e||²
-        s.t.        C_gauge = 0,   Σ_e s_e = E
+        s.t.        s_e ≥ 1,   C_gauge = 0,
 
-    solved EXACTLY as one linear KKT system. The Σs equality pins the
-    scale gauge across ALL edges, which removes both failure modes seen
-    with the alternatives: the cross-product LS's zero-residual collapse
-    (all centers equal) and the s_e ≥ 1 active-set variant's
-    noise-amplifying shrink (scale resting on a handful of clamped
-    edges). A Cauchy-IRLS outer loop (optionally seeded by
+    solved EXACTLY by a primal active-set method (each round one linear
+    KKT solve; constraints exchanged by multiplier sign / violation —
+    coordinate descent on this QP needs thousands of rounds, the exact
+    solve a handful). A Cauchy-IRLS outer loop (optionally seeded by
     rotation-consistency weights) down-weights outlier directions, with
     hard trimming once the solution has shape. Returns (n, 3) camera
     centers, gauge C[first node] = 0."""
@@ -182,8 +180,6 @@ def average_translations(
     D = np.asarray(dirs)          # (E, 3)
     w = np.asarray(w0)
     E = len(ea)
-
-    base_idx = np.arange(3 * m)
 
     def solve_qp(w, max_as_rounds=40):
         """Exact primal active-set solve of the convex QP
