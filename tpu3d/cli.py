@@ -194,16 +194,27 @@ def cmd_densify(args):
     gray, rgb = load_images(args.images, meta["registered_names"], ds)
     norm = normalize_scene(rec["points"])
     focal = args.focal / ds
+    import dataclasses
+
+    from tpu3d.dense.train import auto_near_far
+
+    near, far = auto_near_far(rec["cams"], rec["points"], norm)
+    cfg = dataclasses.replace(cfg, dense=dataclasses.replace(cfg.dense, near=near, far=far))
+    print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
                                  stride=args.ray_stride)
     print(f"{len(dataset.origins)} rays from {len(train_idx)} train cameras "
           f"({len(test_idx)} held out)")
     dcfg = cfg.dense
+    # Checkpoints download the full grid + Adam moments (5.7 GB at 256^3)
+    # over the remote-TPU tunnel — minutes per epoch; off for experiments.
+    ck_store = None if args.no_checkpoint else store
     grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
-                                  checkpoint_store=store, resume=args.resume)
-    store.save("dense_grid", grid=np.asarray(grid.grid),
-               min_bound=np.asarray(grid.min_bound), max_bound=np.asarray(grid.max_bound))
+                                  checkpoint_store=ck_store, resume=args.resume)
+    if not args.no_checkpoint:
+        store.save("dense_grid", grid=np.asarray(grid.grid),
+                   min_bound=np.asarray(grid.min_bound), max_bound=np.asarray(grid.max_bound))
     out = {"final_loss": losses[-1] if losses else None,
            "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
     if len(test_idx):
@@ -267,6 +278,8 @@ def main(argv=None):
     p.add_argument("--max-eval-views", type=int, default=8)
     p.add_argument("--resume", action="store_true",
                    help="resume dense training from the saved checkpoint")
+    p.add_argument("--no-checkpoint", action="store_true",
+                   help="skip grid/optimizer checkpoint downloads (minutes per epoch on the remote tunnel)")
     p.add_argument("--ply", default="")
     p.add_argument("--mode", choices=["incremental", "global"], default="incremental")
     p.add_argument("--from-matches", action="store_true",

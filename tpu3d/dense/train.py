@@ -94,6 +94,34 @@ def rays_from_cameras(
     )
 
 
+def auto_near_far(cams: np.ndarray, points: np.ndarray,
+                  norm: Optional[SceneNormalization] = None) -> Tuple[float, float]:
+    """Scene-derived sampling band: percentiles of the sparse cloud's depth
+    along each camera's optical axis. The reference's fixed hn=2/hf=6
+    (plenoxel.py:133) was tuned for ITS externally-normalized dataset; on
+    our normalized reconstructions cameras sit INSIDE the scene (~0.2 from
+    center with content at depth 0.02-1.1), so a fixed band can miss the
+    scene entirely — observed as all-white renders."""
+    from tpu3d.io.ply import filter_point_cloud
+
+    keep = filter_point_cloud(points)
+    pts = points[keep] if keep.any() else points
+    if norm is not None:
+        pts = norm.apply(pts)
+    depths = []
+    for m in range(0, len(cams), max(len(cams) // 32, 1)):
+        R = lie.so3_exp_np(cams[m, :3])
+        C = -R.T @ cams[m, 3:6]
+        if norm is not None:
+            C = norm.apply(C)
+        d = (pts - C) @ R[2]
+        depths.append([np.percentile(d, 2), np.percentile(d, 98)])
+    depths = np.asarray(depths)
+    near = max(float(np.percentile(depths[:, 0], 10)) * 0.8, 1e-2)
+    far = float(np.percentile(depths[:, 1], 90)) * 1.3
+    return near, max(far, near + 1e-2)
+
+
 def _lr_schedule(cfg: DenseConfig, steps_per_epoch: int) -> optax.Schedule:
     boundaries = {m * steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones}
     return optax.piecewise_constant_schedule(cfg.learning_rate, boundaries)
