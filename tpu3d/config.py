@@ -150,6 +150,7 @@ class DenseConfig:
     hierarchical: bool = False         # coarse->fine importance sampling
     n_coarse: int = 64                 # density-only pass samples
     n_fine: int = 64                   # importance samples (total = sum)
+    per_ray_aabb: bool = True          # clip each ray's band to the grid box
     density_activation: str = "relu"   # ref sdf.py:376-377 relu(sdf)
 
 

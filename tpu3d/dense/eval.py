@@ -56,7 +56,8 @@ def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
     """Render one full camera view. Returns (H', W', 3) float in [0, 1]."""
     ro, rd = view_rays(cam, H, W, focal, norm, stride)
     img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro), jnp.asarray(rd),
-                       cfg.near, cfg.far, cfg.num_samples, chunk=chunk)
+                       cfg.near, cfg.far, cfg.num_samples, chunk=chunk,
+                       clip_aabb=cfg.per_ray_aabb)
     h = len(range(0, H, stride))
     w = len(range(0, W, stride))
     return np.asarray(img).reshape(h, w, 3)

@@ -41,7 +41,7 @@ def composite_weights(sigma: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return trans * alpha
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb"))
+@functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb", "clip_aabb"))
 def render_rays(
     vg: VoxelGrid,
     key: jax.Array,
@@ -52,11 +52,20 @@ def render_rays(
     n_samples: int = 192,
     white_bg: bool = True,
     perturb: bool = True,
+    clip_aabb: bool = False,
 ) -> jnp.ndarray:
-    """Plenoxel-style fixed [near, far] rendering (ref plenoxel.py:71-93)."""
+    """Plenoxel-style [near, far] rendering (ref plenoxel.py:71-93).
+    clip_aabb=True additionally intersects each ray's band with the grid
+    box (ref's SDF path semantics, sdf.py:154-165) — with cameras INSIDE
+    the reconstructed scene a global band wastes most samples outside the
+    volume for many rays."""
     n = rays_o.shape[0]
     t_near = jnp.full((n,), near, rays_o.dtype)
     t_far = jnp.full((n,), far, rays_o.dtype)
+    if clip_aabb:
+        t0, t1, valid = ray_aabb(rays_o, rays_d, vg.min_bound, vg.max_bound)
+        t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
+        t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z = sample_stratified(key, t_near, t_far, n_samples, perturb)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
@@ -88,7 +97,7 @@ def render_rays_aabb(
     return out, valid
 
 
-@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "white_bg", "perturb"))
+@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "white_bg", "perturb", "clip_aabb"))
 def render_rays_hierarchical(
     vg: VoxelGrid,
     key: jax.Array,
@@ -100,6 +109,7 @@ def render_rays_hierarchical(
     n_fine: int = 64,
     white_bg: bool = True,
     perturb: bool = True,
+    clip_aabb: bool = False,
 ) -> jnp.ndarray:
     """Two-pass hierarchical rendering (NeRF coarse→fine; the reference
     COMPUTES importance samples then throws them away, sdf.py:248-252 —
@@ -115,6 +125,10 @@ def render_rays_hierarchical(
     k1, k2 = jax.random.split(key)
     t_near = jnp.full((n,), near, rays_o.dtype)
     t_far = jnp.full((n,), far, rays_o.dtype)
+    if clip_aabb:
+        t0, t1, valid = ray_aabb(rays_o, rays_d, vg.min_bound, vg.max_bound)
+        t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
+        t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z_c = sample_stratified(k1, t_near, t_far, n_coarse, perturb)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
     from tpu3d.dense.grid import trilinear_sample
@@ -132,7 +146,7 @@ def render_rays_hierarchical(
     return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb"))
+@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb"))
 def render_rays_packed(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -146,6 +160,7 @@ def render_rays_packed(
     n_samples: int = 192,
     white_bg: bool = True,
     perturb: bool = False,
+    clip_aabb: bool = False,
 ) -> jnp.ndarray:
     """render_rays via the Pallas box-DMA sampler (kernels/trilinear.py) —
     ~5x over the XLA gather on a v5e for the full-grid access pattern.
@@ -156,6 +171,10 @@ def render_rays_packed(
     n = rays_o.shape[0]
     t_near = jnp.full((n,), near, rays_o.dtype)
     t_far = jnp.full((n,), far, rays_o.dtype)
+    if clip_aabb:
+        t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
+        t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
+        t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z = sample_stratified(key, t_near, t_far, n_samples, perturb)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
@@ -176,6 +195,7 @@ def render_image(
     n_samples: int = 192,
     chunk: int = 4096,
     use_pallas: Optional[bool] = None,
+    clip_aabb: bool = False,
 ) -> jnp.ndarray:
     """Chunked full-image render (ref plenoxel.py:46-61 `test`). Padding to
     a whole number of chunks keeps one compiled shape. On TPU backends the
@@ -198,9 +218,11 @@ def render_image(
             outs.append(render_rays_packed(
                 packed, vg.min_bound, vg.max_bound, res, key,
                 ro[s : s + chunk], rd[s : s + chunk], near, far, n_samples,
+                clip_aabb=clip_aabb,
             ))
         else:
             outs.append(
-                render_rays(vg, key, ro[s : s + chunk], rd[s : s + chunk], near, far, n_samples, perturb=False)
+                render_rays(vg, key, ro[s : s + chunk], rd[s : s + chunk], near, far,
+                            n_samples, perturb=False, clip_aabb=clip_aabb)
             )
     return jnp.concatenate(outs)[:n]

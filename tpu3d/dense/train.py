@@ -143,11 +143,12 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
 
             pred = render_rays_hierarchical(
                 vg, key, ro, rd, cfg.near, cfg.far, cfg.n_coarse, cfg.n_fine,
-                cfg.white_background,
+                cfg.white_background, clip_aabb=cfg.per_ray_aabb,
             )
         else:
             pred = render_rays(
-                vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background
+                vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background,
+                clip_aabb=cfg.per_ray_aabb,
             )
         return jnp.mean((pred - rgb) ** 2)
 
