@@ -267,3 +267,18 @@ def test_hierarchical_render_matches_dense_sampling(rng):
     ds = RayDataset(o, d, dense)
     grid, losses = train_plenoxel(ds, cfg, verbose=False, log_every=1)
     assert losses[-1] < losses[0] * 0.3
+
+
+def test_auto_near_far_brackets_content(rng):
+    """The derived band must bracket the cloud depth seen from each camera."""
+    from tpu3d.dense.train import SceneNormalization, auto_near_far
+
+    pts = rng.uniform(-1, 1, (500, 3)).astype(np.float32)
+    # cameras on a ring of radius 3 looking at the origin (world->cam with
+    # R=I, t=(0,0,3) puts the cloud at depth ~2..4)
+    cams = np.zeros((4, 6), np.float32)
+    cams[:, 5] = 3.0
+    near, far = auto_near_far(cams, pts)
+    assert 1.0 < near < 2.5
+    assert 3.0 < far < 7.0
+    assert near < far
