@@ -386,99 +386,83 @@ def run_reconstruction(
 
     if adj:
         _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed)
-    # Pose-graph consistency gate: the incremental chain tracks the local
-    # trajectory far more smoothly than averaging-initialized BA, but it
-    # occasionally TELEPORTS a camera (a wrongly-scaled fallback or a bad
-    # PnP that BA then locks in). The rotation/translation averages over
-    # all pairwise edges are coarse but globally sane — cameras that
-    # grossly disagree with them are deregistered and re-attempted.
-    dropped = _pose_graph_consistency_gate(engine, registrations, ts, verbose)
+    # Edge consistency gate: the incremental chain tracks the local
+    # trajectory smoothly but occasionally TELEPORTS a camera (a
+    # wrongly-scaled fallback or a bad PnP that BA then locks in). Each
+    # camera is checked LOCALLY against the measured two-view relative
+    # poses of its own edges — a global check against averaged poses
+    # cannot work here, because rotation averaging itself drifts ~sqrt(
+    # graph diameter) x edge noise (~14 deg on this dataset), swamping
+    # real errors.
+    dropped = _edge_consistency_gate(engine, registrations, verbose)
     if dropped and adj:
         _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed + 1,
                      rounds=3, deregister_round=99)
     return engine.finalize(feats.names)
 
 
-def _pose_graph_consistency_gate(
-    engine, registrations, ts, verbose: bool,
-    rot_thr_deg: float = 20.0, center_thr_sigma: float = 6.0,
+def _edge_consistency_gate(
+    engine, registrations, verbose: bool,
+    rot_thr_deg: float = 12.0, dir_thr_deg: float = 35.0,
+    min_edges: int = 2,
 ) -> int:
-    """Deregister cameras inconsistent with the pose-graph averages.
-    Returns the number of dropped cameras."""
+    """Deregister cameras whose estimated pose disagrees with the MAJORITY
+    of their own measured edges: per edge (i, j), compare R_j R_iᵀ with
+    the E-gate's rel_R (geodesic angle) and the estimated baseline
+    direction C_j − C_i with −R_jᵀ rel_t. Per-camera medians over its
+    edges make single outlier edges harmless. Returns #dropped."""
     from tpu3d.core import lie
-    from tpu3d.sfm.posegraph import average_rotations, average_translations, largest_component
 
     n = engine.n_images
-    edges, rel_R, rel_t = [], [], []
+    rot_errs: Dict[int, List[float]] = {}
+    dir_errs: Dict[int, List[float]] = {}
+    R_cache: Dict[int, np.ndarray] = {}
+    C_cache: Dict[int, np.ndarray] = {}
+
+    def RC(i):
+        if i not in R_cache:
+            R_cache[i] = lie.so3_exp_np(engine.cams[i, :3])
+            C_cache[i] = -R_cache[i].T @ engine.cams[i, 3:6]
+        return R_cache[i], C_cache[i]
+
     for reg in registrations:
+        j = reg.img
+        if not engine.has_cam[j]:
+            continue
         for e in reg.edges:
-            if e.rel_R is not None:
-                edges.append((e.ref_img, reg.img))
-                rel_R.append(np.asarray(e.rel_R, np.float64))
-                rel_t.append(np.asarray(e.rel_t, np.float64))
-    if len(edges) < 8:
-        return 0
-    mask = largest_component(n, edges)
-    R_avg = average_rotations(n, edges, rel_R, mask)
-    both = mask & engine.has_cam
-    idx = np.flatnonzero(both)
-    if len(idx) < 8:
-        return 0
-    R_inc = np.stack([lie.so3_exp_np(engine.cams[i, :3]) for i in idx])
-    # Robust gauge alignment: G minimizing Σ w ||R_inc - R_avg G||.
-    w = np.ones(len(idx))
-    G = np.eye(3)
-    for _ in range(5):
-        M = np.einsum("n,nij,nik->jk", w, R_avg[idx], R_inc)
-        U, _, Vt = np.linalg.svd(M)
-        G = U @ np.diag([1, 1, np.sign(np.linalg.det(U @ Vt))]) @ Vt
-        dev = np.array([
-            np.linalg.norm(lie.so3_log_np(R_inc[k].T @ R_avg[i] @ G))
-            for k, i in enumerate(idx)
-        ])
-        sigma = max(np.median(dev) * 1.4826, np.radians(2.0))
-        w = 1.0 / (1.0 + (dev / sigma) ** 2)
-    rot_bad = dev > np.radians(rot_thr_deg)
+            i = e.ref_img
+            if e.rel_R is None or not engine.has_cam[i]:
+                continue
+            Ri, Ci = RC(i)
+            Rj, Cj = RC(j)
+            dR = (Rj @ Ri.T) @ np.asarray(e.rel_R).T
+            ang = np.degrees(np.linalg.norm(lie.so3_log_np(dR)))
+            b = Cj - Ci
+            nb = np.linalg.norm(b)
+            d = -Rj.T @ np.asarray(e.rel_t)
+            nd = np.linalg.norm(d)
+            if nb > 1e-9 and nd > 1e-9:
+                dang = np.degrees(np.arccos(np.clip(b @ d / nb / nd, -1, 1)))
+            else:
+                dang = 0.0
+            for img in (i, j):
+                rot_errs.setdefault(img, []).append(ang)
+                dir_errs.setdefault(img, []).append(dang)
 
-    # Center consistency: robust similarity (Umeyama on rot-consistent
-    # cameras) aligning the averaged centers onto the incremental ones.
-    w0 = np.ones(len(edges))
-    for k, ((i, j), Rij) in enumerate(zip(edges, rel_R)):
-        if mask[i] and mask[j]:
-            r = np.linalg.norm(R_avg[j] - Rij @ R_avg[i])
-            w0[k] = 1.0 / (1.0 + (r / 0.2) ** 2)
-    C_avg = average_translations(n, edges, rel_t, R_avg, mask, init_weights=w0)
-    C_inc = np.stack([-lie.so3_exp_np(engine.cams[i, :3]).T @ engine.cams[i, 3:6] for i in idx])
-    A = C_avg[idx][~rot_bad]
-    B = C_inc[~rot_bad]
-    if len(A) >= 4:
-        muA, muB = A.mean(0), B.mean(0)
-        A0, B0 = A - muA, B - muB
-        U, S, Vt = np.linalg.svd(A0.T @ B0 / len(A))
-        d = np.sign(np.linalg.det(U @ Vt))
-        Rsim = (U @ np.diag([1, 1, d]) @ Vt).T
-        s = np.trace(np.diag(S) @ np.diag([1, 1, d])) / ((A0 ** 2).sum() / len(A))
-        pred = s * (C_avg[idx] - muA) @ Rsim.T + muB
-        cdev = np.linalg.norm(pred - C_inc, axis=1)
-        csigma = max(float(np.median(cdev)) * 1.4826, 1e-9)
-        center_bad = cdev > center_thr_sigma * csigma
-    else:
-        center_bad = np.zeros(len(idx), bool)
-
-    bad = np.flatnonzero(rot_bad | center_bad)
     dropped = 0
-    for k in bad:
-        img = int(idx[k])
-        if engine.has_cam[img]:
+    for img in np.flatnonzero(engine.has_cam):
+        re_ = rot_errs.get(int(img), [])
+        if len(re_) < min_edges:
+            continue
+        if (float(np.median(re_)) > rot_thr_deg
+                or float(np.median(dir_errs[int(img)])) > dir_thr_deg):
             engine.has_cam[img] = False
             engine.num_registered -= 1
-            # clear this camera's observations so BA forgets it
-            sl = slice(img * engine._K, (img + 1) * engine._K)
+            sl = slice(int(img) * engine._K, (int(img) + 1) * engine._K)
             engine.obs_valid[sl] = 0
             dropped += 1
     if verbose and dropped:
-        print(f"[sfm] pose-graph consistency gate dropped {dropped} cameras "
-              f"({int(rot_bad.sum())} rotation, {int(center_bad.sum())} center)", flush=True)
+        print(f"[sfm] edge consistency gate dropped {dropped} cameras", flush=True)
     if dropped:
         engine.global_ba()
     return dropped
