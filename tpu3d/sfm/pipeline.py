@@ -385,7 +385,8 @@ def run_reconstruction(
             print(f"[sfm] retry round {round_ + 1}: {len(pending)} images", flush=True)
 
     if adj:
-        _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed)
+        rescued = _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed)
+        registrations = list(registrations) + rescued
     # Edge consistency gate: the incremental chain tracks the local
     # trajectory smoothly but occasionally TELEPORTS a camera (a
     # wrongly-scaled fallback or a bad PnP that BA then locks in). Each
@@ -475,8 +476,11 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
     REGISTERED is stuck with useless edges. Re-match such images directly
     against registered adjacency neighbors (fresh edges, fresh tracks),
     then register. Repeats while it makes progress; mid-way, weak cameras
-    are deregistered so their slots get re-attempted with fresh edges."""
+    are deregistered so their slots get re-attempted with fresh edges.
+    Returns the list of rescue ImageRegistrations (for consistency
+    gating)."""
     key = jax.random.PRNGKey(seed)
+    rescued: List[ImageRegistration] = []
     for rescue_round in range(rounds):
         if rescue_round == deregister_round:
             dropped = engine.deregister_weak_cameras()
@@ -504,15 +508,18 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
                     ))
             if not edges:
                 continue
-            info = engine.register_image(ImageRegistration(img=v, edges=edges))
+            reg_v = ImageRegistration(img=v, edges=edges)
+            info = engine.register_image(reg_v)
             if info.get("status") == "registered":
                 progressed += 1
+                rescued.append(reg_v)
             if verbose:
                 print(f"[sfm-rescue] {info}", flush=True)
         if verbose:
             print(f"[sfm] rescue round {rescue_round}: +{progressed} registered", flush=True)
         if progressed == 0:
             break
+    return rescued
 
 
 def run_global_reconstruction(
