@@ -129,6 +129,13 @@ class SfMConfig:
     run_pair_ba: bool = True
     run_global_ba: bool = True         # new capability (reference has none)
     global_ba_every: int = 8           # run global BA every N registrations
+    # Deregister cameras whose pose disagrees with the majority of their
+    # own two-view edges. OFF by default: measured on ystad_kloster, the
+    # E-gate relative poses (small-baseline pairs) are noisier than the
+    # BA-refined cameras they would judge — the gate dropped 126/290 at
+    # rot_thr 12 deg, mostly good cameras. Useful only with generous
+    # thresholds on graphs with long-baseline edges.
+    edge_consistency_gate: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -387,18 +387,17 @@ def run_reconstruction(
     if adj:
         rescued = _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed)
         registrations = list(registrations) + rescued
-    # Edge consistency gate: the incremental chain tracks the local
-    # trajectory smoothly but occasionally TELEPORTS a camera (a
-    # wrongly-scaled fallback or a bad PnP that BA then locks in). Each
-    # camera is checked LOCALLY against the measured two-view relative
-    # poses of its own edges — a global check against averaged poses
-    # cannot work here, because rotation averaging itself drifts ~sqrt(
-    # graph diameter) x edge noise (~14 deg on this dataset), swamping
-    # real errors.
-    dropped = _edge_consistency_gate(engine, registrations, verbose)
-    if dropped and adj:
-        _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed + 1,
-                     rounds=3, deregister_round=99)
+    # Optional edge-consistency gate (cfg.sfm.edge_consistency_gate; OFF
+    # by default — see the config for the measured reason): checks each
+    # camera LOCALLY against its own two-view relative poses. A global
+    # check against averaged poses cannot work here at all — rotation
+    # averaging drifts ~sqrt(graph diameter) x edge noise (~14 deg on
+    # this dataset), swamping real errors.
+    if cfg.sfm.edge_consistency_gate:
+        dropped = _edge_consistency_gate(engine, registrations, verbose)
+        if dropped and adj:
+            _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed + 1,
+                         rounds=3, deregister_round=99)
     return engine.finalize(feats.names)
 
 
