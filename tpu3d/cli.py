@@ -210,8 +210,13 @@ def cmd_densify(args):
     # Checkpoints download the full grid + Adam moments (5.7 GB at 256^3)
     # over the remote-TPU tunnel — minutes per epoch; off for experiments.
     ck_store = None if args.no_checkpoint else store
-    grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
-                                  checkpoint_store=ck_store, resume=args.resume)
+    if args.model == "sdf":
+        from tpu3d.dense.train import train_sdf
+
+        grid, losses = train_sdf(dataset, dcfg, verbose=not args.quiet)
+    else:
+        grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
+                                      checkpoint_store=ck_store, resume=args.resume)
     if not args.no_checkpoint:
         store.save("dense_grid", grid=np.asarray(grid.grid),
                    min_bound=np.asarray(grid.min_bound), max_bound=np.asarray(grid.max_bound))
@@ -271,6 +276,8 @@ def main(argv=None):
     p.add_argument("--global-ba-every", type=int, default=8)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--ray-stride", type=int, default=2)
+    p.add_argument("--model", choices=["plenoxel", "sdf"], default="plenoxel",
+                   help="dense model: plenoxel density grid or SDF grid (ref sdf.py)")
     p.add_argument("--hierarchical", action="store_true",
                    help="coarse->fine importance sampling in the dense stage")
     p.add_argument("--holdout-every", type=int, default=8,

@@ -264,6 +264,79 @@ def train_plenoxel(
     return state.grid, losses
 
 
+def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
+    """SDF-grid step (ref sdf.py:423-438): render_rays_aabb with per-ray
+    AABB bounds, MSE over VALID rays only (ref masks with `valid`,
+    sdf.py:431)."""
+    from tpu3d.dense.render import render_rays_aabb
+    from tpu3d.dense.sdf import SDFGrid
+
+    def loss_fn(grid_arr, template, key, ro, rd, rgb):
+        sg = SDFGrid(grid_arr, template.min_bound, template.max_bound)
+        pred, valid = render_rays_aabb(sg, key, ro, rd, cfg.num_samples,
+                                       cfg.white_background)
+        w = valid.astype(pred.dtype)[:, None]
+        return jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, key, ro, rd, rgb):
+        from tpu3d.dense.sdf import SDFGrid
+
+        tmpl = SDFGrid(state.grid.grid, state.grid.min_bound, state.grid.max_bound)
+        loss, g = jax.value_and_grad(loss_fn)(state.grid.grid, tmpl, key, ro, rd, rgb)
+        updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
+        new_grid = optax.apply_updates(state.grid.grid, updates)
+        return TrainState(
+            VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
+            opt_state, state.step + 1,
+        ), loss
+
+    return step
+
+
+def train_sdf(
+    dataset: RayDataset,
+    cfg: Optional[DenseConfig] = None,
+    seed: int = 0,
+    grid: Optional[VoxelGrid] = None,
+    verbose: bool = True,
+    log_every: int = 170,
+) -> Tuple[VoxelGrid, List[float]]:
+    """SDF-grid training loop (ref sdf.py:409-445): same schedule/batching
+    as the plenoxel path, per-ray AABB sampling, valid-ray masking."""
+    cfg = cfg or DenseConfig()
+    n = len(dataset.origins)
+    steps_per_epoch = max(n // cfg.batch_size, 1)
+    if grid is None:
+        s = cfg.scene_scale
+        grid = create_grid(cfg.grid_resolution, (-s, -s, -s), (s, s, s))
+    optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
+    state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0))
+    step_fn = make_sdf_train_step(cfg, optimizer)
+    losses: List[float] = []
+    key = jax.random.PRNGKey(seed)
+    t0 = time.time()
+    for epoch in range(cfg.epochs):
+        key, pkey = jax.random.split(key)
+        perm = np.asarray(jax.random.permutation(pkey, n))
+        for b in range(steps_per_epoch):
+            idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
+            key, skey = jax.random.split(key)
+            state, loss = step_fn(
+                state, skey,
+                jnp.asarray(dataset.origins[idx]),
+                jnp.asarray(dataset.dirs[idx]),
+                jnp.asarray(dataset.rgb[idx]),
+            )
+            if b % log_every == 0:
+                losses.append(float(loss))
+                if verbose:
+                    rate = (b + 1) * cfg.batch_size / (time.time() - t0)
+                    print(f"[sdf] epoch {epoch} step {b}/{steps_per_epoch} "
+                          f"loss {float(loss):.5f} ({rate:.0f} rays/s)", flush=True)
+    return state.grid, losses
+
+
 def psnr(pred: np.ndarray, gt: np.ndarray) -> float:
     mse = float(np.mean((pred - gt) ** 2))
     return -10.0 * np.log10(mse + 1e-12)
