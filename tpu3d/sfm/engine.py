@@ -112,6 +112,17 @@ def _triangulate_and_gate(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
         return _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px)
 
 
+@jax.jit
+def _triangulate_and_gate_edges(cams_i, cam_j, uv0n, uv1n, focal, thr_px):
+    """All of one image's edges in ONE device call (cams_i: (E, 6),
+    uv: (E, CAP, 2)) — on a remote-TPU backend every extra dispatch is a
+    network round trip, and registration makes one per edge otherwise."""
+    with jax.default_matmul_precision("float32"):
+        return jax.vmap(
+            lambda ci, u0, u1: _triangulate_and_gate_body(ci, cam_j, u0, u1, focal, thr_px)
+        )(cams_i, uv0n, uv1n)
+
+
 def _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
     Ri = lie.so3_exp(cam_i[:3])
     Rj = lie.so3_exp(cam_j[:3])
@@ -309,9 +320,10 @@ class IncrementalSfM:
             self.has_cam[j] = True
             self.num_registered += 1
 
-        # ---- triangulate new tracks per edge (needs the ref camera) ----
+        # ---- triangulate new tracks, ALL edges in one device call ----
         n_new_total = 0
         ba_edges = []
+        tri_edges = []
         for e in edges:
             if not self.has_cam[e.ref_img]:
                 # Ref not registered (yet): still record this image's own
@@ -324,22 +336,34 @@ class IncrementalSfM:
                     self._record_obs(j, e.idx_new[live], e.track[live], e.uv_new[live])
                     self._record_obs(e.ref_img, e.idx_ref[live], e.track[live], e.uv_ref[live])
                 continue
-            tr = np.clip(e.track, 0, self.points.shape[0] - 1)
-            new = (e.track >= 0) & ~self.point_valid[tr]
-            m = min(len(e.idx_new), EDGE_CAP)
-            uv_r = _pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP)
-            uv_n = _pad(e.uv_new.astype(np.float32) / f, EDGE_CAP)
-            X_new, good = _triangulate_and_gate(
-                jnp.asarray(self.cams[e.ref_img]), jnp.asarray(cam_j),
+            tri_edges.append(e)
+        if tri_edges:
+            cams_i = np.stack([self.cams[e.ref_img] for e in tri_edges])
+            uv_r = np.stack([_pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
+            uv_n = np.stack([_pad(e.uv_new.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
+            # Pad the edge axis so the batched kernel compiles once.
+            ne = len(tri_edges)
+            if ne < MAX_REFS:
+                cams_i = np.concatenate([cams_i, np.tile(cams_i[-1:], (MAX_REFS - ne, 1))])
+                uv_r = np.concatenate([uv_r, np.tile(uv_r[-1:], (MAX_REFS - ne, 1, 1))])
+                uv_n = np.concatenate([uv_n, np.tile(uv_n[-1:], (MAX_REFS - ne, 1, 1))])
+            X_all, good_all = _triangulate_and_gate_edges(
+                jnp.asarray(cams_i), jnp.asarray(cam_j),
                 jnp.asarray(uv_r), jnp.asarray(uv_n), f,
                 cfg.ransac.threshold_px * 2.0,
             )
+            X_all = np.asarray(X_all)
+            good_all = np.asarray(good_all)
+        for k, e in enumerate(tri_edges):
+            tr = np.clip(e.track, 0, self.points.shape[0] - 1)
+            new = (e.track >= 0) & ~self.point_valid[tr]
+            m = min(len(e.idx_new), EDGE_CAP)
             accept = np.zeros(len(e.idx_new), bool)
-            accept[:m] = np.asarray(good)[:m] & new[:m]
+            accept[:m] = good_all[k][:m] & new[:m]
             n_new = int(accept.sum())
             if n_new:
                 ids = e.track[accept]
-                self.points[ids] = np.asarray(X_new)[:m][accept[:m]]
+                self.points[ids] = X_all[k][:m][accept[:m]]
                 self.point_valid[ids] = True
                 self.point_color[ids] = e.colors_ref[accept]
                 n_new_total += n_new
