@@ -35,3 +35,23 @@ def write_ply(path: str, points: np.ndarray, colors_bgr: np.ndarray, scale: floa
         for p, c in zip(pts, cols):
             f.write(f"{p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {int(c[0])} {int(c[1])} {int(c[2])}\n")
     return len(pts)
+
+
+def merge_debug_ply(path: str, clouds, colors=None, scale: float = 1.0) -> int:
+    """Merge point clouds into one debug-colored PLY (ref numpy2ply.py:3-44:
+    red = sample points, green = SfM cloud). `clouds` is a sequence of
+    (N_i, 3) arrays; `colors` an optional matching sequence of BGR
+    triples (defaults to a distinct palette). Returns vertex count."""
+    palette = [(0, 0, 255), (0, 255, 0), (255, 0, 0), (0, 255, 255), (255, 0, 255)]
+    pts, cols = [], []
+    for k, c in enumerate(clouds):
+        c = np.asarray(c, np.float32)
+        if len(c) == 0:
+            continue
+        pts.append(c * scale)
+        bgr = (colors[k] if colors is not None else palette[k % len(palette)])
+        cols.append(np.tile(np.asarray(bgr, np.uint8), (len(c), 1)))
+    if not pts:
+        return 0
+    return write_ply(path, np.concatenate(pts), np.concatenate(cols),
+                     scale=1.0, apply_filter=False)
