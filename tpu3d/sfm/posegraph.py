@@ -120,6 +120,73 @@ def average_rotations(
     return R_out
 
 
+def refine_rotations(
+    n: int,
+    edges: Sequence[Tuple[int, int]],
+    rel_R: Sequence[np.ndarray],
+    R_init: np.ndarray,
+    mask: Optional[np.ndarray] = None,
+    iters: int = 8,
+) -> np.ndarray:
+    """Lie-algebra Gauss-Newton refinement of averaged rotations
+    (Chatterjee & Govindu-style iteration). The chordal eigensolve is a
+    RELAXATION — its solution drifts with graph diameter; here each
+    iteration solves the linearized consistency system
+
+        min_ω Σ_e w_e ||r_e + ω_i − ω_j||²,   r_e = Log(R_jᵀ Z_e R_i)
+
+    (three independent graph-Laplacian solves) with Cauchy IRLS weights,
+    then retracts R_i ← R_i Exp(ω_i)."""
+    from tpu3d.core import lie
+
+    if mask is None:
+        mask = np.ones(n, bool)
+    nodes = np.flatnonzero(mask)
+    idx_of = -np.ones(n, np.int64)
+    idx_of[nodes] = np.arange(len(nodes))
+    m = len(nodes)
+    ea, eb, Zs = [], [], []
+    for (i, j), Z in zip(edges, rel_R):
+        a, b = idx_of[i], idx_of[j]
+        if a < 0 or b < 0:
+            continue
+        ea.append(a)
+        eb.append(b)
+        Zs.append(np.asarray(Z, np.float64))
+    if not ea:
+        return R_init.copy()
+    ea = np.asarray(ea)
+    eb = np.asarray(eb)
+    R = R_init.copy()
+    for _ in range(iters):
+        r = np.stack([
+            lie.so3_log_np(R[nodes[eb[k]]].T @ Zs[k] @ R[nodes[ea[k]]])
+            for k in range(len(ea))
+        ])
+        nr = np.linalg.norm(r, axis=1)
+        sigma = max(float(np.median(nr)) * 1.4826, 1e-4)
+        w = 1.0 / (1.0 + (nr / sigma) ** 2)
+        L = np.zeros((m, m))
+        rhs = np.zeros((m, 3))
+        np.add.at(L, (ea, ea), w)
+        np.add.at(L, (eb, eb), w)
+        np.add.at(L, (ea, eb), -w)
+        np.add.at(L, (eb, ea), -w)
+        # residual model r + ω_i − ω_j = 0  ⇒  normal eqs rhs
+        np.add.at(rhs, ea, -w[:, None] * r)
+        np.add.at(rhs, eb, w[:, None] * r)
+        L[0, :] = 0.0
+        L[0, 0] = 1.0
+        rhs[0] = 0.0
+        omega = np.linalg.solve(L + 1e-12 * np.eye(m), rhs)
+        step = np.linalg.norm(omega, axis=1).max()
+        for k, node in enumerate(nodes):
+            R[node] = R[node] @ lie.so3_exp_np(omega[k])
+        if step < 1e-8:
+            break
+    return R
+
+
 def average_translations(
     n: int,
     edges: Sequence[Tuple[int, int]],
@@ -260,6 +327,7 @@ def pose_graph_init(
 
     mask = largest_component(n_images, edges)
     R = average_rotations(n_images, edges, rel_R, mask)
+    R = refine_rotations(n_images, edges, rel_R, R, mask)
     # Rotation-consistency weights seed the translation IRLS: an edge whose
     # relative ROTATION disagrees with the global solution almost surely
     # has a bogus translation direction too.
