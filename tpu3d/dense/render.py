@@ -185,6 +185,105 @@ def render_rays_packed(
     return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg)
 
 
+def _query_packed_diff(packed, min_bound, max_bound, res, pts, dirs, interpret):
+    """(sigma, rgb) from a packed grid through the custom_vjp Pallas
+    sampler (forward = box DMA, backward = binned scatter kernel)."""
+    from tpu3d.dense.grid import eval_sh
+    from tpu3d.kernels.trilinear_grad import sample_packed_diff
+
+    vals, in_b = sample_packed_diff(res, interpret, packed, min_bound, max_bound, pts)
+    sigma = jax.nn.relu(vals[:, 0]) * in_b
+    rgb = eval_sh(vals[:, 1:28].reshape(-1, 3, 9), dirs) * in_b[:, None]
+    return sigma, rgb
+
+
+@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg",
+                                              "perturb", "clip_aabb", "interpret"))
+def render_rays_packed_diff(
+    packed: jnp.ndarray,
+    min_bound: jnp.ndarray,
+    max_bound: jnp.ndarray,
+    res,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    n_samples: int = 192,
+    white_bg: bool = True,
+    perturb: bool = True,
+    clip_aabb: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """render_rays with BOTH passes of the Pallas kernel pair — the
+    TRAINING path on the packed layout (vs render_rays_packed, which is
+    forward-only for eval). Position gradients are zero by design
+    (depth sampling carries no grid dependence here)."""
+    n = rays_o.shape[0]
+    t_near = jnp.full((n,), near, rays_o.dtype)
+    t_far = jnp.full((n,), far, rays_o.dtype)
+    if clip_aabb:
+        t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
+        t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
+        t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
+    z = sample_stratified(key, t_near, t_far, n_samples, perturb)
+    pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
+    sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
+                                    pts.reshape(-1, 3), dirs, interpret)
+    return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg)
+
+
+@functools.partial(jax.jit, static_argnames=("res", "n_coarse", "n_fine", "white_bg",
+                                              "perturb", "clip_aabb", "interpret"))
+def render_rays_hierarchical_packed(
+    packed: jnp.ndarray,
+    min_bound: jnp.ndarray,
+    max_bound: jnp.ndarray,
+    res,
+    key: jax.Array,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    near: float,
+    far: float,
+    n_coarse: int = 64,
+    n_fine: int = 64,
+    white_bg: bool = True,
+    perturb: bool = True,
+    clip_aabb: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Hierarchical packed-layout training render. The coarse pass feeds
+    only the stop-gradiented importance weights, so it uses the
+    forward-only sampler; all grid gradients flow through pass 2's
+    custom_vjp sampler (same autodiff structure as
+    render_rays_hierarchical, where z_f = sample_pdf(stop_gradient(w)))."""
+    from tpu3d.kernels.trilinear import _sample_packed
+
+    n = rays_o.shape[0]
+    k1, k2 = jax.random.split(key)
+    t_near = jnp.full((n,), near, rays_o.dtype)
+    t_far = jnp.full((n,), far, rays_o.dtype)
+    if clip_aabb:
+        t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
+        t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
+        t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
+    z_c = sample_stratified(k1, t_near, t_far, n_coarse, perturb)
+    pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
+    vals_c, in_c = _sample_packed(jax.lax.stop_gradient(packed), min_bound,
+                                  max_bound, res, pts_c.reshape(-1, 3), interpret)
+    sigma_c = (jax.nn.relu(vals_c[:, 0]) * in_c).reshape(n, n_coarse)
+    w = composite_weights(sigma_c, z_c)
+    z_f = sample_pdf(k2, z_c, jax.lax.stop_gradient(w), n_fine)
+    z = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
+    pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
+    sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
+                                    pts.reshape(-1, 3), dirs, interpret)
+    S = n_coarse + n_fine
+    return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg)
+
+
 def render_image(
     vg: VoxelGrid,
     key: jax.Array,

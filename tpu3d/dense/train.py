@@ -170,6 +170,44 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     return step
 
 
+def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransformation,
+                           res, interpret: bool = False):
+    """Training step on the PACKED grid layout (kernels/trilinear.py):
+    Pallas box-DMA forward + Pallas binned scatter-add backward
+    (kernels/trilinear_grad.py) replace XLA's latency-bound gather/scatter
+    pair — the dense step's dominant cost. Adam runs directly on the
+    packed array (padding rows/channels get zero gradient and stay zero)."""
+    from tpu3d.dense.render import (render_rays_hierarchical_packed,
+                                    render_rays_packed_diff)
+
+    def loss_fn(packed, minb, maxb, key, ro, rd, rgb):
+        if cfg.hierarchical:
+            pred = render_rays_hierarchical_packed(
+                packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
+                cfg.n_coarse, cfg.n_fine, cfg.white_background,
+                clip_aabb=cfg.per_ray_aabb, interpret=interpret)
+        else:
+            pred = render_rays_packed_diff(
+                packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
+                cfg.num_samples, cfg.white_background,
+                clip_aabb=cfg.per_ray_aabb, interpret=interpret)
+        return jnp.mean((pred - rgb) ** 2)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, key, ro, rd, rgb):
+        loss, g = jax.value_and_grad(loss_fn)(
+            state.grid.grid, state.grid.min_bound, state.grid.max_bound,
+            key, ro, rd, rgb)
+        updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
+        new_grid = optax.apply_updates(state.grid.grid, updates)
+        return TrainState(
+            VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
+            opt_state, state.step + 1,
+        ), loss
+
+    return step
+
+
 def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -> None:
     """Persist grid + Adam moments (the reference loses everything on a
     training crash — SURVEY §5 checkpoint/resume row)."""
@@ -217,27 +255,46 @@ def train_plenoxel(
     log_every: int = 170,
     checkpoint_store=None,
     resume: bool = False,
+    packed: Optional[bool] = None,
 ) -> Tuple[VoxelGrid, List[float]]:
     """Reference training loop (plenoxel.py:96-121 / sdf.py:423-445), with
-    optional per-epoch checkpoint/resume through an ArtifactStore."""
+    optional per-epoch checkpoint/resume through an ArtifactStore.
+
+    packed: run the step on the packed grid layout through the Pallas
+    kernel pair (None = auto: on for TPU backends). The returned grid is
+    always unpacked (X, Y, Z, C)."""
     cfg = cfg or DenseConfig()
     n = len(dataset.origins)
     steps_per_epoch = max(n // cfg.batch_size, 1)
     if grid is None:
         s = cfg.scene_scale
         grid = create_grid(cfg.grid_resolution, (-s, -s, -s), (s, s, s))
+    use_packed = packed if packed is not None else (jax.default_backend() != "cpu")
+    orig_shape = tuple(grid.grid.shape)
+    if use_packed:
+        from tpu3d.kernels.trilinear import pack_grid, unpack_grid
+
+        garr = pack_grid(grid.grid)
+    else:
+        garr = grid.grid
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
-    state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0))
+    state = TrainState(VoxelGrid(garr, grid.min_bound, grid.max_bound),
+                       optimizer.init(garr), jnp.asarray(0))
     losses: List[float] = []
     start_epoch = 0
     if resume and checkpoint_store is not None:
         ck = load_checkpoint(checkpoint_store, optimizer)
         if ck is not None:
             state, start_epoch, losses = ck
+            state = _convert_layout(state, use_packed, orig_shape)
             start_epoch += 1
             if verbose:
                 print(f"[dense] resumed at epoch {start_epoch}", flush=True)
-    step_fn = make_train_step(cfg, optimizer)
+    if use_packed:
+        interp = jax.default_backend() == "cpu"
+        step_fn = make_train_step_packed(cfg, optimizer, orig_shape[:3], interp)
+    else:
+        step_fn = make_train_step(cfg, optimizer)
 
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
@@ -261,7 +318,28 @@ def train_plenoxel(
                           f"loss {float(loss):.5f} ({rate:.0f} rays/s)", flush=True)
         if checkpoint_store is not None:
             save_checkpoint(checkpoint_store, state, epoch, losses)
+    if use_packed:
+        return VoxelGrid(unpack_grid(state.grid.grid, orig_shape),
+                         state.grid.min_bound, state.grid.max_bound), losses
     return state.grid, losses
+
+
+def _convert_layout(state: TrainState, use_packed: bool, orig_shape) -> TrainState:
+    """Convert a resumed checkpoint between dense and packed layouts (the
+    pack is a linear reshape, so Adam moments convert the same way)."""
+    from tpu3d.kernels.trilinear import pack_grid, unpack_grid
+
+    is_packed = state.grid.grid.ndim == 5
+    if is_packed == use_packed:
+        return state
+    src_shape = tuple(state.grid.grid.shape)
+    f = pack_grid if use_packed else (lambda a: unpack_grid(a, orig_shape))
+    conv = lambda a: f(a) if hasattr(a, "shape") and tuple(a.shape) == src_shape else a
+    return TrainState(
+        VoxelGrid(conv(state.grid.grid), state.grid.min_bound, state.grid.max_bound),
+        jax.tree_util.tree_map(conv, state.opt_state),
+        state.step,
+    )
 
 
 def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):

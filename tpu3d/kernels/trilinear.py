@@ -56,6 +56,15 @@ def pack_grid(grid: jnp.ndarray) -> jnp.ndarray:
     return g.reshape(X, Y, Z // ZROW + 1, 2, 4 * CPAD)
 
 
+def unpack_grid(packed: jnp.ndarray, shape) -> jnp.ndarray:
+    """Inverse of pack_grid: (X, Y, Zr+1, 2, 128) -> (X, Y, Z, C).
+    pack_grid is a linear injective reshape+pad, so this also maps a
+    packed-layout GRADIENT back to the unpacked grid's gradient."""
+    X, Y, Z, C = shape
+    g = packed.reshape(X, Y, (Z // ZROW + 1) * ZROW, CPAD)
+    return g[:, :, :Z, :C]
+
+
 def sample_packed(packed: jnp.ndarray, min_bound, max_bound, res,
                   pts: jnp.ndarray, interpret=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Trilinear samples from a pack_grid()-packed grid.
