@@ -59,9 +59,60 @@ def main():
 
     bytes_gather = n * 8 * 28 * 4
     print(f"res={res} n={n}")
-    print(f"forward      {t_fwd*1000:8.2f} ms  ({bytes_gather/t_fwd/1e9:7.1f} GB/s gather traffic)")
-    print(f"fwd+backward {t_bwd*1000:8.2f} ms  "
+    print(f"XLA forward      {t_fwd*1000:8.2f} ms  ({bytes_gather/t_fwd/1e9:7.1f} GB/s gather traffic)")
+    print(f"XLA fwd+backward {t_bwd*1000:8.2f} ms  "
           f"(equiv batch rate {n/192/t_bwd:8.0f} rays/s at 192 samples)")
+
+    # ---- Pallas packed kernel pair (kernels/trilinear{,_grad}.py) ----
+    from tpu3d.kernels.trilinear import CPAD, pack_grid
+    from tpu3d.kernels.trilinear_grad import sample_packed_diff, scatter_grad
+
+    interp = jax.default_backend() == "cpu"
+    resT = (res, res, res)
+    packed = jax.jit(pack_grid)(grid)
+    packed.block_until_ready()
+
+    pfwd = jax.jit(lambda p, q: sample_packed_diff(resT, interp, p, lo, hi, q)[0])
+
+    def ploss(p, q):
+        return jnp.sum(sample_packed_diff(resT, interp, p, lo, hi, q)[0] ** 2)
+
+    pfwdbwd = jax.jit(jax.grad(ploss))
+
+    o = pfwd(packed, pts)
+    o.block_until_ready()
+    # spot-check vs XLA forward
+    np.testing.assert_allclose(np.asarray(o[:, :28]), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)
+    t0 = time.time()
+    for _ in range(reps):
+        o = pfwd(packed, pts)
+    o.block_until_ready()
+    t_pf = (time.time() - t0) / reps
+
+    gp = pfwdbwd(packed, pts)
+    gp.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        gp = pfwdbwd(packed, pts)
+    gp.block_until_ready()
+    t_pb = (time.time() - t0) / reps
+
+    # backward alone (scatter kernel + on-device binning)
+    ct = jnp.asarray(rng.normal(0, 1, (n, CPAD)).astype(np.float32))
+    psc = jax.jit(lambda c, q: scatter_grad(c, lo, hi, resT, q, interp))
+    gs = psc(ct, pts)
+    gs.block_until_ready()
+    t0 = time.time()
+    for _ in range(reps):
+        gs = psc(ct, pts)
+    gs.block_until_ready()
+    t_sc = (time.time() - t0) / reps
+
+    print(f"Pallas forward       {t_pf*1000:8.2f} ms  ({t_fwd/t_pf:5.2f}x vs XLA)")
+    print(f"Pallas fwd+backward  {t_pb*1000:8.2f} ms  ({t_bwd/t_pb:5.2f}x vs XLA; "
+          f"equiv {n/192/t_pb:8.0f} rays/s)")
+    print(f"Pallas scatter alone {t_sc*1000:8.2f} ms")
 
 
 if __name__ == "__main__":

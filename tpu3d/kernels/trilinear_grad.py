@@ -23,9 +23,11 @@ Design (conflict-free by construction — no atomics, no RMW races):
     accumulates in the halo row, which the (sequentially) next instance
     adds to its row 0 through a persistent VMEM carry buffer;
   - entries stream from HBM in CHUNK-sized pieces: scalar fields
-    (addresses + lerp fractions) into SMEM, gradient rows (pre-tiled to
-    the 128-lane packed layout) into VMEM; the per-entry inner loop does
-    a single (2, 2, 2, 128) vector read-modify-write of the accumulator.
+    (addresses + lerp fractions) ride FIELD-MAJOR as an (8, Ep) array so
+    the lane-dim DMA slices stay 128-aligned (chunk bases round down to
+    128), landing in SMEM for scalar reads; gradient rows (pre-tiled to
+    the 128-lane packed layout) land in VMEM; the per-entry inner loop
+    does one (2, 2, 2, 128) vector read-modify-write of the accumulator.
 
 The public entry is `sample_packed_diff`, a custom_vjp wrapper pairing the
 existing box-DMA forward (trilinear.sample_packed) with this backward, so
@@ -87,13 +89,15 @@ def _scatter_kernel(offs_ref, aux_hbm, g_hbm, out_ref, acc, carry, auxc, gc, sem
         side 1 = entries whose base is the previous slab (weight fx)."""
         start = offs_ref[0, b]
         end = offs_ref[0, b + 1]
-        base8 = (start // 8) * 8
-        nch = (end - base8 + CHUNK - 1) // CHUNK
+        # chunk bases 128-aligned: aux rides as (8, Ep) so its lane-dim
+        # DMA slices must align to the (., 128) HBM tiling
+        base = (start // 128) * 128
+        nch = (end - base + CHUNK - 1) // CHUNK
 
         def chunk_body(c, _):
-            ebase = base8 + c * CHUNK
+            ebase = base + c * CHUNK
             da = pltpu.make_async_copy(
-                aux_hbm.at[pl.ds(ebase // 8, CHUNK // 8)], auxc, sems.at[0])
+                aux_hbm.at[:, pl.ds(ebase, CHUNK)], auxc, sems.at[0])
             dg = pltpu.make_async_copy(
                 g_hbm.at[pl.ds(ebase // 8, CHUNK // 8)], gc, sems.at[1])
             da.start()
@@ -106,12 +110,12 @@ def _scatter_kernel(offs_ref, aux_hbm, g_hbm, out_ref, acc, carry, auxc, gc, sem
             def entry(j, _):
                 k8 = j // 8
                 kr = j - k8 * 8
-                y0l = auxc[k8, kr, 0].astype(jnp.int32)
-                zr = auxc[k8, kr, 1].astype(jnp.int32)
-                zrem = auxc[k8, kr, 2].astype(jnp.int32)
-                fx = auxc[k8, kr, 3]
-                fy = auxc[k8, kr, 4]
-                fz = auxc[k8, kr, 5]
+                y0l = auxc[0, j].astype(jnp.int32)
+                zr = auxc[1, j].astype(jnp.int32)
+                zrem = auxc[2, j].astype(jnp.int32)
+                fx = auxc[3, j]
+                fy = auxc[4, j]
+                fz = auxc[5, j]
                 wx = (1.0 - fx) if side == 0 else fx
                 # select sublane kr of the gradient-row block -> (128,)
                 grow = jnp.sum(
@@ -187,7 +191,7 @@ def scatter_grad(g_vals: jnp.ndarray, min_bound, max_bound, res,
 
     Ep = (N // CHUNK + 2) * CHUNK
     ps = jnp.pad(ps, ((0, Ep - N), (0, 0)))
-    aux3 = ps[:, :8].reshape(Ep // 8, 8, 8)
+    auxT = ps[:, :8].T                                    # (8, Ep) field-major
     g128 = jnp.tile(ps[:, 8:], (1, 128 // CPAD)).reshape(Ep // 8, 8, 128)
 
     return pl.pallas_call(
@@ -204,12 +208,12 @@ def scatter_grad(g_vals: jnp.ndarray, min_bound, max_bound, res,
         scratch_shapes=[
             pltpu.VMEM((YBS + 1, Zr + 1, 2, 128), jnp.float32),
             pltpu.VMEM((Zr + 1, 2, 128), jnp.float32),
-            pltpu.SMEM((CHUNK // 8, 8, 8), jnp.float32),
+            pltpu.SMEM((8, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK // 8, 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(offs, aux3, g128)
+    )(offs, auxT, g128)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
