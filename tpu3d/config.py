@@ -159,6 +159,14 @@ class DenseConfig:
     n_fine: int = 64                   # importance samples (total = sum)
     per_ray_aabb: bool = True          # clip each ray's band to the grid box
     density_activation: str = "relu"   # ref sdf.py:376-377 relu(sdf)
+    # Occupancy-pruned marching (the nerfacc-style acceleration the
+    # reference declares but never ships — requirement.txt:8,
+    # voxel_travesal.py): tighten each ray's band to occupied space.
+    occupancy_prune: bool = False
+    occupancy_factor: int = 4          # coarse cell = factor^3 voxels
+    occupancy_threshold: float = 1e-2  # density > thr => occupied
+    occupancy_probes: int = 128        # band probes per ray
+    occupancy_every: int = 500         # refresh cadence (train steps)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,7 +41,18 @@ def composite_weights(sigma: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return trans * alpha
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb", "clip_aabb"))
+def _tighten(occ, min_bound, max_bound, rays_o, rays_d, t_near, t_far, n_probes):
+    """Optionally shrink [t_near, t_far] to occupied space (occupancy.py)."""
+    if occ is None:
+        return t_near, t_far
+    from tpu3d.dense.occupancy import tighten_bands
+
+    t0, t1, _ = tighten_bands(occ, min_bound, max_bound, rays_o, rays_d,
+                              t_near, t_far, n_probes)
+    return t0, t1
+
+
+@functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes"))
 def render_rays(
     vg: VoxelGrid,
     key: jax.Array,
@@ -53,6 +64,8 @@ def render_rays(
     white_bg: bool = True,
     perturb: bool = True,
     clip_aabb: bool = False,
+    occ: jnp.ndarray = None,
+    occ_probes: int = 128,
 ) -> jnp.ndarray:
     """Plenoxel-style [near, far] rendering (ref plenoxel.py:71-93).
     clip_aabb=True additionally intersects each ray's band with the grid
@@ -66,6 +79,8 @@ def render_rays(
         t0, t1, valid = ray_aabb(rays_o, rays_d, vg.min_bound, vg.max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
+    t_near, t_far = _tighten(occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
+                             t_near, t_far, occ_probes)
     z = sample_stratified(key, t_near, t_far, n_samples, perturb)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
@@ -97,7 +112,7 @@ def render_rays_aabb(
     return out, valid
 
 
-@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "white_bg", "perturb", "clip_aabb"))
+@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "white_bg", "perturb", "clip_aabb", "occ_probes"))
 def render_rays_hierarchical(
     vg: VoxelGrid,
     key: jax.Array,
@@ -110,6 +125,8 @@ def render_rays_hierarchical(
     white_bg: bool = True,
     perturb: bool = True,
     clip_aabb: bool = False,
+    occ: jnp.ndarray = None,
+    occ_probes: int = 128,
 ) -> jnp.ndarray:
     """Two-pass hierarchical rendering (NeRF coarse→fine; the reference
     COMPUTES importance samples then throws them away, sdf.py:248-252 —
@@ -129,6 +146,8 @@ def render_rays_hierarchical(
         t0, t1, valid = ray_aabb(rays_o, rays_d, vg.min_bound, vg.max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
+    t_near, t_far = _tighten(occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
+                             t_near, t_far, occ_probes)
     z_c = sample_stratified(k1, t_near, t_far, n_coarse, perturb)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
     from tpu3d.dense.grid import trilinear_sample
@@ -146,7 +165,7 @@ def render_rays_hierarchical(
     return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb"))
+@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes"))
 def render_rays_packed(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -161,6 +180,8 @@ def render_rays_packed(
     white_bg: bool = True,
     perturb: bool = False,
     clip_aabb: bool = False,
+    occ: jnp.ndarray = None,
+    occ_probes: int = 128,
 ) -> jnp.ndarray:
     """render_rays via the Pallas box-DMA sampler (kernels/trilinear.py) —
     ~5x over the XLA gather on a v5e for the full-grid access pattern.
@@ -175,6 +196,8 @@ def render_rays_packed(
         t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
+    t_near, t_far = _tighten(occ, min_bound, max_bound, rays_o, rays_d,
+                             t_near, t_far, occ_probes)
     z = sample_stratified(key, t_near, t_far, n_samples, perturb)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
@@ -198,7 +221,7 @@ def _query_packed_diff(packed, min_bound, max_bound, res, pts, dirs, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg",
-                                              "perturb", "clip_aabb", "interpret"))
+                                              "perturb", "clip_aabb", "interpret", "occ_probes"))
 def render_rays_packed_diff(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -214,6 +237,8 @@ def render_rays_packed_diff(
     perturb: bool = True,
     clip_aabb: bool = False,
     interpret: bool = False,
+    occ: jnp.ndarray = None,
+    occ_probes: int = 128,
 ) -> jnp.ndarray:
     """render_rays with BOTH passes of the Pallas kernel pair — the
     TRAINING path on the packed layout (vs render_rays_packed, which is
@@ -226,6 +251,8 @@ def render_rays_packed_diff(
         t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
+    t_near, t_far = _tighten(occ, min_bound, max_bound, rays_o, rays_d,
+                             t_near, t_far, occ_probes)
     z = sample_stratified(key, t_near, t_far, n_samples, perturb)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
@@ -235,7 +262,7 @@ def render_rays_packed_diff(
 
 
 @functools.partial(jax.jit, static_argnames=("res", "n_coarse", "n_fine", "white_bg",
-                                              "perturb", "clip_aabb", "interpret"))
+                                              "perturb", "clip_aabb", "interpret", "occ_probes"))
 def render_rays_hierarchical_packed(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -252,6 +279,8 @@ def render_rays_hierarchical_packed(
     perturb: bool = True,
     clip_aabb: bool = False,
     interpret: bool = False,
+    occ: jnp.ndarray = None,
+    occ_probes: int = 128,
 ) -> jnp.ndarray:
     """Hierarchical packed-layout training render. The coarse pass feeds
     only the stop-gradiented importance weights, so it uses the
@@ -268,6 +297,8 @@ def render_rays_hierarchical_packed(
         t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
+    t_near, t_far = _tighten(occ, min_bound, max_bound, rays_o, rays_d,
+                             t_near, t_far, occ_probes)
     z_c = sample_stratified(k1, t_near, t_far, n_coarse, perturb)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
     vals_c, in_c = _sample_packed(jax.lax.stop_gradient(packed), min_bound,
@@ -295,12 +326,23 @@ def render_image(
     chunk: int = 4096,
     use_pallas: Optional[bool] = None,
     clip_aabb: bool = False,
+    occ_prune: bool = False,
+    occ_factor: int = 4,
+    occ_threshold: float = 1e-2,
 ) -> jnp.ndarray:
     """Chunked full-image render (ref plenoxel.py:46-61 `test`). Padding to
     a whole number of chunks keeps one compiled shape. On TPU backends the
-    Pallas box-DMA sampler is used automatically (use_pallas overrides)."""
+    Pallas box-DMA sampler is used automatically (use_pallas overrides).
+    occ_prune=True tightens every ray's band to occupied space first
+    (dense/occupancy.py) — the trained grid is frozen here, so pruning is
+    computed once for the whole image."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
+    occ = None
+    if occ_prune:
+        from tpu3d.dense.occupancy import occupancy_from_grid
+
+        occ = occupancy_from_grid(vg.grid, occ_factor, occ_threshold)
     n = rays_o.shape[0]
     pad = (-n) % chunk
     ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3), rays_o.dtype)])
@@ -317,11 +359,11 @@ def render_image(
             outs.append(render_rays_packed(
                 packed, vg.min_bound, vg.max_bound, res, key,
                 ro[s : s + chunk], rd[s : s + chunk], near, far, n_samples,
-                clip_aabb=clip_aabb,
+                clip_aabb=clip_aabb, occ=occ,
             ))
         else:
             outs.append(
                 render_rays(vg, key, ro[s : s + chunk], rd[s : s + chunk], near, far,
-                            n_samples, perturb=False, clip_aabb=clip_aabb)
+                            n_samples, perturb=False, clip_aabb=clip_aabb, occ=occ)
             )
     return jnp.concatenate(outs)[:n]

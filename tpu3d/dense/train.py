@@ -136,7 +136,7 @@ class TrainState(NamedTuple):
 def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     """One jitted plenoxel training step (MSE on a ray batch)."""
 
-    def loss_fn(grid_arr, vg_template, key, ro, rd, rgb):
+    def loss_fn(grid_arr, vg_template, key, ro, rd, rgb, occ):
         vg = VoxelGrid(grid_arr, vg_template.min_bound, vg_template.max_bound)
         if cfg.hierarchical:
             from tpu3d.dense.render import render_rays_hierarchical
@@ -144,11 +144,13 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
             pred = render_rays_hierarchical(
                 vg, key, ro, rd, cfg.near, cfg.far, cfg.n_coarse, cfg.n_fine,
                 cfg.white_background, clip_aabb=cfg.per_ray_aabb,
+                occ=occ, occ_probes=cfg.occupancy_probes,
             )
         else:
             pred = render_rays(
                 vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background,
                 clip_aabb=cfg.per_ray_aabb,
+                occ=occ, occ_probes=cfg.occupancy_probes,
             )
         return jnp.mean((pred - rgb) ** 2)
 
@@ -157,8 +159,8 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     # coexist during the step (plus temporaries) — ResourceExhausted on a
     # 16 GB chip.
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, ro, rd, rgb):
-        loss, g = jax.value_and_grad(loss_fn)(state.grid.grid, state.grid, key, ro, rd, rgb)
+    def step(state: TrainState, key, ro, rd, rgb, occ=None):
+        loss, g = jax.value_and_grad(loss_fn)(state.grid.grid, state.grid, key, ro, rd, rgb, occ)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
@@ -180,24 +182,26 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
     from tpu3d.dense.render import (render_rays_hierarchical_packed,
                                     render_rays_packed_diff)
 
-    def loss_fn(packed, minb, maxb, key, ro, rd, rgb):
+    def loss_fn(packed, minb, maxb, key, ro, rd, rgb, occ):
         if cfg.hierarchical:
             pred = render_rays_hierarchical_packed(
                 packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
                 cfg.n_coarse, cfg.n_fine, cfg.white_background,
-                clip_aabb=cfg.per_ray_aabb, interpret=interpret)
+                clip_aabb=cfg.per_ray_aabb, interpret=interpret,
+                occ=occ, occ_probes=cfg.occupancy_probes)
         else:
             pred = render_rays_packed_diff(
                 packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
                 cfg.num_samples, cfg.white_background,
-                clip_aabb=cfg.per_ray_aabb, interpret=interpret)
+                clip_aabb=cfg.per_ray_aabb, interpret=interpret,
+                occ=occ, occ_probes=cfg.occupancy_probes)
         return jnp.mean((pred - rgb) ** 2)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, ro, rd, rgb):
+    def step(state: TrainState, key, ro, rd, rgb, occ=None):
         loss, g = jax.value_and_grad(loss_fn)(
             state.grid.grid, state.grid.min_bound, state.grid.max_bound,
-            key, ro, rd, rgb)
+            key, ro, rd, rgb, occ)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
@@ -296,12 +300,33 @@ def train_plenoxel(
     else:
         step_fn = make_train_step(cfg, optimizer)
 
+    # Occupancy pruning starts fully occupied (== no pruning) and is
+    # refreshed from the live density every `occupancy_every` steps — the
+    # empty-space classification follows the model instead of freezing
+    # regions out before they can densify.
+    occ = None
+    if cfg.occupancy_prune:
+        from tpu3d.dense.occupancy import occupancy_from_grid, occupancy_from_packed
+
+        f = cfg.occupancy_factor
+        coarse = tuple(-(-d // f) for d in orig_shape[:3])
+        occ = jnp.ones(coarse, bool)
+
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
+    global_step = 0
     for epoch in range(start_epoch, cfg.epochs):
         key, pkey = jax.random.split(key)
         perm = np.asarray(jax.random.permutation(pkey, n))
         for b in range(steps_per_epoch):
+            if (occ is not None and global_step > 0
+                    and global_step % cfg.occupancy_every == 0):
+                if use_packed:
+                    occ = occupancy_from_packed(
+                        state.grid.grid, orig_shape, f, cfg.occupancy_threshold)
+                else:
+                    occ = occupancy_from_grid(
+                        state.grid.grid, f, cfg.occupancy_threshold)
             idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
             key, skey = jax.random.split(key)
             state, loss = step_fn(
@@ -309,7 +334,9 @@ def train_plenoxel(
                 jnp.asarray(dataset.origins[idx]),
                 jnp.asarray(dataset.dirs[idx]),
                 jnp.asarray(dataset.rgb[idx]),
+                occ=occ,
             )
+            global_step += 1
             if b % log_every == 0:
                 losses.append(float(loss))
                 if verbose:
