@@ -5,7 +5,11 @@ from tpu3d.geometry.epipolar import (
 )
 from tpu3d.geometry.ransac import ransac
 from tpu3d.geometry.pose import decompose_essential, recover_pose
-from tpu3d.geometry.triangulate import triangulate_dlt, triangulate_midpoint
+from tpu3d.geometry.triangulate import (
+    refine_triangulation_gn,
+    triangulate_dlt,
+    triangulate_midpoint,
+)
 from tpu3d.geometry.pnp import pnp_dlt, pnp_ransac, refine_pose
 from tpu3d.geometry.estimators import (
     find_essential_ransac,
@@ -21,6 +25,7 @@ __all__ = [
     "recover_pose",
     "triangulate_dlt",
     "triangulate_midpoint",
+    "refine_triangulation_gn",
     "pnp_dlt",
     "pnp_ransac",
     "refine_pose",

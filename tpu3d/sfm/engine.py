@@ -42,7 +42,7 @@ from tpu3d.ba.residuals import reprojection_residuals
 from tpu3d.config import SfMConfig
 from tpu3d.core import lie
 from tpu3d.geometry.pnp import pnp_ransac
-from tpu3d.geometry.triangulate import triangulate_dlt
+from tpu3d.geometry.triangulate import refine_triangulation_gn, triangulate_dlt
 from tpu3d.sfm.scene import Reconstruction
 
 PNP_CAP = 4096    # max known-track anchors per image registration
@@ -129,6 +129,11 @@ def _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
     ti = cam_i[3:6]
     tj = cam_j[3:6]
     X = triangulate_dlt(Ri, ti, Rj, tj, uv0n, uv1n)
+    # GN polish decouples the accept/reject gate from eigh backend noise:
+    # TPU vs CPU eigh differ in the last bits, which measurably flipped
+    # chain-registration decisions; after 2 damped GN steps both backends
+    # sit at the same reprojection optimum.
+    X = refine_triangulation_gn(Ri, ti, Rj, tj, uv0n, uv1n, X, iters=2)
     Xci = jnp.einsum("ij,nj->ni", Ri, X) + ti
     Xcj = jnp.einsum("ij,nj->ni", Rj, X) + tj
     zi = Xci[:, 2]

@@ -370,7 +370,10 @@ def run_reconstruction(
     # (or whose anchor tracks get triangulated later) succeeds on a
     # subsequent round — the matching-stage order is similarity-driven, not
     # dependency-driven.
-    for round_ in range(8):
+    # (64 is a cap, not a target: the loop breaks at its no-progress
+    # fixpoint, and a chain segment re-growing off one late-registering
+    # bridge can legitimately need dozens of rounds.)
+    for round_ in range(64):
         failed = []
         for reg in pending:
             info = engine.register_image(reg)
@@ -469,15 +472,22 @@ def _edge_consistency_gate(
 
 
 def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
-                 rounds: int = 6, deregister_round: int = 2):
+                 rounds: int = 64, deregister_round: int = 2):
     """Re-matching rescue: the matching stage only ever pairs a new image
     with already-VISITED neighbors; an image whose visited refs never
     REGISTERED is stuck with useless edges. Re-match such images directly
     against registered adjacency neighbors (fresh edges, fresh tracks),
-    then register. Repeats while it makes progress; mid-way, weak cameras
-    are deregistered so their slots get re-attempted with fresh edges.
-    Returns the list of rescue ImageRegistrations (for consistency
-    gating)."""
+    then register. Iterates to a FIXPOINT (stops when a round makes no
+    progress): when a whole chain segment hangs off one bridge image that
+    failed in the main pass, the frontier re-grows only a few images per
+    round, and a fixed small round count strands the rest of the segment
+    (measured: ~90 cameras on ystad_kloster). No attempt is skipped on
+    "unchanged inputs" — an attempt can succeed with an unchanged
+    reference set because OTHER registrations triangulated more of its
+    anchor tracks in between; the no-progress break bounds total work.
+    Mid-way, weak cameras are deregistered so their slots get
+    re-attempted with fresh edges. Returns the list of rescue
+    ImageRegistrations (for consistency gating)."""
     key = jax.random.PRNGKey(seed)
     rescued: List[ImageRegistration] = []
     for rescue_round in range(rounds):
