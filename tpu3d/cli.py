@@ -200,7 +200,8 @@ def cmd_densify(args):
     from tpu3d.dense.train import auto_near_far
 
     near, far = auto_near_far(rec["cams"], rec["points"], norm)
-    cfg = dataclasses.replace(cfg, dense=dataclasses.replace(cfg.dense, near=near, far=far))
+    cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
+        cfg.dense, near=near, far=far, occupancy_prune=args.occupancy))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
@@ -279,6 +280,8 @@ def main(argv=None):
     p.add_argument("--ray-stride", type=int, default=2)
     p.add_argument("--model", choices=["plenoxel", "sdf"], default="plenoxel",
                    help="dense model: plenoxel density grid or SDF grid (ref sdf.py)")
+    p.add_argument("--occupancy", action="store_true",
+                   help="occupancy-pruned marching (dense/occupancy.py)")
     p.add_argument("--hierarchical", action="store_true",
                    help="coarse->fine importance sampling in the dense stage")
     p.add_argument("--holdout-every", type=int, default=8,
