@@ -38,7 +38,7 @@ def _build_config(args):
             camera=CameraConfig(focal_length=focal),
             max_tracks=args.max_tracks,
             ransac=RansacConfig(num_hypotheses=args.ransac_hypotheses,
-                                use_five_point=getattr(args, "five_point", False)),
+                                use_five_point=getattr(args, "five_point", True)),
             global_ba_every=args.global_ba_every,
         ),
         dense=DenseConfig(epochs=args.epochs,
@@ -293,8 +293,10 @@ def main(argv=None):
                    help="skip grid/optimizer checkpoint downloads (minutes per epoch on the remote tunnel)")
     p.add_argument("--ply", default="")
     p.add_argument("--mode", choices=["incremental", "global"], default="incremental")
-    p.add_argument("--five-point", action="store_true",
-                   help="Nister 5-point minimal solver in the matching E-gate (planar-safe)")
+    p.add_argument("--five-point", dest="five_point", action="store_true", default=True,
+                   help="Nister 5-point minimal solver in the matching E-gate (default; planar-safe)")
+    p.add_argument("--eight-point", dest="five_point", action="store_false",
+                   help="cheaper 8-point E solver instead of the 5-point default")
     p.add_argument("--from-matches", action="store_true",
                    help="reconstruct from the saved matching artifacts (no re-matching)")
     p.add_argument("--quiet", action="store_true")

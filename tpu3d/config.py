@@ -94,11 +94,14 @@ class RansacConfig:
     num_hypotheses: int = 512
     threshold_px: float = 1.0          # ref sfm.py:108 (threshold=1)
     seed: int = 0
-    # Minimal solver for the essential matrix: the 8-point solver (default)
-    # is cheaper and fine for general scenes; the 5-point Nistér solver
-    # (geometry/fivepoint.py) also handles planar scenes and matches the
-    # reference's cv2 kernel choice.
-    use_five_point: bool = False
+    # Minimal solver for the essential matrix. The 5-point Nistér solver
+    # (geometry/fivepoint.py) is the default: it matches the reference's
+    # cv2 kernel choice, handles planar scenes, and measured better on
+    # the full dataset — its E-gate prunes bad view-graph edges that the
+    # 8-point gate lets through (276/290 @ 0.511 px with 3x better
+    # trajectory coherence vs 266/290 @ 0.567 px; BASELINE.md). The
+    # cheaper 8-point solver remains available (use_five_point=False).
+    use_five_point: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,7 +167,12 @@ class DenseConfig:
     # voxel_travesal.py): tighten each ray's band to occupied space.
     occupancy_prune: bool = False
     occupancy_factor: int = 4          # coarse cell = factor^3 voxels
-    occupancy_threshold: float = 1e-2  # density > thr => occupied
+    # Occupied = density whose per-sample alpha contribution is material:
+    # alpha = 1 - exp(-sigma*delta) with delta ~ band/128 ~ 0.01 scene
+    # units, so sigma=0.5 contributes alpha ~ 0.5%. (A threshold near the
+    # grid's 0.01 init classifies everything ever touched as occupied and
+    # prunes nothing — measured as a bit-identical no-op on the full run.)
+    occupancy_threshold: float = 0.5
     occupancy_probes: int = 128        # band probes per ray
     occupancy_every: int = 500         # refresh cadence (train steps)
 

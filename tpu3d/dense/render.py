@@ -41,15 +41,17 @@ def composite_weights(sigma: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return trans * alpha
 
 
-def _tighten(occ, min_bound, max_bound, rays_o, rays_d, t_near, t_far, n_probes):
-    """Optionally shrink [t_near, t_far] to occupied space (occupancy.py)."""
+def _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d, t_near, t_far,
+              n_samples, perturb, n_probes):
+    """Depth sampling: plain stratified, or — given a coarse occupancy
+    grid — inverse-CDF over the occupancy indicator so the fixed sample
+    budget lands on occupied segments only (dense/occupancy.py)."""
     if occ is None:
-        return t_near, t_far
-    from tpu3d.dense.occupancy import tighten_bands
+        return sample_stratified(key, t_near, t_far, n_samples, perturb)
+    from tpu3d.dense.occupancy import sample_occupied
 
-    t0, t1, _ = tighten_bands(occ, min_bound, max_bound, rays_o, rays_d,
-                              t_near, t_far, n_probes)
-    return t0, t1
+    return sample_occupied(key, occ, min_bound, max_bound, rays_o, rays_d,
+                           t_near, t_far, n_probes, n_samples, perturb)
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes"))
@@ -79,9 +81,8 @@ def render_rays(
         t0, t1, valid = ray_aabb(rays_o, rays_d, vg.min_bound, vg.max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    t_near, t_far = _tighten(occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
-                             t_near, t_far, occ_probes)
-    z = sample_stratified(key, t_near, t_far, n_samples, perturb)
+    z = _sample_z(key, occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
+                  t_near, t_far, n_samples, perturb, occ_probes)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
@@ -146,9 +147,8 @@ def render_rays_hierarchical(
         t0, t1, valid = ray_aabb(rays_o, rays_d, vg.min_bound, vg.max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    t_near, t_far = _tighten(occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
-                             t_near, t_far, occ_probes)
-    z_c = sample_stratified(k1, t_near, t_far, n_coarse, perturb)
+    z_c = _sample_z(k1, occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
+                    t_near, t_far, n_coarse, perturb, occ_probes)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
     from tpu3d.dense.grid import trilinear_sample
 
@@ -196,9 +196,8 @@ def render_rays_packed(
         t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    t_near, t_far = _tighten(occ, min_bound, max_bound, rays_o, rays_d,
-                             t_near, t_far, occ_probes)
-    z = sample_stratified(key, t_near, t_far, n_samples, perturb)
+    z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
+                  t_near, t_far, n_samples, perturb, occ_probes)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     vals, in_b = sample_packed(packed, min_bound, max_bound, res, pts.reshape(-1, 3))
@@ -251,9 +250,8 @@ def render_rays_packed_diff(
         t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    t_near, t_far = _tighten(occ, min_bound, max_bound, rays_o, rays_d,
-                             t_near, t_far, occ_probes)
-    z = sample_stratified(key, t_near, t_far, n_samples, perturb)
+    z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
+                  t_near, t_far, n_samples, perturb, occ_probes)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
@@ -297,9 +295,8 @@ def render_rays_hierarchical_packed(
         t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    t_near, t_far = _tighten(occ, min_bound, max_bound, rays_o, rays_d,
-                             t_near, t_far, occ_probes)
-    z_c = sample_stratified(k1, t_near, t_far, n_coarse, perturb)
+    z_c = _sample_z(k1, occ, min_bound, max_bound, rays_o, rays_d,
+                    t_near, t_far, n_coarse, perturb, occ_probes)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
     vals_c, in_c = _sample_packed(jax.lax.stop_gradient(packed), min_bound,
                                   max_bound, res, pts_c.reshape(-1, 3), interpret)
@@ -328,7 +325,7 @@ def render_image(
     clip_aabb: bool = False,
     occ_prune: bool = False,
     occ_factor: int = 4,
-    occ_threshold: float = 1e-2,
+    occ_threshold: float = 0.5,
 ) -> jnp.ndarray:
     """Chunked full-image render (ref plenoxel.py:46-61 `test`). Padding to
     a whole number of chunks keeps one compiled shape. On TPU backends the
