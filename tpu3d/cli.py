@@ -241,6 +241,17 @@ def cmd_densify(args):
     print(json.dumps(out))
 
 
+def cmd_export(args):
+    """Write the reference pipeline's exact output/ file protocol (SURVEY
+    §1) from saved artifacts, so tools built against the reference
+    (its sdf/plenoxel loaders, numpy2ply.py, viewers) work unchanged."""
+    from tpu3d.io.reference_export import export_reference_layout
+
+    out = args.out or os.path.join(args.artifacts, "output")
+    written = export_reference_layout(args.artifacts, out)
+    print(json.dumps({"out": out, "written": written}))
+
+
 def cmd_full(args):
     from tpu3d.io.ply import write_ply
     from tpu3d.sfm.pipeline import reconstruct
@@ -264,7 +275,7 @@ def cmd_full(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpu3d", description="TPU-native incremental SfM + dense reconstruction")
-    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full"])
+    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full", "export"])
     p.add_argument("--images", required=True)
     p.add_argument("--artifacts", default="artifacts")
     p.add_argument("--downscale", type=int, default=1)
@@ -292,6 +303,8 @@ def main(argv=None):
     p.add_argument("--no-checkpoint", action="store_true",
                    help="skip grid/optimizer checkpoint downloads (minutes per epoch on the remote tunnel)")
     p.add_argument("--ply", default="")
+    p.add_argument("--out", default="",
+                   help="export: destination dir (default ARTIFACTS/output)")
     p.add_argument("--mode", choices=["incremental", "global"], default="incremental")
     p.add_argument("--five-point", dest="five_point", action="store_true", default=True,
                    help="Nister 5-point minimal solver in the matching E-gate (default; planar-safe)")
@@ -315,6 +328,7 @@ def main(argv=None):
         "reconstruct": cmd_reconstruct,
         "densify": cmd_densify,
         "full": cmd_full,
+        "export": cmd_export,
     }[args.command](args)
 
 
