@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--occupancy", action="store_true")
     ap.add_argument("--hierarchical", action="store_true")
     ap.add_argument("--mode", default="incremental")
+    ap.add_argument("--model", default="plenoxel", choices=["plenoxel", "sdf"])
     args = ap.parse_args()
 
     base = ["--images", args.images, "--artifacts", args.artifacts]
@@ -35,7 +36,8 @@ def main():
         cli.main(["reconstruct", *base, "--from-matches", "--mode", args.mode])
     if not args.skip_dense:
         dense = ["densify", *base, "--epochs", str(args.epochs),
-                 "--ray-stride", str(args.ray_stride), "--no-checkpoint"]
+                 "--ray-stride", str(args.ray_stride), "--no-checkpoint",
+                 "--model", args.model]
         if args.occupancy:
             dense.append("--occupancy")
         if args.hierarchical:
