@@ -6,11 +6,13 @@ stall per process (ROUND1_NOTES.md); chaining CLI commands in-process
 pays it once.
 
 Usage: python scripts/tpu_batch.py [--artifacts artifacts/full290]
-       [--skip-reconstruct] [--epochs 3] [--occupancy] [--hierarchical]
+       [--bench] [--from-scratch] [--skip-reconstruct] [--epochs 3]
+       [--occupancy] [--hierarchical] [--model plenoxel|sdf|both]
 """
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,6 +23,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", default="/root/reference/ystad_kloster")
     ap.add_argument("--artifacts", default="artifacts/full290")
+    ap.add_argument("--bench", action="store_true",
+                    help="run bench.py's main() first (24-image e2e timing)")
+    ap.add_argument("--from-scratch", action="store_true",
+                    help="run extract + match before reconstruct")
+    ap.add_argument("--downscale", type=int, default=2)
     ap.add_argument("--skip-reconstruct", action="store_true")
     ap.add_argument("--skip-dense", action="store_true")
     ap.add_argument("--epochs", type=int, default=3)
@@ -28,21 +35,41 @@ def main():
     ap.add_argument("--occupancy", action="store_true")
     ap.add_argument("--hierarchical", action="store_true")
     ap.add_argument("--mode", default="incremental")
-    ap.add_argument("--model", default="plenoxel", choices=["plenoxel", "sdf"])
+    ap.add_argument("--model", default="plenoxel",
+                    choices=["plenoxel", "sdf", "both"])
     args = ap.parse_args()
 
+    def stamp(msg):
+        print(f"[tpu_batch +{time.time() - t0:.0f}s] {msg}", flush=True)
+
+    t0 = time.time()
     base = ["--images", args.images, "--artifacts", args.artifacts]
+    if args.bench:
+        stamp("bench.py")
+        import bench
+
+        bench.main()
+    if args.from_scratch:
+        stamp("extract")
+        cli.main(["extract", *base, "--downscale", str(args.downscale)])
+        stamp("match")
+        cli.main(["match", *base])
     if not args.skip_reconstruct:
+        stamp("reconstruct")
         cli.main(["reconstruct", *base, "--from-matches", "--mode", args.mode])
     if not args.skip_dense:
-        dense = ["densify", *base, "--epochs", str(args.epochs),
-                 "--ray-stride", str(args.ray_stride), "--no-checkpoint",
-                 "--model", args.model]
-        if args.occupancy:
-            dense.append("--occupancy")
-        if args.hierarchical:
-            dense.append("--hierarchical")
-        cli.main(dense)
+        models = ["plenoxel", "sdf"] if args.model == "both" else [args.model]
+        for model in models:
+            stamp(f"densify {model}")
+            dense = ["densify", *base, "--epochs", str(args.epochs),
+                     "--ray-stride", str(args.ray_stride), "--no-checkpoint",
+                     "--model", model]
+            if args.occupancy:
+                dense.append("--occupancy")
+            if args.hierarchical:
+                dense.append("--hierarchical")
+            cli.main(dense)
+    stamp("done")
 
 
 if __name__ == "__main__":

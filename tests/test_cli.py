@@ -29,3 +29,40 @@ def test_cli_extract_reconstruct(tmp_path, capsys):
     assert stats["mean_reproj_px"] < 2.0
     assert os.path.exists(ply)
     assert os.path.exists(os.path.join(art, "reconstruction.npz"))
+
+
+def test_cli_densify_from_reference_ray_pickle(tmp_path, capsys):
+    """densify --rays-pkl trains from the reference's external training_data
+    protocol (sdf.py:420: pickled (N,9) [origin, dir, rgb] rows)."""
+    import numpy as np
+
+    from tpu3d.cli import main
+    from tpu3d.io.raydata import load_ray_dataset, save_ray_dataset
+    from tpu3d.dense.train import RayDataset
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    # rays through a unit cube scene: origins on a shell, dirs toward center
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rgb = rng.uniform(0.2, 0.8, size=(n, 3)).astype(np.float32)
+    pkl = str(tmp_path / "training_data.pkl")
+    save_ray_dataset(pkl, RayDataset(o, d, rgb))
+
+    ds = load_ray_dataset(pkl)
+    assert ds.origins.shape == (n, 3)
+    np.testing.assert_allclose(np.linalg.norm(ds.dirs, axis=-1), 1.0, atol=1e-5)
+
+    art = str(tmp_path / "art")
+    main([
+        "densify", "--images", ".", "--artifacts", art,
+        "--rays-pkl", pkl, "--test-rays-pkl", pkl,
+        "--grid-resolution", "16", "--num-samples", "8",
+        "--near", "1.0", "--far", "5.0",
+        "--no-checkpoint", "--quiet",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(out[-1])
+    assert stats["final_loss"] is not None
+    assert np.isfinite(stats["test_psnr"])

@@ -42,6 +42,8 @@ def _build_config(args):
             global_ba_every=args.global_ba_every,
         ),
         dense=DenseConfig(epochs=args.epochs,
+                          grid_resolution=getattr(args, "grid_resolution", 256),
+                          num_samples=getattr(args, "num_samples", 192),
                           hierarchical=getattr(args, "hierarchical", False)),
         image_dir=args.images,
         artifact_dir=args.artifacts,
@@ -185,6 +187,9 @@ def cmd_densify(args):
 
     cfg = _build_config(args)
     store = ArtifactStore(args.artifacts)
+    if args.rays_pkl:
+        _densify_from_rays(args, cfg, store)
+        return
     rec = store.load("reconstruction")
     meta = store.load_json("reconstruction_meta")
     fmeta = store.load_json("features_meta")
@@ -238,6 +243,55 @@ def cmd_densify(args):
             Image.fromarray(gt0).save(os.path.join(args.artifacts, "test_gt0.png"))
         except Exception:
             pass
+    print(json.dumps(out))
+
+
+def _densify_from_rays(args, cfg, store):
+    """Train the dense stage from a reference-protocol external ray dataset
+    (the reference's only dense input path: a hard-coded absolute
+    training_data.pkl of (N, 9) [origin, dir, rgb] rows — sdf.py:420,
+    plenoxel.py:126-127). Near/far default to the reference's hn=2/hf=6."""
+    import dataclasses
+
+    from tpu3d.dense.train import psnr, train_plenoxel
+    from tpu3d.io.raydata import load_ray_dataset
+
+    dataset = load_ray_dataset(args.rays_pkl)
+    print(f"{len(dataset.origins)} rays from {args.rays_pkl}")
+    dcfg = cfg.dense
+    if args.near > 0 or args.far > 0:
+        dcfg = dataclasses.replace(
+            dcfg,
+            near=args.near if args.near > 0 else dcfg.near,
+            far=args.far if args.far > 0 else dcfg.far,
+        )
+    dcfg = dataclasses.replace(dcfg, occupancy_prune=args.occupancy)
+    if args.model == "sdf":
+        from tpu3d.dense.train import train_sdf
+
+        grid, losses = train_sdf(dataset, dcfg, verbose=not args.quiet)
+    else:
+        ck = None if args.no_checkpoint else store
+        grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
+                                      checkpoint_store=ck, resume=args.resume)
+    if not args.no_checkpoint:
+        store.save("dense_grid", grid=np.asarray(grid.grid),
+                   min_bound=np.asarray(grid.min_bound),
+                   max_bound=np.asarray(grid.max_bound))
+    out = {"final_loss": losses[-1] if losses else None,
+           "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
+    if args.test_rays_pkl:
+        import jax
+        import jax.numpy as jnp
+
+        from tpu3d.dense.render import render_image
+
+        test = load_ray_dataset(args.test_rays_pkl)
+        pred = render_image(grid, jax.random.PRNGKey(0),
+                            jnp.asarray(test.origins), jnp.asarray(test.dirs),
+                            dcfg.near, dcfg.far, dcfg.num_samples,
+                            clip_aabb=dcfg.per_ray_aabb)
+        out["test_psnr"] = psnr(np.asarray(pred), test.rgb)
     print(json.dumps(out))
 
 
@@ -298,6 +352,19 @@ def main(argv=None):
     p.add_argument("--holdout-every", type=int, default=8,
                    help="hold out every k-th camera as a PSNR test view (0 = off)")
     p.add_argument("--max-eval-views", type=int, default=8)
+    p.add_argument("--grid-resolution", type=int, default=256,
+                   help="dense voxel grid resolution per axis")
+    p.add_argument("--num-samples", type=int, default=192,
+                   help="ray-march samples per ray")
+    p.add_argument("--rays-pkl", default="",
+                   help="train dense stage from a reference-protocol (N,9) "
+                        "ray pickle (sdf.py:420) instead of a reconstruction")
+    p.add_argument("--test-rays-pkl", default="",
+                   help="held-out (N,9) ray pickle for test PSNR")
+    p.add_argument("--near", type=float, default=0.0,
+                   help="override sampling band near (rays-pkl mode)")
+    p.add_argument("--far", type=float, default=0.0,
+                   help="override sampling band far (rays-pkl mode)")
     p.add_argument("--resume", action="store_true",
                    help="resume dense training from the saved checkpoint")
     p.add_argument("--no-checkpoint", action="store_true",
