@@ -282,3 +282,52 @@ def test_auto_near_far_brackets_content(rng):
     assert 1.0 < near < 2.5
     assert 3.0 < far < 7.0
     assert near < far
+
+
+def test_tv_crop_loss_packed_matches_unpacked(rng):
+    """The packed-layout TV must equal the dense-layout TV on the same
+    crop statistics: check expectation over many keys (the two samplers
+    draw different crops per key, so compare full-grid TV via crop=R)."""
+    import jax
+
+    from tpu3d.dense.train import _tv_crop_loss, _tv_crop_loss_packed
+    from tpu3d.kernels.trilinear import pack_grid
+
+    R, C = 16, 28
+    g = jnp.asarray(rng.normal(size=(R, R, R, C)).astype(np.float32))
+    packed = pack_grid(g)
+    key = jax.random.PRNGKey(0)
+    # crop = R covers the whole grid -> both must be exact and equal
+    s0, c0 = _tv_crop_loss(g, key, crop=R)
+    s1, c1 = _tv_crop_loss_packed(packed, R, key, crop=R, channels=C)
+    np.testing.assert_allclose(float(s0), float(s1), rtol=1e-5)
+    np.testing.assert_allclose(float(c0), float(c1), rtol=1e-5)
+
+
+def test_tv_regularization_smooths_grid(rng):
+    """Training with a strong TV term must yield a measurably smoother
+    grid than without, at comparable data fit."""
+    import dataclasses as dc
+
+    from tpu3d.config import DenseConfig
+    from tpu3d.dense.train import RayDataset, train_plenoxel
+
+    n = 2048
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rgb = rng.uniform(0.2, 0.8, size=(n, 3)).astype(np.float32)
+    ds = RayDataset(o, d, rgb)
+    base = DenseConfig(grid_resolution=16, num_samples=16, epochs=2,
+                       batch_size=512, near=1.0, far=5.0)
+
+    def roughness(g):
+        a = np.asarray(g.grid)
+        return float(np.mean((a[1:] - a[:-1]) ** 2)
+                     + np.mean((a[:, 1:] - a[:, :-1]) ** 2)
+                     + np.mean((a[:, :, 1:] - a[:, :, :-1]) ** 2))
+
+    g_plain, _ = train_plenoxel(ds, base, verbose=False)
+    g_tv, _ = train_plenoxel(
+        ds, dc.replace(base, tv_sigma=1.0, tv_sh=1.0, tv_crop=16), verbose=False)
+    assert roughness(g_tv) < roughness(g_plain)

@@ -206,7 +206,8 @@ def cmd_densify(args):
 
     near, far = auto_near_far(rec["cams"], rec["points"], norm)
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
-        cfg.dense, near=near, far=far, occupancy_prune=args.occupancy))
+        cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
+        tv_sigma=args.tv_sigma, tv_sh=args.tv_sh))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
@@ -265,7 +266,8 @@ def _densify_from_rays(args, cfg, store):
             near=args.near if args.near > 0 else dcfg.near,
             far=args.far if args.far > 0 else dcfg.far,
         )
-    dcfg = dataclasses.replace(dcfg, occupancy_prune=args.occupancy)
+    dcfg = dataclasses.replace(dcfg, occupancy_prune=args.occupancy,
+                               tv_sigma=args.tv_sigma, tv_sh=args.tv_sh)
     if args.model == "sdf":
         from tpu3d.dense.train import train_sdf
 
@@ -352,6 +354,10 @@ def main(argv=None):
     p.add_argument("--holdout-every", type=int, default=8,
                    help="hold out every k-th camera as a PSNR test view (0 = off)")
     p.add_argument("--max-eval-views", type=int, default=8)
+    p.add_argument("--tv-sigma", type=float, default=0.0,
+                   help="stochastic TV weight on the density channel")
+    p.add_argument("--tv-sh", type=float, default=0.0,
+                   help="stochastic TV weight on the SH color channels")
     p.add_argument("--grid-resolution", type=int, default=256,
                    help="dense voxel grid resolution per axis")
     p.add_argument("--num-samples", type=int, default=192,

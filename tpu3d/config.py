@@ -175,6 +175,15 @@ class DenseConfig:
     occupancy_threshold: float = 0.5
     occupancy_probes: int = 128        # band probes per ray
     occupancy_every: int = 500         # refresh cadence (train steps)
+    # Stochastic total-variation regularization (the Plenoxels paper's key
+    # ingredient — the reference cites the paper but never implements TV).
+    # Each step penalizes squared neighbor differences on a random
+    # tv_crop^3 sub-block (full-grid TV at 256^3 x 28 would double the
+    # step's memory traffic). Weights are per-channel-group: sigma =
+    # density channel 0, sh = the 27 SH color channels. 0 disables.
+    tv_sigma: float = 0.0
+    tv_sh: float = 0.0
+    tv_crop: int = 32
 
 
 @dataclasses.dataclass(frozen=True)

@@ -133,6 +133,53 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _tv_crop_loss(grid_arr: jnp.ndarray, key: jax.Array, crop: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stochastic total-variation penalty on a random crop^3 sub-block.
+
+    Returns (sigma_tv, sh_tv): mean squared neighbor differences of the
+    density channel and the summed SH channels. Plenoxels-style smoothness
+    prior (the reference cites the paper but ships no TV term); the random
+    crop keeps per-step cost O(crop^3) instead of O(R^3)."""
+    X, Y, Z, C = grid_arr.shape
+    bx, by, bz = min(crop, X - 1), min(crop, Y - 1), min(crop, Z - 1)
+    kx, ky, kz = jax.random.split(key, 3)
+    # +1 so diffs inside the crop see bx interior faces per axis
+    x0 = jax.random.randint(kx, (), 0, X - bx)
+    y0 = jax.random.randint(ky, (), 0, Y - by)
+    z0 = jax.random.randint(kz, (), 0, Z - bz)
+    c = jax.lax.dynamic_slice(grid_arr, (x0, y0, z0, 0), (bx + 1, by + 1, bz + 1, C))
+    per_ch = (
+        jnp.mean((c[1:] - c[:-1]) ** 2, axis=(0, 1, 2))
+        + jnp.mean((c[:, 1:] - c[:, :-1]) ** 2, axis=(0, 1, 2))
+        + jnp.mean((c[:, :, 1:] - c[:, :, :-1]) ** 2, axis=(0, 1, 2))
+    )
+    return per_ch[0], jnp.sum(per_ch[1:])
+
+
+def _tv_crop_loss_packed(packed: jnp.ndarray, res, key: jax.Array, crop: int,
+                         channels: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """_tv_crop_loss on the pack_grid layout (X, Y, Zr+1, 2, 128): slice a
+    zr-aligned window, unpack it to (bx, by, bz, C), reuse the dense TV."""
+    X, Y, Zr1 = packed.shape[:3]
+    Z = (Zr1 - 1) * 8
+    bz_rows = max(min(crop, Z) // 8, 1)
+    bx, by = min(crop, X - 1), min(crop, Y - 1)
+    kx, ky, kz = jax.random.split(key, 3)
+    x0 = jax.random.randint(kx, (), 0, X - bx)
+    y0 = jax.random.randint(ky, (), 0, Y - by)
+    zr0 = jax.random.randint(kz, (), 0, Zr1 - 1 - bz_rows + 1)
+    c = jax.lax.dynamic_slice(
+        packed, (x0, y0, zr0, 0, 0), (bx + 1, by + 1, bz_rows, 2, 128))
+    c = c.reshape(bx + 1, by + 1, bz_rows * 8, 32)[:, :, :, :channels]
+    per_ch = (
+        jnp.mean((c[1:] - c[:-1]) ** 2, axis=(0, 1, 2))
+        + jnp.mean((c[:, 1:] - c[:, :-1]) ** 2, axis=(0, 1, 2))
+        + jnp.mean((c[:, :, 1:] - c[:, :, :-1]) ** 2, axis=(0, 1, 2))
+    )
+    return per_ch[0], jnp.sum(per_ch[1:])
+
+
 def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     """One jitted plenoxel training step (MSE on a ray batch)."""
 
@@ -152,7 +199,11 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
                 clip_aabb=cfg.per_ray_aabb,
                 occ=occ, occ_probes=cfg.occupancy_probes,
             )
-        return jnp.mean((pred - rgb) ** 2)
+        loss = jnp.mean((pred - rgb) ** 2)
+        if cfg.tv_sigma or cfg.tv_sh:
+            tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
+            loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+        return loss
 
     # Donating the state is what makes a 256^3 grid fit: grid + Adam
     # moments are 5.6 GB, and without donation the old and new state
@@ -195,7 +246,12 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
                 cfg.num_samples, cfg.white_background,
                 clip_aabb=cfg.per_ray_aabb, interpret=interpret,
                 occ=occ, occ_probes=cfg.occupancy_probes)
-        return jnp.mean((pred - rgb) ** 2)
+        loss = jnp.mean((pred - rgb) ** 2)
+        if cfg.tv_sigma or cfg.tv_sh:
+            tv_s, tv_c = _tv_crop_loss_packed(
+                packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
+            loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+        return loss
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, key, ro, rd, rgb, occ=None):
@@ -381,7 +437,11 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
         pred, valid = render_rays_aabb(sg, key, ro, rd, cfg.num_samples,
                                        cfg.white_background)
         w = valid.astype(pred.dtype)[:, None]
-        return jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+        loss = jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+        if cfg.tv_sigma or cfg.tv_sh:
+            tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
+            loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+        return loss
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, key, ro, rd, rgb):

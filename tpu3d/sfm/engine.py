@@ -31,6 +31,7 @@ BA_CAP) so every kernel compiles exactly once per run.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -195,6 +196,12 @@ class IncrementalSfM:
         self.key = jax.random.PRNGKey(seed)
         self.num_registered = 0
         self.pair_log: List[dict] = []
+        # Cumulative wall-clock per phase (device calls force-sync via the
+        # numpy conversions that follow them, so these are true costs).
+        self.timers: Dict[str, float] = {
+            "pnp": 0.0, "triangulate": 0.0, "local_ba": 0.0,
+            "global_ba": 0.0, "host": 0.0,
+        }
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -230,6 +237,17 @@ class IncrementalSfM:
         return self.register_image(pair.to_registration())
 
     def register_image(self, reg: ImageRegistration) -> dict:
+        t_enter = time.time()
+        dev_before = (self.timers["pnp"] + self.timers["triangulate"]
+                      + self.timers["local_ba"] + self.timers["global_ba"])
+        try:
+            return self._register_image(reg)
+        finally:
+            dev_after = (self.timers["pnp"] + self.timers["triangulate"]
+                         + self.timers["local_ba"] + self.timers["global_ba"])
+            self.timers["host"] += (time.time() - t_enter) - (dev_after - dev_before)
+
+    def _register_image(self, reg: ImageRegistration) -> dict:
         cfg = self.cfg
         f = self.focal
         j = reg.img
@@ -300,11 +318,13 @@ class IncrementalSfM:
                 wk = np.zeros(PNP_CAP, np.float32)
                 wk[: min(n_known, PNP_CAP)] = 1.0
                 thr = (2.0 * cfg.ransac.threshold_px / f) ** 2
+                t0 = time.time()
                 R, t, pnp_inl, pnp_cnt = pnp_ransac(
                     self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk), jnp.asarray(wk),
                     thr, num_hypotheses=cfg.ransac.num_hypotheses // 2,
                 )
                 info["n_pnp_inliers"] = int(pnp_cnt)
+                self.timers["pnp"] += time.time() - t0
                 if int(pnp_cnt) > cfg.min_pnp_inliers:
                     cam_j = np.concatenate([lie.so3_log_np(np.asarray(R)), np.asarray(t)]).astype(np.float32)
             if cam_j is None:
@@ -352,6 +372,7 @@ class IncrementalSfM:
                 cams_i = np.concatenate([cams_i, np.tile(cams_i[-1:], (MAX_REFS - ne, 1))])
                 uv_r = np.concatenate([uv_r, np.tile(uv_r[-1:], (MAX_REFS - ne, 1, 1))])
                 uv_n = np.concatenate([uv_n, np.tile(uv_n[-1:], (MAX_REFS - ne, 1, 1))])
+            t0 = time.time()
             X_all, good_all = _triangulate_and_gate_edges(
                 jnp.asarray(cams_i), jnp.asarray(cam_j),
                 jnp.asarray(uv_r), jnp.asarray(uv_n), f,
@@ -359,6 +380,7 @@ class IncrementalSfM:
             )
             X_all = np.asarray(X_all)
             good_all = np.asarray(good_all)
+            self.timers["triangulate"] += time.time() - t0
         for k, e in enumerate(tri_edges):
             tr = np.clip(e.track, 0, self.points.shape[0] - 1)
             new = (e.track >= 0) & ~self.point_valid[tr]
@@ -383,7 +405,9 @@ class IncrementalSfM:
 
         # ---- local BA: camera j + its new points, residuals on all edges ----
         if cfg.run_pair_ba:
+            t0 = time.time()
             self._local_ba(j, ba_edges)
+            self.timers["local_ba"] += time.time() - t0
 
         info.update(status="registered", n_new_points=n_new_total)
         if cfg.run_global_ba and self.num_registered % cfg.global_ba_every == 0:
@@ -555,6 +579,13 @@ class IncrementalSfM:
         """Global BA with one round of residual-based observation pruning
         (the reference has neither; its heavy outlier tail — BASELINE.md
         median 0.31px vs mean 4.56px — is exactly what this removes)."""
+        t0 = time.time()
+        try:
+            return self._global_ba(max_iters, prune)
+        finally:
+            self.timers["global_ba"] += time.time() - t0
+
+    def _global_ba(self, max_iters: Optional[int] = None, prune: bool = True):
         prob = self._gather_global_problem()
         if prob is None:
             return

@@ -401,7 +401,14 @@ def run_reconstruction(
         if dropped and adj:
             _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed + 1,
                          rounds=3, deregister_round=99)
-    return engine.finalize(feats.names)
+    rec = engine.finalize(feats.names)
+    if verbose:
+        import json as _json
+
+        print("[sfm] phase seconds: "
+              + _json.dumps({k: round(v, 1) for k, v in engine.timers.items()}),
+              flush=True)
+    return rec
 
 
 def _edge_consistency_gate(
