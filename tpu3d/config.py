@@ -82,6 +82,12 @@ class MatchingConfig:
     min_track_overlap: float = 0.1
     ransac_threshold_px: float = 1.0   # ref matching.py:134
     use_learned: bool = False          # LightGlue path (needs converted weights)
+    # Candidate edges gated per device dispatch. Matching is the pipeline's
+    # dominant stage (TPU-measured 0.8 s/edge sequential: 5-point E-gate
+    # compute + a tunnel round trip per edge); all candidate edges are
+    # precomputed in vmapped blocks of this size and the BFS consumes the
+    # cache. 1 falls back to the sequential per-edge path.
+    pair_batch: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -167,9 +167,8 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     return adj
 
 
-@functools.partial(jax.jit, static_argnames=("ratio", "num_hypotheses", "five_point"))
-def _match_and_gate_packed(d0, d1, v0, v1, kp0, kp1, key, focal, thr_px, ratio, num_hypotheses,
-                           five_point=False):
+def _match_and_gate_body(d0, d1, v0, v1, kp0, kp1, key, focal, thr_px, ratio, num_hypotheses,
+                         five_point=False):
     """Fused mutual-NN match + E-RANSAC gate, packed into ONE flat array so
     the host pays a single device->host round trip per candidate pair."""
     res = match_descriptors(d0, d1, v0, v1, ratio=ratio)
@@ -202,6 +201,111 @@ def _match_and_gate_packed(d0, d1, v0, v1, kp0, kp1, key, focal, thr_px, ratio, 
     per_kpt = jnp.stack([res.idx1.astype(jnp.float32), mvalid, sel], axis=-1)  # (K, 3)
     stats = jnp.stack([jnp.sum(mvalid), jnp.sum(eres.front).astype(jnp.float32)])
     return jnp.concatenate([per_kpt.reshape(-1), stats, eres.R.reshape(-1), eres.t])
+
+
+_match_and_gate_packed = jax.jit(
+    _match_and_gate_body,
+    static_argnames=("ratio", "num_hypotheses", "five_point"),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("ratio", "num_hypotheses", "five_point"))
+def _match_and_gate_block(d, v, kp, ii, jj, keys, focal, thr_px, ratio,
+                          num_hypotheses, five_point=False):
+    """One dispatch gates a whole block of candidate edges: gather the
+    per-edge descriptor/keypoint slices from the device-resident tensors
+    and vmap the fused match+gate body. On the remote-TPU tunnel the
+    sequential per-edge path costs a full round trip per edge (matching is
+    the dominant pipeline stage); blocking amortizes both the dispatch and
+    the 5-point solver's small-matrix work."""
+    def one(i, j, key):
+        return _match_and_gate_body(d[i], d[j], v[i], v[j], kp[i], kp[j], key,
+                                    focal, thr_px, ratio, num_hypotheses, five_point)
+
+    return jax.vmap(one)(ii, jj, keys)
+
+
+def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
+    """Match + E-gate the given (i, j) pairs (canonical i<j direction) in
+    vmapped blocks, filling `memo` {(i, j): packed flat result}. Pairs
+    already in the memo are skipped."""
+    edges = sorted({(min(i, j), max(i, j)) for i, j in pairs if i != j}
+                   - set(memo))
+    if not edges:
+        return memo
+    B = max(int(cfg.matching.pair_batch), 1)
+    keys = np.asarray(jax.random.split(key, len(edges)))
+    t0 = time.time()
+    for s in range(0, len(edges), B):
+        blk = edges[s : s + B]
+        pad = B - len(blk)
+        ii = np.array([e[0] for e in blk] + [blk[-1][0]] * pad, np.int32)
+        jj = np.array([e[1] for e in blk] + [blk[-1][1]] * pad, np.int32)
+        kb = keys[s : s + len(blk)]
+        if pad:
+            kb = np.concatenate([kb, np.tile(kb[-1:], (pad, 1))])
+        flat = np.asarray(_match_and_gate_block(
+            feats.descriptors_dev, feats.valid_dev, feats.keypoints_dev,
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kb),
+            cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
+            cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
+            five_point=cfg.sfm.ransac.use_five_point,
+        ))
+        for b, e in enumerate(blk):
+            memo[e] = flat[b]
+        if verbose and (s // B) % 8 == 0:
+            done = min(s + B, len(edges))
+            print(f"[match] gated {done}/{len(edges)} candidate edges "
+                  f"({done / max(time.time() - t0, 1e-9):.1f} edges/s)", flush=True)
+    return memo
+
+
+def _precompute_pair_cache(feats, adj, cfg, key, verbose=True):
+    """Match + E-gate every candidate view-graph edge in vmapped blocks."""
+    pairs = [(i, j) for i in adj for j in adj.get(i, []) if i != j]
+    return _batch_match_pairs(feats, pairs, cfg, key, {}, verbose=verbose)
+
+
+def _decode_pair(feats, flat, i, j, reverse, cfg):
+    """Unpack one cached canonical result into _match_one_pair's return
+    tuple for direction (ref=i, new=j). reverse=True means the cache holds
+    (j, i): mutual-NN matches are an unordered pair set, so the reversed
+    view is an index permutation, and the relative pose inverts."""
+    K = feats.keypoints.shape[1]
+    per_kpt = flat[: K * 3].reshape(K, 3)
+    idx1 = per_kpt[:, 0].astype(np.int64)
+    mvalid = per_kpt[:, 1] > 0
+    sel = per_kpt[:, 2] > 0
+    n_raw = int(mvalid.sum())
+    n_front = int(flat[K * 3 + 1])
+    rel_R = flat[K * 3 + 2 : K * 3 + 11].reshape(3, 3).astype(np.float64)
+    rel_t = flat[K * 3 + 11 : K * 3 + 14].astype(np.float64)
+    if reverse:
+        idx1_rev = np.zeros(K, np.int64)
+        mvalid_rev = np.zeros(K, bool)
+        sel_rev = np.zeros(K, bool)
+        src = np.nonzero(mvalid)[0]
+        dst = idx1[src]
+        idx1_rev[dst] = src
+        mvalid_rev[dst] = True
+        sel_rev[dst] = sel[src]
+        idx1, mvalid, sel = idx1_rev, mvalid_rev, sel_rev
+        rel_R, rel_t = rel_R.T, -rel_R.T @ rel_t
+    idx0 = np.arange(K)
+    uv0 = feats.keypoints[i]
+    uv1 = feats.keypoints[j][idx1]
+    if n_raw < cfg.matching.min_raw_matches or n_front <= cfg.matching.min_inliers:
+        return None, idx0, idx1, uv0, uv1, n_raw, n_front, None, None
+    return sel, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t
+
+
+def _match_pair_cached(feats, i, j, cfg, key, cache):
+    """Cache-backed replacement for _match_one_pair (falls through to the
+    live path on a miss, e.g. pair_batch=1)."""
+    a, b = min(i, j), max(i, j)
+    if cache is not None and (a, b) in cache:
+        return _decode_pair(feats, cache[(a, b)], i, j, reverse=(i != a), cfg=cfg)
+    return _match_one_pair(feats, i, j, cfg, key)
 
 
 def _match_one_pair(feats, i, j, cfg, key):
@@ -258,6 +362,9 @@ def run_matching(
     accepted: List[ImageRegistration] = []
     if not adj or all(len(v) == 0 for v in adj.values()):
         adj = {i: ([i - 1] if i else []) + ([i + 1] if i + 1 < n_img else []) for i in range(n_img)}
+    key, ckey = jax.random.split(key)
+    cache = (_precompute_pair_cache(feats, adj, cfg, ckey, verbose=verbose)
+             if cfg.matching.pair_batch > 1 else None)
     start = max(adj, key=lambda i: len(adj[i]))
     visited = {start}
     queue = [start]
@@ -289,7 +396,7 @@ def run_matching(
                     break
             i, j = ref, vtx
             key, sub = jax.random.split(key)
-            sel, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t = _match_one_pair(feats, i, j, cfg, sub)
+            sel, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t = _match_pair_cached(feats, i, j, cfg, sub, cache)
             if sel is None:
                 if verbose:
                     print(f"[match] ({i},{j}) rejected: raw={n_raw} front={n_front}", flush=True)
@@ -317,7 +424,7 @@ def run_matching(
             extra_refs = [w for w in adj[vtx] if w in visited and w != i][: MAX_REFS - 1]
             for w in extra_refs:
                 key, sub = jax.random.split(key)
-                sel2, i0b, i1b, u0b, u1b, _, nf2, rR2, rt2 = _match_one_pair(feats, w, j, cfg, sub)
+                sel2, i0b, i1b, u0b, u1b, _, nf2, rR2, rt2 = _match_pair_cached(feats, w, j, cfg, sub, cache)
                 if sel2 is not None and nf2 > cfg.matching.min_inliers:
                     edges.append(make_edge(w, j, sel2, i0b, i1b, u0b, u1b, rR2, rt2))
             accepted.append(ImageRegistration(img=j, edges=edges))
@@ -340,7 +447,7 @@ def run_matching(
             if w not in visited or len(edges) >= MAX_REFS:
                 continue
             key, sub = jax.random.split(key)
-            sel2, i0b, i1b, u0b, u1b, _, nf2, rR2, rt2 = _match_one_pair(feats, w, vtx, cfg, sub)
+            sel2, i0b, i1b, u0b, u1b, _, nf2, rR2, rt2 = _match_pair_cached(feats, w, vtx, cfg, sub, cache)
             if sel2 is not None and nf2 > cfg.matching.min_inliers:
                 edges.append(make_edge(w, vtx, sel2, i0b, i1b, u0b, u1b, rR2, rt2))
         if edges:
@@ -497,21 +604,35 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
     ImageRegistrations (for consistency gating)."""
     key = jax.random.PRNGKey(seed)
     rescued: List[ImageRegistration] = []
+    # Per-rescue memo of match+gate results: rounds retry REGISTRATION
+    # with evolving track state, but the pair-level E-gate is
+    # deterministic per key — one batched computation per pair covers
+    # every round (the old per-round, per-pair dispatches dominated
+    # full-run rescue wall-clock).
+    memo: Dict[Tuple[int, int], np.ndarray] = {}
     for rescue_round in range(rounds):
         if rescue_round == deregister_round:
             dropped = engine.deregister_weak_cameras()
             if dropped and verbose:
                 print(f"[sfm] deregistered {dropped} weak cameras mid-rescue", flush=True)
         todo = [v for v in range(len(feats.names)) if not engine.has_cam[v]]
+        ref_sets = {
+            v: [r for r in adj.get(v, []) if engine.has_cam[r]][: MAX_REFS]
+            for v in todo
+        }
+        key, bkey = jax.random.split(key)
+        _batch_match_pairs(
+            feats, [(r, v) for v in todo for r in ref_sets[v]], cfg, bkey, memo)
         progressed = 0
         for v in todo:
-            refs = [r for r in adj.get(v, []) if engine.has_cam[r]][: MAX_REFS]
+            refs = ref_sets[v]
             if not refs:
                 continue
             edges = []
             for r in refs:
-                key, sub = jax.random.split(key)
-                sel, i0, i1, u0, u1, _, nf, rR, rt = _match_one_pair(feats, r, v, cfg, sub)
+                a, b = min(r, v), max(r, v)
+                sel, i0, i1, u0, u1, _, nf, rR, rt = _decode_pair(
+                    feats, memo[(a, b)], r, v, reverse=(r != a), cfg=cfg)
                 if sel is not None and nf > cfg.matching.min_inliers:
                     track_sel = ts.union_pair(r, v, i0[sel], i1[sel])
                     edges.append(EdgeObservations(
