@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--mode", default="incremental")
     ap.add_argument("--model", default="plenoxel",
                     choices=["plenoxel", "sdf", "both"])
+    ap.add_argument("--tv", default="",
+                    help="extra plenoxel run with 'sigma,sh' TV weights")
     args = ap.parse_args()
 
     def stamp(msg):
@@ -64,6 +66,17 @@ def main():
             dense = ["densify", *base, "--epochs", str(args.epochs),
                      "--ray-stride", str(args.ray_stride), "--no-checkpoint",
                      "--model", model]
+            if args.occupancy:
+                dense.append("--occupancy")
+            if args.hierarchical:
+                dense.append("--hierarchical")
+            cli.main(dense)
+        if args.tv:
+            tv_s, tv_c = args.tv.split(",")
+            stamp(f"densify plenoxel tv={args.tv}")
+            dense = ["densify", *base, "--epochs", str(args.epochs),
+                     "--ray-stride", str(args.ray_stride), "--no-checkpoint",
+                     "--model", "plenoxel", "--tv-sigma", tv_s, "--tv-sh", tv_c]
             if args.occupancy:
                 dense.append("--occupancy")
             if args.hierarchical:

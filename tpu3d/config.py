@@ -138,6 +138,12 @@ class SfMConfig:
     run_pair_ba: bool = True
     run_global_ba: bool = True         # new capability (reference has none)
     global_ba_every: int = 8           # run global BA every N registrations
+    # Geometric cadence: additionally require the problem to have GROWN by
+    # this factor since the last global BA (COLMAP-style). Every-N keeps
+    # re-solving the nearly unchanged full problem (cost grows linearly
+    # with registered cameras, so the tail dominates); growth-gated BAs
+    # cut total global-BA work ~4x at 290 images. 1.0 disables the gate.
+    global_ba_growth: float = 1.25
     # Deregister cameras whose pose disagrees with the majority of their
     # own two-view edges. OFF by default: measured on ystad_kloster, the
     # E-gate relative poses (small-baseline pairs) are noisier than the

@@ -31,6 +31,7 @@ BA_CAP) so every kernel compiles exactly once per run.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -111,6 +112,26 @@ def _triangulate_and_gate(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
     error below threshold in both views."""
     with jax.default_matmul_precision("float32"):
         return _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _register_step(key, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n, focal,
+                   tri_thr_px, num_hypotheses):
+    """Fused registration interior: PnP-RANSAC for camera j, then batched
+    per-edge DLT triangulation + gating against the PnP pose — ONE device
+    dispatch per registered image (on a remote-TPU backend each extra
+    dispatch is a network round trip; this was two)."""
+    from tpu3d.geometry.pnp import pnp_ransac
+
+    with jax.default_matmul_precision("float32"):
+        R, t, _inl, cnt = pnp_ransac(key, Xk, uvk, wk, pnp_thr,
+                                     num_hypotheses=num_hypotheses)
+        cam_j = jnp.concatenate([lie.so3_log(R), t]).astype(jnp.float32)
+        X_all, good_all = jax.vmap(
+            lambda ci, u0, u1: _triangulate_and_gate_body(
+                ci, cam_j, u0, u1, focal, tri_thr_px)
+        )(cams_i, uv_r, uv_n)
+    return cam_j, cnt, X_all, good_all
 
 
 @jax.jit
@@ -255,6 +276,7 @@ class IncrementalSfM:
         info = {"img": j, "n_edges": len(edges),
                 "edge_sizes": [len(e.idx_new) for e in edges]}
         first = self.num_registered == 0
+        fused = None  # (X_all, good_all) when the fused step produced them
 
         if first:
             e0 = edges[0] if edges else None
@@ -312,21 +334,43 @@ class IncrementalSfM:
                 return info
             info["n_known"] = n_known
             cam_j = None
+            fused = None
             if n_known >= 10:
                 Xk = _pad(np.asarray(X_list, np.float32), PNP_CAP)
                 uvk = _pad(np.asarray(uv_list, np.float32) / f, PNP_CAP)
                 wk = np.zeros(PNP_CAP, np.float32)
                 wk[: min(n_known, PNP_CAP)] = 1.0
                 thr = (2.0 * cfg.ransac.threshold_px / f) ** 2
+                # Triangulation inputs don't depend on the PnP result, so
+                # PnP + all-edge triangulation fuse into ONE dispatch.
+                tri_arrays = self._tri_arrays(
+                    [e for e in edges if self.has_cam[e.ref_img]], f)
                 t0 = time.time()
-                R, t, pnp_inl, pnp_cnt = pnp_ransac(
-                    self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk), jnp.asarray(wk),
-                    thr, num_hypotheses=cfg.ransac.num_hypotheses // 2,
-                )
+                if tri_arrays is not None:
+                    cam_dev, cnt, X_dev, good_dev = _register_step(
+                        self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk),
+                        jnp.asarray(wk), thr,
+                        jnp.asarray(tri_arrays[0]), jnp.asarray(tri_arrays[1]),
+                        jnp.asarray(tri_arrays[2]), f,
+                        cfg.ransac.threshold_px * 2.0,
+                        num_hypotheses=cfg.ransac.num_hypotheses // 2,
+                    )
+                    pnp_cnt = int(cnt)
+                    if pnp_cnt > cfg.min_pnp_inliers:
+                        cam_j = np.asarray(cam_dev)
+                        fused = (np.asarray(X_dev), np.asarray(good_dev))
+                else:
+                    R, t, pnp_inl, pnp_cnt = pnp_ransac(
+                        self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk),
+                        jnp.asarray(wk), thr,
+                        num_hypotheses=cfg.ransac.num_hypotheses // 2,
+                    )
+                    if int(pnp_cnt) > cfg.min_pnp_inliers:
+                        cam_j = np.concatenate(
+                            [lie.so3_log_np(np.asarray(R)), np.asarray(t)]
+                        ).astype(np.float32)
                 info["n_pnp_inliers"] = int(pnp_cnt)
                 self.timers["pnp"] += time.time() - t0
-                if int(pnp_cnt) > cfg.min_pnp_inliers:
-                    cam_j = np.concatenate([lie.so3_log_np(np.asarray(R)), np.asarray(t)]).astype(np.float32)
             if cam_j is None:
                 # ---- relative-pose fallback (breaks registration cascades) ----
                 # PnP failed or too few anchors: take the matching stage's
@@ -362,16 +406,10 @@ class IncrementalSfM:
                     self._record_obs(e.ref_img, e.idx_ref[live], e.track[live], e.uv_ref[live])
                 continue
             tri_edges.append(e)
-        if tri_edges:
-            cams_i = np.stack([self.cams[e.ref_img] for e in tri_edges])
-            uv_r = np.stack([_pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
-            uv_n = np.stack([_pad(e.uv_new.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
-            # Pad the edge axis so the batched kernel compiles once.
-            ne = len(tri_edges)
-            if ne < MAX_REFS:
-                cams_i = np.concatenate([cams_i, np.tile(cams_i[-1:], (MAX_REFS - ne, 1))])
-                uv_r = np.concatenate([uv_r, np.tile(uv_r[-1:], (MAX_REFS - ne, 1, 1))])
-                uv_n = np.concatenate([uv_n, np.tile(uv_n[-1:], (MAX_REFS - ne, 1, 1))])
+        if tri_edges and fused is not None:
+            X_all, good_all = fused
+        elif tri_edges:
+            cams_i, uv_r, uv_n = self._tri_arrays(tri_edges, f)
             t0 = time.time()
             X_all, good_all = _triangulate_and_gate_edges(
                 jnp.asarray(cams_i), jnp.asarray(cam_j),
@@ -410,11 +448,32 @@ class IncrementalSfM:
             self.timers["local_ba"] += time.time() - t0
 
         info.update(status="registered", n_new_points=n_new_total)
-        if cfg.run_global_ba and self.num_registered % cfg.global_ba_every == 0:
+        if (cfg.run_global_ba
+                and self.num_registered % cfg.global_ba_every == 0
+                and self.num_registered
+                >= getattr(self, "_last_gba_n", 0) * cfg.global_ba_growth):
             self.global_ba()
+            self._last_gba_n = self.num_registered
             info["global_ba"] = True
         self.pair_log.append(info)
         return info
+
+    # ------------------------------------------------------------------
+    def _tri_arrays(self, tri_edges, f):
+        """Padded (MAX_REFS, ...) device inputs for the batched per-edge
+        triangulation: (cams_i (E,6), uv_ref, uv_new (E,EDGE_CAP,2))."""
+        if not tri_edges:
+            return None
+        cams_i = np.stack([self.cams[e.ref_img] for e in tri_edges])
+        uv_r = np.stack([_pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
+        uv_n = np.stack([_pad(e.uv_new.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
+        # Pad the edge axis so the batched kernel compiles once.
+        ne = len(tri_edges)
+        if ne < MAX_REFS:
+            cams_i = np.concatenate([cams_i, np.tile(cams_i[-1:], (MAX_REFS - ne, 1))])
+            uv_r = np.concatenate([uv_r, np.tile(uv_r[-1:], (MAX_REFS - ne, 1, 1))])
+            uv_n = np.concatenate([uv_n, np.tile(uv_n[-1:], (MAX_REFS - ne, 1, 1))])
+        return cams_i, uv_r, uv_n
 
     # ------------------------------------------------------------------
     def _relative_pose_fallback(self, j: int, edges, info: dict):
