@@ -40,6 +40,7 @@ def _build_config(args):
             ransac=RansacConfig(num_hypotheses=args.ransac_hypotheses,
                                 use_five_point=getattr(args, "five_point", True)),
             global_ba_every=args.global_ba_every,
+            global_ba_growth=getattr(args, "global_ba_growth", 1.25),
         ),
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
@@ -343,6 +344,8 @@ def main(argv=None):
     p.add_argument("--min-raw-matches", type=int, default=100)
     p.add_argument("--ransac-hypotheses", type=int, default=512)
     p.add_argument("--global-ba-every", type=int, default=8)
+    p.add_argument("--global-ba-growth", type=float, default=1.25,
+                   help="min problem growth between global BAs (1 = every-N)")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--ray-stride", type=int, default=2)
     p.add_argument("--model", choices=["plenoxel", "sdf"], default="plenoxel",

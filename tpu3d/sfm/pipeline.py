@@ -141,16 +141,24 @@ def run_extraction(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters", "top_k"))
+def _retrieval_fused(key, d, v, k, iters, top_k):
+    """Codebook build + vq + tf-idf + top-k similarity in ONE dispatch
+    (each stage alone costs a device round trip on a remote backend)."""
+    codebook = build_codebook(key, d, v, k, iters)
+    words = jax.vmap(vector_quantize, in_axes=(0, None))(d, codebook)
+    tv = tfidf_vectors(words, v, k)
+    return topk_similar(tv, top_k)
+
+
 def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     """BoW codebook + tf-idf retrieval + view graph (ref bow.py +
     matching.py:22-82). Returns the adjacency dict."""
     key = jax.random.PRNGKey(seed)
     d = feats.descriptors_dev
     v = feats.valid_dev
-    codebook = build_codebook(key, d, v, cfg.retrieval.codebook_size, cfg.retrieval.kmeans_iters)
-    words = jax.jit(jax.vmap(vector_quantize, in_axes=(0, None)))(d, codebook)
-    tv = tfidf_vectors(words, v, cfg.retrieval.codebook_size)
-    idx, sim = topk_similar(tv, cfg.retrieval.top_k)
+    idx, sim = _retrieval_fused(key, d, v, cfg.retrieval.codebook_size,
+                                cfg.retrieval.kmeans_iters, cfg.retrieval.top_k)
     adj = build_view_graph(
         np.asarray(idx), np.asarray(sim),
         cfg.retrieval.similarity_threshold, cfg.retrieval.min_neighbors,
