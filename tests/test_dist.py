@@ -68,3 +68,26 @@ def test_sharded_ba_matches_single(mesh, rng):
     st_sharded = sharded_bundle_adjust(mesh, *args, max_iters=5)
     np.testing.assert_allclose(np.asarray(st_sharded.cams), np.asarray(st_single.cams), atol=1e-4)
     np.testing.assert_allclose(float(st_sharded.cost), float(st_single.cost), rtol=1e-3)
+
+
+def test_sharded_match_block_matches_single(mesh, rng):
+    """Pair-axis-sharded matching must reproduce the single-device packed
+    results bit-for-bit (replicated inputs, deterministic keys)."""
+    from tpu3d.dist.sharding import make_sharded_match_block
+    from tpu3d.sfm.pipeline import _match_and_gate_block
+
+    N, K, F = 6, 128, 32
+    focal = 600.0
+    d = jnp.asarray(rng.normal(size=(N, K, F)).astype(np.float32))
+    v = jnp.ones((N, K), jnp.float32)
+    kp = jnp.asarray(rng.uniform(-200, 200, (N, K, 2)).astype(np.float32))
+    B = 8
+    ii = jnp.asarray((np.arange(B) % N).astype(np.int32))
+    jj = jnp.asarray(((np.arange(B) + 1) % N).astype(np.int32))
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+
+    single = np.asarray(_match_and_gate_block(
+        d, v, kp, ii, jj, keys, focal, 1.0, 0.95, 64, five_point=False))
+    run = make_sharded_match_block(mesh, focal, 1.0, 0.95, 64)
+    sharded = np.asarray(run(d, v, kp, ii, jj, keys))
+    np.testing.assert_allclose(sharded, single, atol=1e-5)

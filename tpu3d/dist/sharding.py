@@ -64,6 +64,34 @@ def make_sharded_dense_step(cfg: DenseConfig, optimizer: optax.GradientTransform
     return step, place
 
 
+def make_sharded_match_block(mesh: Mesh, focal: float, threshold_px: float,
+                             ratio: float, num_hypotheses: int,
+                             five_point: bool = False):
+    """Candidate-edge matching + E-gating with the PAIR axis sharded over
+    `data` (the matching stage is embarrassingly parallel across edges:
+    descriptors/keypoints replicate, each device gates its pair shard —
+    the multi-chip scale-out of the pipeline's dominant stage). Returns
+    run(d, v, kp, ii, jj, keys) -> (B, K*3+14) packed rows."""
+    from tpu3d.sfm.pipeline import _match_and_gate_block
+
+    rep = replicated(mesh)
+    s1 = data_sharding(mesh, ndim=1)
+    s2 = data_sharding(mesh, ndim=2)
+
+    def run(d, v, kp, ii, jj, keys):
+        d = jax.device_put(d, rep)
+        v = jax.device_put(v, rep)
+        kp = jax.device_put(kp, rep)
+        ii = jax.device_put(ii, s1)
+        jj = jax.device_put(jj, s1)
+        keys = jax.device_put(keys, s2)
+        return _match_and_gate_block(
+            d, v, kp, ii, jj, keys, focal, threshold_px, ratio,
+            num_hypotheses, five_point)
+
+    return run
+
+
 def sharded_bundle_adjust(
     mesh: Mesh,
     cams0,
