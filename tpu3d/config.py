@@ -144,6 +144,10 @@ class SfMConfig:
     # with registered cameras, so the tail dominates); growth-gated BAs
     # cut total global-BA work ~4x at 290 images. 1.0 disables the gate.
     global_ba_growth: float = 1.25
+    # Windowed (COLMAP-style local) BA over the most recent N registered
+    # cameras on the every-N ticks the growth gate skips: O(window) cost,
+    # keeps the chain frontier tight between full global BAs.
+    local_window: int = 25
     # Deregister cameras whose pose disagrees with the majority of their
     # own two-view edges. OFF by default: measured on ystad_kloster, the
     # E-gate relative poses (small-baseline pairs) are noisier than the
