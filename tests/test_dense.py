@@ -331,3 +331,25 @@ def test_tv_regularization_smooths_grid(rng):
     g_tv, _ = train_plenoxel(
         ds, dc.replace(base, tv_sigma=1.0, tv_sh=1.0, tv_crop=16), verbose=False)
     assert roughness(g_tv) < roughness(g_plain)
+
+
+def test_sdf_packed_training_matches_xla(rng):
+    """train_sdf(packed=True) (Pallas layout, interpret mode on CPU) must
+    track the XLA path: same loss trajectory to fp tolerance."""
+    from tpu3d.config import DenseConfig
+    from tpu3d.dense.train import RayDataset, train_sdf
+
+    n = 1024
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rgb = rng.uniform(0.2, 0.8, size=(n, 3)).astype(np.float32)
+    ds = RayDataset(o, d, rgb)
+    cfg = DenseConfig(grid_resolution=16, num_samples=16, epochs=1,
+                      batch_size=256, scene_scale=1.0)
+    g_xla, l_xla = train_sdf(ds, cfg, verbose=False, log_every=1, packed=False)
+    g_pk, l_pk = train_sdf(ds, cfg, verbose=False, log_every=1, packed=True)
+    np.testing.assert_allclose(np.asarray(l_pk), np.asarray(l_xla),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pk.grid), np.asarray(g_xla.grid),
+                               rtol=1e-3, atol=5e-4)

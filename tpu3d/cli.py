@@ -41,6 +41,7 @@ def _build_config(args):
                                 use_five_point=getattr(args, "five_point", True)),
             global_ba_every=args.global_ba_every,
             global_ba_growth=getattr(args, "global_ba_growth", 1.25),
+            local_window=getattr(args, "local_window", 25),
         ),
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
@@ -346,6 +347,8 @@ def main(argv=None):
     p.add_argument("--global-ba-every", type=int, default=8)
     p.add_argument("--global-ba-growth", type=float, default=1.25,
                    help="min problem growth between global BAs (1 = every-N)")
+    p.add_argument("--local-window", type=int, default=25,
+                   help="windowed-BA camera count between global BAs")
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--ray-stride", type=int, default=2)
     p.add_argument("--model", choices=["plenoxel", "sdf"], default="plenoxel",
