@@ -40,7 +40,7 @@ def _build_config(args):
             ransac=RansacConfig(num_hypotheses=args.ransac_hypotheses,
                                 use_five_point=getattr(args, "five_point", True)),
             global_ba_every=args.global_ba_every,
-            global_ba_growth=getattr(args, "global_ba_growth", 1.25),
+            global_ba_growth=getattr(args, "global_ba_growth", 1.12),
             local_window=getattr(args, "local_window", 25),
         ),
         dense=DenseConfig(epochs=args.epochs,
@@ -224,6 +224,11 @@ def cmd_densify(args):
         from tpu3d.dense.train import train_sdf
 
         grid, losses = train_sdf(dataset, dcfg, verbose=not args.quiet)
+        # Evaluate with the TRAINING band semantics (pure per-ray AABB,
+        # render_rays_aabb: near=0/far=box-exit) — rendering the SDF grid
+        # with the scene-derived [near, far] band instead measured a bogus
+        # 10.6 dB on a 21 dB-train-fit model (band mismatch, not quality).
+        dcfg = dataclasses.replace(dcfg, near=1e-3, far=1e3, per_ray_aabb=True)
     else:
         grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
                                       checkpoint_store=ck_store, resume=args.resume)
@@ -345,7 +350,7 @@ def main(argv=None):
     p.add_argument("--min-raw-matches", type=int, default=100)
     p.add_argument("--ransac-hypotheses", type=int, default=512)
     p.add_argument("--global-ba-every", type=int, default=8)
-    p.add_argument("--global-ba-growth", type=float, default=1.25,
+    p.add_argument("--global-ba-growth", type=float, default=1.12,
                    help="min problem growth between global BAs (1 = every-N)")
     p.add_argument("--local-window", type=int, default=25,
                    help="windowed-BA camera count between global BAs")

@@ -143,7 +143,7 @@ class SfMConfig:
     # re-solving the nearly unchanged full problem (cost grows linearly
     # with registered cameras, so the tail dominates); growth-gated BAs
     # cut total global-BA work ~4x at 290 images. 1.0 disables the gate.
-    global_ba_growth: float = 1.25
+    global_ba_growth: float = 1.12
     # Windowed (COLMAP-style local) BA over the most recent N registered
     # cameras on the every-N ticks the growth gate skips: O(window) cost,
     # keeps the chain frontier tight between full global BAs.
