@@ -82,7 +82,7 @@ def main():
     focal = 2378.98305085 / DOWNSCALE
     cfg = PipelineConfig(
         camera=CameraConfig(focal_length=focal),
-        frontend=FrontendConfig(max_keypoints=2048, batch_size=8),
+        frontend=FrontendConfig(max_keypoints=2048, batch_size=4),
         matching=MatchingConfig(min_raw_matches=100),
         sfm=SfMConfig(
             camera=CameraConfig(focal_length=focal),
