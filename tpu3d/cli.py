@@ -170,6 +170,7 @@ def cmd_reconstruct(args):
         "mean_reproj_px": rec.mean_reproj_px,
         "num_obs": rec.num_obs,
         "mode": args.mode,
+        "downscale": (meta or {}).get("downscale", args.downscale),
         "seconds": time.time() - t0,
     })
     if args.ply:
@@ -198,7 +199,10 @@ def cmd_densify(args):
     if rec is None:
         print("no reconstruction artifact — run `reconstruct` first", file=sys.stderr)
         sys.exit(1)
-    ds = fmeta.get("downscale", 1) * args.dense_downscale
+    # features_meta may be absent when the artifacts dir holds only a
+    # reconstruction (e.g. full_run.py per-mode subdirs); reconstruction_meta
+    # records the same downscale.
+    ds = (fmeta or meta or {}).get("downscale", 1) * args.dense_downscale
     gray, rgb = load_images(args.images, meta["registered_names"], ds)
     norm = normalize_scene(rec["points"])
     focal = args.focal / ds
@@ -396,6 +400,13 @@ def main(argv=None):
                    help="cheaper 8-point E solver instead of the 5-point default")
     p.add_argument("--from-matches", action="store_true",
                    help="reconstruct from the saved matching artifacts (no re-matching)")
+    p.add_argument("--trace", default="",
+                   help="write a Chrome-trace JSON of host-side stage/kernel "
+                        "spans (load in chrome://tracing or Perfetto) and "
+                        "print a span summary (utils/trace.py)")
+    p.add_argument("--xprof", default="",
+                   help="capture a jax.profiler device trace into this dir "
+                        "(TensorBoard-loadable; includes XLA op timelines)")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (useful off-TPU; the axon "
@@ -406,14 +417,33 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    {
+    cmd = {
         "extract": cmd_extract,
         "match": cmd_match,
         "reconstruct": cmd_reconstruct,
         "densify": cmd_densify,
         "full": cmd_full,
         "export": cmd_export,
-    }[args.command](args)
+    }[args.command]
+    if args.xprof:
+        import jax
+
+        jax.profiler.start_trace(args.xprof)
+    try:
+        from tpu3d.utils.trace import get_tracer
+
+        with get_tracer().span(args.command):
+            cmd(args)
+    finally:
+        if args.xprof:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"device trace written to {args.xprof}", file=sys.stderr)
+        if args.trace:
+            tr = get_tracer()
+            tr.export_chrome_trace(args.trace)
+            print(json.dumps(tr.summary()), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -775,22 +775,28 @@ def reconstruct(
     """Full pipeline. Returns (reconstruction, stage timings in seconds).
     mode: "incremental" (chain registration) or "global" (pose-graph
     backbone + PnP recall)."""
+    from tpu3d.utils.trace import trace_span
+
     cfg = cfg or PipelineConfig()
     timings: Dict[str, float] = {}
     t0 = time.time()
-    feats = run_extraction(img_dir, cfg, names, downscale, verbose)
+    with trace_span("extract", sync=True, images=len(names) if names else -1):
+        feats = run_extraction(img_dir, cfg, names, downscale, verbose)
     timings["extract"] = time.time() - t0
     t0 = time.time()
-    adj = run_retrieval(feats, cfg)
+    with trace_span("retrieve", sync=True):
+        adj = run_retrieval(feats, cfg)
     timings["retrieve"] = time.time() - t0
     t0 = time.time()
-    pairs, ts = run_matching(feats, adj, cfg, verbose=verbose)
+    with trace_span("match", sync=True):
+        pairs, ts = run_matching(feats, adj, cfg, verbose=verbose)
     timings["match"] = time.time() - t0
     t0 = time.time()
-    if mode == "global":
-        rec = run_global_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
-    else:
-        rec = run_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
+    with trace_span("reconstruct", sync=True, mode=mode):
+        if mode == "global":
+            rec = run_global_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
+        else:
+            rec = run_reconstruction(feats, pairs, ts, cfg, verbose=verbose, adj=adj)
     timings["reconstruct"] = time.time() - t0
     timings["total"] = sum(timings.values())
     return rec, timings
