@@ -6,7 +6,7 @@ Pieces timed at the production shape (K=2048 keypoints, 512 hypotheses):
   - 8-point E-RANSAC alone
   - 5-point E-RANSAC alone (the Nistér det-scan path)
   - fused match+gate (single pair), 8pt and 5pt
-  - fused block at pair_batch = 4 / 8 / 16 (per-edge amortized)
+  - fused block at pair_batch = 4 / 8 / 16 / 32 (per-edge amortized)
 
 Usage: python benchmarks/match_bench.py [--cpu] [--hyps 512]
 """
@@ -91,7 +91,7 @@ def main():
     d_all = jnp.asarray(rng.normal(0, 1, (N, K, F)).astype(np.float32))
     v_all = jnp.ones((N, K), jnp.float32)
     kp_all = jnp.asarray(np.tile(uv0[None], (N, 1, 1)))
-    for B in (4, 8, 16):
+    for B in (4, 8, 16, 32):
         ii = jnp.asarray(np.arange(B, dtype=np.int32) % N)
         jj = jnp.asarray((np.arange(B, dtype=np.int32) + 1) % N)
         keys = jax.random.split(key, B)

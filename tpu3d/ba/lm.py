@@ -209,7 +209,26 @@ def _bundle_adjust_body(
         return jnp.sum(jnp.where(quad, rn * rn, 2 * robust_delta * rn - robust_delta**2))
 
     cost0 = _cost(cams0, points0)
-    (cams, points, lam, cost), _ = jax.lax.scan(
-        lm_step, (cams0, points0, jnp.asarray(lam0, dtype), cost0), None, length=max_iters
+
+    # Early-exit LM: mid-run global BAs start near-converged (the previous
+    # BA plus windowed refinements), so a fixed-length scan wastes most of
+    # its iterations re-building Jacobians for no progress. Stop after 3
+    # consecutive iterations without a relative cost improvement >1e-5
+    # (rejected LM steps need a couple of retries while lambda climbs).
+    def _cond(state):
+        _, _, _, _, it, stall = state
+        return jnp.logical_and(it < max_iters, stall < 3)
+
+    def _body(state):
+        cams, points, lam, cost, it, stall = state
+        (cams, points, lam, new_cost), _ = lm_step((cams, points, lam, cost), None)
+        improved = new_cost < cost * (1.0 - 1e-5)
+        stall = jnp.where(improved, 0, stall + 1)
+        return (cams, points, lam, new_cost, it + 1, stall)
+
+    cams, points, lam, cost, _, _ = jax.lax.while_loop(
+        _cond, _body,
+        (cams0, points0, jnp.asarray(lam0, dtype), cost0,
+         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
     return BAState(cams, points, cost, lam)

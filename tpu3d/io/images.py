@@ -33,15 +33,30 @@ def load_images(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Load images as (N, H, W) float32 gray in [0,1] and (N, H, W, 3) uint8
     RGB. All images must share one size (true for ystad_kloster)."""
-    grays, rgbs = [], []
-    for name in names:
-        img = Image.open(os.path.join(img_dir, name)).convert("RGB")
+    def _load_one(name):
+        img = Image.open(os.path.join(img_dir, name))
+        target = (img.width // downscale, img.height // downscale)
         if downscale > 1:
-            img = img.resize((img.width // downscale, img.height // downscale), Image.BILINEAR)
+            # JPEG draft mode decodes at the nearest DCT scale (1/2, 1/4,
+            # 1/8) directly in the decoder — ~4x cheaper at downscale 2
+            # than decode-then-resize. No-op for non-JPEG formats.
+            img.draft("RGB", target)
+        img = img.convert("RGB")
+        if img.size != target:
+            img = img.resize(target, Image.BILINEAR)
         rgb = np.asarray(img, np.uint8)
         gray = np.asarray(img.convert("L"), np.float32) / 255.0
-        grays.append(gray)
-        rgbs.append(rgb)
+        return gray, rgb
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(names) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, (os.cpu_count() or 2) * 2)) as ex:
+            results = list(ex.map(_load_one, names))
+    else:
+        results = [_load_one(n) for n in names]
+    grays = [g for g, _ in results]
+    rgbs = [c for _, c in results]
     return np.stack(grays), np.stack(rgbs)
 
 
