@@ -94,15 +94,46 @@ def test_packed_train_step_matches_xla_path(hierarchical):
     d[:, 0] = np.abs(d[:, 0]) + 1.0
     d /= np.linalg.norm(d, axis=1, keepdims=True)
     ds = RayDataset(o, d, rng.rand(n, 3).astype(np.float32))
+    # scan_chunk=1 isolates the kernel-pair equivalence from scan-fusion
+    # reassociation noise (the chunked loop is covered separately below)
     cfg = DenseConfig(grid_resolution=16, epochs=2, batch_size=64,
                       num_samples=8, near=0.5, far=4.0,
-                      hierarchical=hierarchical, n_coarse=6, n_fine=6)
+                      hierarchical=hierarchical, n_coarse=6, n_fine=6,
+                      scan_chunk=1)
     g_xla, _ = train_plenoxel(ds, cfg, verbose=False, packed=False)
     g_pk, _ = train_plenoxel(ds, cfg, verbose=False, packed=True)
     assert g_pk.grid.shape == g_xla.grid.shape
     # atol covers Adam's sqrt(v) amplification of float-associativity
-    # noise on near-zero gradients
+    # noise on near-zero gradients (a real kernel bug diverges by orders
+    # of magnitude — see test_scatter_grad_* for the exact-math checks)
     np.testing.assert_allclose(np.asarray(g_pk.grid), np.asarray(g_xla.grid),
+                               rtol=2e-4, atol=5e-4)
+
+
+def test_chunked_loop_matches_per_step():
+    """The scan_chunk>1 multi-step dispatch == the per-step loop (same
+    seed, same shuffle, same batches — the chunking only changes dispatch
+    granularity, not the training sequence)."""
+    from tpu3d.config import DenseConfig
+    from tpu3d.dense.train import RayDataset, train_plenoxel
+
+    rng = np.random.RandomState(1)
+    n = 256
+    o = np.zeros((n, 3), np.float32)
+    o[:, 0] = -2.0
+    d = rng.randn(n, 3).astype(np.float32)
+    d[:, 0] = np.abs(d[:, 0]) + 1.0
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ds = RayDataset(o, d, rng.rand(n, 3).astype(np.float32))
+    base = dict(grid_resolution=16, epochs=2, batch_size=64,
+                num_samples=8, near=0.5, far=4.0)
+    g1, l1 = train_plenoxel(ds, DenseConfig(scan_chunk=1, **base),
+                            verbose=False, packed=False, log_every=1)
+    g2, l2 = train_plenoxel(ds, DenseConfig(scan_chunk=3, **base),
+                            verbose=False, packed=False, log_every=1)
+    assert len(l1) == len(l2)
+    np.testing.assert_allclose(l1, l2, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2.grid), np.asarray(g1.grid),
                                rtol=2e-4, atol=1e-4)
 
 

@@ -191,6 +191,12 @@ class DenseConfig:
     occupancy_threshold: float = 0.5
     occupancy_probes: int = 128        # band probes per ray
     occupancy_every: int = 500         # refresh cadence (train steps)
+    # Training steps scanned inside one device dispatch (lax.scan over a
+    # device-resident ray dataset). Each dispatch on the remote-TPU tunnel
+    # pays a ~0.1-0.2 s host round trip; at 2048-ray batches that overhead
+    # capped training at ~8.7k rays/s vs the kernel pair's ~4x headroom.
+    # 1 = legacy one-dispatch-per-step.
+    scan_chunk: int = 16
     # Stochastic total-variation regularization (the Plenoxels paper's key
     # ingredient — the reference cites the paper but never implements TV).
     # Each step penalizes squared neighbor differences on a random

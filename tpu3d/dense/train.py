@@ -209,8 +209,7 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     # moments are 5.6 GB, and without donation the old and new state
     # coexist during the step (plus temporaries) — ResourceExhausted on a
     # 16 GB chip.
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, ro, rd, rgb, occ=None):
+    def step_body(state: TrainState, key, ro, rd, rgb, occ=None):
         loss, g = jax.value_and_grad(loss_fn)(state.grid.grid, state.grid, key, ro, rd, rgb, occ)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
@@ -220,6 +219,8 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
             state.step + 1,
         ), loss
 
+    step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
+    step.body = step_body
     return step
 
 
@@ -253,8 +254,7 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
             loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
         return loss
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, ro, rd, rgb, occ=None):
+    def step_body(state: TrainState, key, ro, rd, rgb, occ=None):
         loss, g = jax.value_and_grad(loss_fn)(
             state.grid.grid, state.grid.min_bound, state.grid.max_bound,
             key, ro, rd, rgb, occ)
@@ -265,7 +265,49 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
             opt_state, state.step + 1,
         ), loss
 
+    step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
+    step.body = step_body
     return step
+
+
+def make_multi_step(step_fn, with_occ: bool):
+    """Scan `K` training steps inside ONE dispatch against a device-resident
+    ray dataset. On the remote-TPU tunnel each dispatch pays a full host
+    round trip (~0.1-0.2 s) — at 2048-ray batches that overhead dominated
+    the measured 8.7k rays/s (the Pallas kernel pair alone sustains ~4x
+    that). The host sends only the (K, batch) shuffled index block."""
+    body = step_fn.body
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi(state, epoch_key, step0, idx, o_all, d_all, rgb_all, occ=None):
+        # Per-step keys are fold_in(epoch_key, step) — identical to the
+        # per-step (scan_chunk=1) loop, so dispatch granularity cannot
+        # change the training sequence (tests/test_trilinear_grad.py).
+        steps = step0 + jnp.arange(idx.shape[0], dtype=jnp.uint32)
+        keys = jax.vmap(lambda s: jax.random.fold_in(epoch_key, s))(steps)
+
+        def scan_body(st, args):
+            k, ix = args
+            if with_occ:
+                st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix], occ)
+            else:
+                st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix])
+            return st, loss
+
+        return jax.lax.scan(scan_body, state, (keys, idx))
+
+    return multi
+
+
+def _chunk_plan(steps_per_epoch: int, chunk: int):
+    """(start_step, length) chunks covering an epoch; same plan every epoch
+    so only two program shapes compile (full chunk + tail)."""
+    out, b = [], 0
+    while b < steps_per_epoch:
+        k = min(chunk, steps_per_epoch - b)
+        out.append((b, k))
+        b += k
+    return out
 
 
 def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -> None:
@@ -368,37 +410,62 @@ def train_plenoxel(
         coarse = tuple(-(-d // f) for d in orig_shape[:3])
         occ = jnp.ones(coarse, bool)
 
+    def _refresh_occ(occ):
+        if use_packed:
+            return occupancy_from_packed(
+                state.grid.grid, orig_shape, f, cfg.occupancy_threshold)
+        return occupancy_from_grid(state.grid.grid, f, cfg.occupancy_threshold)
+
+    chunk = max(int(cfg.scan_chunk), 1)
+    if n < cfg.batch_size:
+        chunk = 1  # single short batch per epoch — per-step path handles it
+    plan = _chunk_plan(steps_per_epoch, chunk)
+    multi_fn = make_multi_step(step_fn, with_occ=True) if chunk > 1 else None
+    if multi_fn is not None:
+        o_dev = jnp.asarray(dataset.origins)
+        d_dev = jnp.asarray(dataset.dirs)
+        rgb_dev = jnp.asarray(dataset.rgb)
+
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
     global_step = 0
+    next_occ = cfg.occupancy_every
     for epoch in range(start_epoch, cfg.epochs):
-        key, pkey = jax.random.split(key)
+        key, pkey, ekey = jax.random.split(key, 3)
         perm = np.asarray(jax.random.permutation(pkey, n))
-        for b in range(steps_per_epoch):
-            if (occ is not None and global_step > 0
-                    and global_step % cfg.occupancy_every == 0):
-                if use_packed:
-                    occ = occupancy_from_packed(
-                        state.grid.grid, orig_shape, f, cfg.occupancy_threshold)
-                else:
-                    occ = occupancy_from_grid(
-                        state.grid.grid, f, cfg.occupancy_threshold)
-            idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
-            key, skey = jax.random.split(key)
-            state, loss = step_fn(
-                state, skey,
-                jnp.asarray(dataset.origins[idx]),
-                jnp.asarray(dataset.dirs[idx]),
-                jnp.asarray(dataset.rgb[idx]),
-                occ=occ,
-            )
-            global_step += 1
-            if b % log_every == 0:
-                losses.append(float(loss))
-                if verbose:
-                    rate = (b + 1) * cfg.batch_size / (time.time() - t0)
-                    print(f"[dense] epoch {epoch} step {b}/{steps_per_epoch} "
-                          f"loss {float(loss):.5f} ({rate:.0f} rays/s)", flush=True)
+        for b, k_steps in plan:
+            # occupancy refresh lands on the first chunk boundary at/after
+            # each occupancy_every multiple (exact per-step cadence when
+            # scan_chunk == 1)
+            if occ is not None and global_step >= next_occ:
+                occ = _refresh_occ(occ)
+                next_occ += cfg.occupancy_every
+            if multi_fn is not None:
+                idx = perm[b * cfg.batch_size : (b + k_steps) * cfg.batch_size]
+                idx = jnp.asarray(idx.reshape(k_steps, cfg.batch_size))
+                state, loss_chunk = multi_fn(state, ekey, np.uint32(b), idx,
+                                             o_dev, d_dev, rgb_dev, occ)
+            else:
+                idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
+                state, loss = step_fn(
+                    state, jax.random.fold_in(ekey, np.uint32(b)),
+                    jnp.asarray(dataset.origins[idx]),
+                    jnp.asarray(dataset.dirs[idx]),
+                    jnp.asarray(dataset.rgb[idx]),
+                    occ=occ,
+                )
+                loss_chunk = None
+            global_step += k_steps
+            log_js = [j for j in range(k_steps) if (b + j) % log_every == 0]
+            if log_js:
+                lc = np.asarray(loss_chunk) if loss_chunk is not None else None
+                for j in log_js:
+                    loss_j = float(lc[j]) if lc is not None else float(loss)
+                    losses.append(loss_j)
+                    if verbose:
+                        rate = (b + k_steps) * cfg.batch_size / (time.time() - t0)
+                        print(f"[dense] epoch {epoch} step {b + j}/{steps_per_epoch} "
+                              f"loss {loss_j:.5f} ({rate:.0f} rays/s)", flush=True)
         if checkpoint_store is not None:
             save_checkpoint(checkpoint_store, state, epoch, losses)
     if use_packed:
@@ -451,8 +518,7 @@ def make_sdf_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransf
             loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
         return loss
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, ro, rd, rgb):
+    def step_body(state: TrainState, key, ro, rd, rgb):
         loss, g = jax.value_and_grad(loss_fn)(
             state.grid.grid, state.grid.min_bound, state.grid.max_bound,
             key, ro, rd, rgb)
@@ -463,6 +529,8 @@ def make_sdf_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransf
             opt_state, state.step + 1,
         ), loss
 
+    step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
+    step.body = step_body
     return step
 
 
@@ -484,8 +552,7 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
             loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
         return loss
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step(state: TrainState, key, ro, rd, rgb):
+    def step_body(state: TrainState, key, ro, rd, rgb):
         from tpu3d.dense.sdf import SDFGrid
 
         tmpl = SDFGrid(state.grid.grid, state.grid.min_bound, state.grid.max_bound)
@@ -497,6 +564,8 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
             opt_state, state.step + 1,
         ), loss
 
+    step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
+    step.body = step_body
     return step
 
 
@@ -535,26 +604,45 @@ def train_sdf(
         state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0))
         step_fn = make_sdf_train_step(cfg, optimizer)
     losses: List[float] = []
+    chunk = max(int(cfg.scan_chunk), 1)
+    if n < cfg.batch_size:
+        chunk = 1  # single short batch per epoch — per-step path handles it
+    plan = _chunk_plan(steps_per_epoch, chunk)
+    multi_fn = make_multi_step(step_fn, with_occ=False) if chunk > 1 else None
+    if multi_fn is not None:
+        o_dev = jnp.asarray(dataset.origins)
+        d_dev = jnp.asarray(dataset.dirs)
+        rgb_dev = jnp.asarray(dataset.rgb)
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
     for epoch in range(cfg.epochs):
-        key, pkey = jax.random.split(key)
+        key, pkey, ekey = jax.random.split(key, 3)
         perm = np.asarray(jax.random.permutation(pkey, n))
-        for b in range(steps_per_epoch):
-            idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
-            key, skey = jax.random.split(key)
-            state, loss = step_fn(
-                state, skey,
-                jnp.asarray(dataset.origins[idx]),
-                jnp.asarray(dataset.dirs[idx]),
-                jnp.asarray(dataset.rgb[idx]),
-            )
-            if b % log_every == 0:
-                losses.append(float(loss))
-                if verbose:
-                    rate = (b + 1) * cfg.batch_size / (time.time() - t0)
-                    print(f"[sdf] epoch {epoch} step {b}/{steps_per_epoch} "
-                          f"loss {float(loss):.5f} ({rate:.0f} rays/s)", flush=True)
+        for b, k_steps in plan:
+            if multi_fn is not None:
+                idx = perm[b * cfg.batch_size : (b + k_steps) * cfg.batch_size]
+                idx = jnp.asarray(idx.reshape(k_steps, cfg.batch_size))
+                state, loss_chunk = multi_fn(state, ekey, np.uint32(b), idx,
+                                             o_dev, d_dev, rgb_dev)
+            else:
+                idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
+                state, loss = step_fn(
+                    state, jax.random.fold_in(ekey, np.uint32(b)),
+                    jnp.asarray(dataset.origins[idx]),
+                    jnp.asarray(dataset.dirs[idx]),
+                    jnp.asarray(dataset.rgb[idx]),
+                )
+                loss_chunk = None
+            log_js = [j for j in range(k_steps) if (b + j) % log_every == 0]
+            if log_js:
+                lc = np.asarray(loss_chunk) if loss_chunk is not None else None
+                for j in log_js:
+                    loss_j = float(lc[j]) if lc is not None else float(loss)
+                    losses.append(loss_j)
+                    if verbose:
+                        rate = (b + k_steps) * cfg.batch_size / (time.time() - t0)
+                        print(f"[sdf] epoch {epoch} step {b + j}/{steps_per_epoch} "
+                              f"loss {loss_j:.5f} ({rate:.0f} rays/s)", flush=True)
     if use_packed:
         from tpu3d.kernels.trilinear import unpack_grid
 
