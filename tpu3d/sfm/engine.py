@@ -732,12 +732,19 @@ class IncrementalSfM:
         if prob is None:
             return
         cam_slots, cam_idx, uniq_tracks, pt_idx, uv, keys = prob
-        C = len(cam_slots)
+        C_real = len(cam_slots)
+        # Bucket the camera count too: growth-gated global BAs otherwise
+        # hit a fresh C at nearly every call and recompile the whole Schur
+        # graph (~37 distinct executables over a 290-image run; the TPU
+        # tunnel charges tens of seconds per compile). Padded cameras are
+        # frozen via cam_fixed.
+        C = _bucket(C_real, 8)
         P_real = len(uniq_tracks)
         O_real = len(cam_idx)
         P = _bucket(P_real)
         O = _bucket(O_real)
-        cams0 = jnp.asarray(self.cams[cam_slots])
+        cams0 = np.zeros((C, 6), np.float32)
+        cams0[:C_real] = self.cams[cam_slots]
         pts = np.zeros((P, 3), np.float32)
         pts[:P_real] = self.points[uniq_tracks]
         w = np.zeros(O, np.float32)
@@ -748,14 +755,14 @@ class IncrementalSfM:
         pi[:O_real] = pt_idx
         uvp = np.zeros((O, 2), np.float32)
         uvp[:O_real] = uv
-        cam_fixed = np.zeros(C, np.float32)
-        cam_fixed[0] = 1.0
+        cam_fixed = np.ones(C, np.float32)
+        cam_fixed[1:C_real] = 0.0
         pt_fixed = np.zeros(P, np.float32)
         pt_fixed[P_real:] = 1.0
         rb = self.cfg.ba.robust_huber_px
         robust = (rb / self.focal) if rb else None
         st = bundle_adjust(
-            cams0, jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
+            jnp.asarray(cams0), jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
             jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
             max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
             robust_delta=robust,
@@ -783,7 +790,7 @@ class IncrementalSfM:
                     jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
                     max_iters=(max_iters or self.cfg.ba.max_iters) // 2, cg_iters=32,
                 )
-        self.cams[cam_slots] = np.asarray(st.cams)
+        self.cams[cam_slots] = np.asarray(st.cams)[:C_real]
         keep = self.point_valid[uniq_tracks]
         self.points[uniq_tracks[keep]] = np.asarray(st.points)[:P_real][keep]
 
