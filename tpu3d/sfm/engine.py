@@ -222,8 +222,9 @@ class IncrementalSfM:
         # numpy conversions that follow them, so these are true costs).
         self.timers: Dict[str, float] = {
             "pnp": 0.0, "triangulate": 0.0, "local_ba": 0.0,
-            "global_ba": 0.0, "host": 0.0,
+            "global_ba": 0.0, "windowed_ba": 0.0, "host": 0.0,
         }
+        self.counters: Dict[str, int] = {"global_ba": 0, "windowed_ba": 0}
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -260,14 +261,17 @@ class IncrementalSfM:
 
     def register_image(self, reg: ImageRegistration) -> dict:
         t_enter = time.time()
-        dev_before = (self.timers["pnp"] + self.timers["triangulate"]
-                      + self.timers["local_ba"] + self.timers["global_ba"])
+
+        def _dev():
+            return (self.timers["pnp"] + self.timers["triangulate"]
+                    + self.timers["local_ba"] + self.timers["global_ba"]
+                    + self.timers["windowed_ba"])
+
+        dev_before = _dev()
         try:
             return self._register_image(reg)
         finally:
-            dev_after = (self.timers["pnp"] + self.timers["triangulate"]
-                         + self.timers["local_ba"] + self.timers["global_ba"])
-            self.timers["host"] += (time.time() - t_enter) - (dev_after - dev_before)
+            self.timers["host"] += (time.time() - t_enter) - (_dev() - dev_before)
 
     def _register_image(self, reg: ImageRegistration) -> dict:
         cfg = self.cfg
@@ -651,10 +655,11 @@ class IncrementalSfM:
         what keeps chain-local geometry tight between (growth-gated) full
         global BAs without re-solving the whole problem every 8 images."""
         t0 = time.time()
+        self.counters["windowed_ba"] += 1
         try:
             return self._windowed_ba(window, max_iters)
         finally:
-            self.timers["global_ba"] += time.time() - t0
+            self.timers["windowed_ba"] += time.time() - t0
 
     def _windowed_ba(self, window: int, max_iters: Optional[int]):
         recent = [i for i in self.reg_order if self.has_cam[i]][-window:]
@@ -722,6 +727,7 @@ class IncrementalSfM:
         (the reference has neither; its heavy outlier tail — BASELINE.md
         median 0.31px vs mean 4.56px — is exactly what this removes)."""
         t0 = time.time()
+        self.counters["global_ba"] += 1
         try:
             return self._global_ba(max_iters, prune)
         finally:

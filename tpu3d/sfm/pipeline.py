@@ -521,7 +521,8 @@ def run_reconstruction(
         import json as _json
 
         print("[sfm] phase seconds: "
-              + _json.dumps({k: round(v, 1) for k, v in engine.timers.items()}),
+              + _json.dumps({k: round(v, 1) for k, v in engine.timers.items()})
+              + " calls: " + _json.dumps(engine.counters),
               flush=True)
     return rec
 
