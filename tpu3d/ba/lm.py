@@ -74,7 +74,7 @@ def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta", "cg_tol"))
 def bundle_adjust(
     cams0: jnp.ndarray,
     points0: jnp.ndarray,
@@ -88,6 +88,7 @@ def bundle_adjust(
     cg_iters: int = 32,
     lam0: float = 1e-3,
     robust_delta: float | None = None,
+    cg_tol: float = 1e-3,
 ) -> BAState:
     """Joint pose+structure refinement.
 
@@ -97,13 +98,13 @@ def bundle_adjust(
     with jax.default_matmul_precision("float32"):  # bf16 MXU breaks normal eqs
         return _bundle_adjust_body(
             cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-            max_iters, cg_iters, lam0, robust_delta,
+            max_iters, cg_iters, lam0, robust_delta, cg_tol,
         )
 
 
 def _bundle_adjust_body(
     cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-    max_iters, cg_iters, lam0, robust_delta,
+    max_iters, cg_iters, lam0, robust_delta, cg_tol=1e-3,
 ) -> BAState:
     C = cams0.shape[0]
     P = points0.shape[0]
@@ -165,9 +166,17 @@ def _bundle_adjust_body(
         def precond(v):
             return jnp.linalg.solve(Udamped, v[..., None])[..., 0] * cam_free
 
-        # Preconditioned CG on S Δc = b.
-        def cg_body(i, state):
-            x, rr, p, rz = state
+        # Preconditioned CG on S Δc = b, with an inexact-Newton forcing
+        # tolerance: LM only needs the linear system solved to a fraction
+        # of its initial residual (Eisenstat-Walker); each CG iteration
+        # costs a full sweep of observation gathers, so stopping at
+        # ||r||_M <= cg_tol * ||b||_M saves the dominant per-iter cost.
+        def cg_cond(state):
+            _, _, _, rz, it, rz0 = state
+            return jnp.logical_and(it < cg_iters, rz > cg_tol * cg_tol * rz0)
+
+        def cg_body(state):
+            x, rr, p, rz, it, rz0 = state
             Ap = schur_matvec(p)
             pAp = jnp.sum(p * Ap)
             alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
@@ -177,11 +186,14 @@ def _bundle_adjust_body(
             rz_new = jnp.sum(rr * z)
             beta = rz_new / jnp.where(jnp.abs(rz) < 1e-20, 1e-20, rz)
             p = z + beta * p
-            return (x, rr, p, rz_new)
+            return (x, rr, p, rz_new, it + 1, rz0)
 
         x0 = jnp.zeros_like(b)
         z0 = precond(b)
-        dc, *_ = jax.lax.fori_loop(0, cg_iters, cg_body, (x0, b, z0, jnp.sum(b * z0)))
+        rz0 = jnp.sum(b * z0)
+        dc, *_ = jax.lax.while_loop(
+            cg_cond, cg_body,
+            (x0, b, z0, rz0, jnp.asarray(0, jnp.int32), rz0))
         dc = dc * cam_free
 
         # Back-substitute point updates: Δp = V⁻¹ (gp − Wᵀ Δc).
