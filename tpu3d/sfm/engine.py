@@ -183,6 +183,29 @@ def _bucket(n: int, minimum: int = 256) -> int:
     return b
 
 
+class _ShapeLadder:
+    """Monotone padded-shape tracker for the BA problems.
+
+    Every distinct compiled shape costs a full XLA compile (~25 s over the
+    remote-TPU tunnel — measured to dominate global-BA wall-clock at 13 s
+    per call vs ~1 s of actual solving). Two rules collapse the ladder:
+    quadrupling buckets instead of doubling, and a per-engine high-water
+    mark so the padded shape only ever grows — each size compiles once
+    and mid-run shrinkage (e.g. a windowed problem smaller than the last)
+    reuses the previous executable instead of minting a new one."""
+
+    def __init__(self, factor: int = 4):
+        self.factor = factor
+        self.hw: Dict[str, int] = {}
+
+    def pad(self, name: str, n: int, minimum: int) -> int:
+        b = max(self.hw.get(name, 0), minimum)
+        while b < n:
+            b *= self.factor
+        self.hw[name] = b
+        return b
+
+
 class IncrementalSfM:
     def __init__(
         self,
@@ -225,6 +248,8 @@ class IncrementalSfM:
             "global_ba": 0.0, "windowed_ba": 0.0, "host": 0.0,
         }
         self.counters: Dict[str, int] = {"global_ba": 0, "windowed_ba": 0}
+        self._gba_shapes = _ShapeLadder()
+        self._wba_shapes = _ShapeLadder()
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -686,9 +711,9 @@ class IncrementalSfM:
         pmap = np.full(len(uniq_tracks), -1, np.int32)
         pmap[used_tracks] = np.arange(len(used_tracks), dtype=np.int32)
         pt_idx = pmap[pt_idx]
-        C = _bucket(len(used_cams), 8)
-        P = _bucket(len(used_tracks))
-        O = _bucket(len(cam_idx))
+        C = self._wba_shapes.pad("C", len(used_cams), 8)
+        P = self._wba_shapes.pad("P", len(used_tracks), 4096)
+        O = self._wba_shapes.pad("O", len(cam_idx), 16384)
         cams0 = np.zeros((C, 6), np.float32)
         cams0[: len(used_cams)] = self.cams[cam_slots[used_cams]]
         cam_fixed = np.ones(C, np.float32)
@@ -711,10 +736,12 @@ class IncrementalSfM:
         uvp = np.zeros((O, 2), np.float32)
         uvp[: len(cam_idx)] = uv
         rb = self.cfg.ba.robust_huber_px
+        # Same statics as global BA (compile-count discipline: the LM early
+        # exit makes the larger caps cost only what the problem needs).
         st = bundle_adjust(
             jnp.asarray(cams0), jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
             jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
-            max_iters=max_iters or self.cfg.ba.max_iters // 2, cg_iters=16,
+            max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
             robust_delta=(rb / self.focal) if rb else None,
         )
         new_cams = np.asarray(st.cams)
@@ -744,11 +771,11 @@ class IncrementalSfM:
         # graph (~37 distinct executables over a 290-image run; the TPU
         # tunnel charges tens of seconds per compile). Padded cameras are
         # frozen via cam_fixed.
-        C = _bucket(C_real, 8)
+        C = self._gba_shapes.pad("C", C_real, 8)
         P_real = len(uniq_tracks)
         O_real = len(cam_idx)
-        P = _bucket(P_real)
-        O = _bucket(O_real)
+        P = self._gba_shapes.pad("P", P_real, 4096)
+        O = self._gba_shapes.pad("O", O_real, 16384)
         cams0 = np.zeros((C, 6), np.float32)
         cams0[:C_real] = self.cams[cam_slots]
         pts = np.zeros((P, 3), np.float32)
@@ -790,28 +817,55 @@ class IncrementalSfM:
                 if len(dead):
                     self.point_valid[uniq_tracks[dead]] = False
                     pt_fixed[dead] = 1.0
+                # Same statics (max_iters/cg_iters/robust) as the main solve
+                # so the refit reuses its executable — a second variant per
+                # shape would double the compile bill that dominates
+                # global-BA wall-clock on the tunnel. Huber ≈ L2 on the
+                # pruned inlier set; the LM early exit bounds the extra
+                # iterations.
                 st = bundle_adjust(
                     st.cams, st.points, jnp.asarray(ci), jnp.asarray(pi),
                     jnp.asarray(uvp), jnp.asarray(w),
                     jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
-                    max_iters=(max_iters or self.cfg.ba.max_iters) // 2, cg_iters=32,
+                    max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
+                    robust_delta=robust,
                 )
         self.cams[cam_slots] = np.asarray(st.cams)[:C_real]
         keep = self.point_valid[uniq_tracks]
         self.points[uniq_tracks[keep]] = np.asarray(st.points)[:P_real][keep]
 
     # ------------------------------------------------------------------
+    def _padded_residuals(self, cam_slots, cam_idx, uniq_tracks, pt_idx, uv):
+        """Reprojection residuals on ladder-padded shapes (jit'd graphs per
+        exact size would each pay a tunnel compile)."""
+        O_real = len(cam_idx)
+        C = self._gba_shapes.pad("C", len(cam_slots), 8)
+        P = self._gba_shapes.pad("P", len(uniq_tracks), 4096)
+        O = self._gba_shapes.pad("O", O_real, 16384)
+        cams = np.zeros((C, 6), np.float32)
+        cams[: len(cam_slots)] = self.cams[cam_slots]
+        pts = np.zeros((P, 3), np.float32)
+        pts[: len(uniq_tracks)] = self.points[uniq_tracks]
+        ci = np.zeros(O, np.int32)
+        ci[:O_real] = cam_idx
+        pi = np.zeros(O, np.int32)
+        pi[:O_real] = pt_idx
+        uvp = np.zeros((O, 2), np.float32)
+        uvp[:O_real] = uv
+        w = np.zeros(O, np.float32)
+        w[:O_real] = 1.0
+        r = reprojection_residuals(
+            jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci),
+            jnp.asarray(pi), jnp.asarray(uvp), jnp.asarray(w))
+        return np.asarray(r)[:O_real]
+
     def mean_reprojection_error(self) -> Tuple[float, int]:
         prob = self._gather_global_problem()
         if prob is None:
             return float("nan"), 0
         cam_slots, cam_idx, uniq_tracks, pt_idx, uv, _keys = prob
-        r = reprojection_residuals(
-            jnp.asarray(self.cams[cam_slots]), jnp.asarray(self.points[uniq_tracks]),
-            jnp.asarray(cam_idx), jnp.asarray(pt_idx), jnp.asarray(uv),
-            jnp.ones(len(cam_idx), jnp.float32),
-        )
-        err = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
+        r = self._padded_residuals(cam_slots, cam_idx, uniq_tracks, pt_idx, uv)
+        err = np.linalg.norm(r, axis=-1) * self.focal
         return float(err.mean()), len(err)
 
     def deregister_weak_cameras(self, min_obs: int = 8, max_median_px: float = 8.0) -> int:
@@ -824,12 +878,8 @@ class IncrementalSfM:
         if prob is None:
             return 0
         cam_slots, cam_idx, uniq_tracks, pt_idx, uv, keys = prob
-        r = reprojection_residuals(
-            jnp.asarray(self.cams[cam_slots]), jnp.asarray(self.points[uniq_tracks]),
-            jnp.asarray(cam_idx), jnp.asarray(pt_idx), jnp.asarray(uv),
-            jnp.ones(len(cam_idx), jnp.float32),
-        )
-        err = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
+        r = self._padded_residuals(cam_slots, cam_idx, uniq_tracks, pt_idx, uv)
+        err = np.linalg.norm(r, axis=-1) * self.focal
         dropped = 0
         for ci, img in enumerate(cam_slots):
             sel = cam_idx == ci
