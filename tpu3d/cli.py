@@ -417,6 +417,20 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compilation cache: compiles are a per-deployment
+    # one-off, not a per-scene cost (a single bundle-adjust executable
+    # takes ~25 s to build over the remote-TPU tunnel). Safe to enable
+    # unconditionally — backends that can't serialize just skip it.
+    cache_dir = os.environ.get("TPU3D_COMPILE_CACHE",
+                               os.path.expanduser("~/.cache/tpu3d_xla"))
+    if cache_dir and cache_dir != "0":
+        import jax
+
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
     cmd = {
         "extract": cmd_extract,
         "match": cmd_match,
