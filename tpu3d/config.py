@@ -132,6 +132,12 @@ class SfMConfig:
     ransac: RansacConfig = RansacConfig()
     ba: BAConfig = BAConfig()
     min_pnp_inliers: int = 10          # ref matching.py:144 / sfm acceptance
+    # Frontier-registration chunk: images per fused PnP+triangulation
+    # dispatch (engine.register_batch). Each dispatch over the remote-TPU
+    # tunnel costs ~200 ms of round trip vs ~10 ms of PnP compute; the
+    # fixpoint retry rounds absorb intra-chunk anchor staleness. 1 =
+    # strictly sequential registration.
+    register_batch: int = 8
     max_tracks: int = 400_000          # preallocated global track capacity
     match_capacity: int = 2048         # per-pair padded match capacity
     min_new_points: int = 1            # triangulate if any new points (sfm.py:130)

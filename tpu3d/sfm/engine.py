@@ -114,9 +114,8 @@ def _triangulate_and_gate(cam_i, cam_j, uv0n, uv1n, focal, thr_px):
         return _triangulate_and_gate_body(cam_i, cam_j, uv0n, uv1n, focal, thr_px)
 
 
-@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
-def _register_step(key, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n, focal,
-                   tri_thr_px, num_hypotheses):
+def _register_step_body(key, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n, focal,
+                        tri_thr_px, num_hypotheses):
     """Fused registration interior: PnP-RANSAC for camera j, then batched
     per-edge DLT triangulation + gating against the PnP pose — ONE device
     dispatch per registered image (on a remote-TPU backend each extra
@@ -132,6 +131,38 @@ def _register_step(key, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n, focal,
                 ci, cam_j, u0, u1, focal, tri_thr_px)
         )(cams_i, uv_r, uv_n)
     return cam_j, cnt, X_all, good_all
+
+
+_register_step = functools.partial(jax.jit, static_argnames=("num_hypotheses",))(
+    _register_step_body)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hypotheses",))
+def _register_step_batch(keys, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n,
+                         focal, tri_thr_px, num_hypotheses):
+    """A frontier CHUNK of registrations in one dispatch: vmap of the fused
+    PnP+triangulation step over the image axis. Independent images in a
+    BFS layer don't need each other's results inside one fixpoint round —
+    batching turns ~200 ms of per-image tunnel round trip into one trip
+    per chunk (the staleness this introduces is exactly what the round
+    loop's no-progress fixpoint already handles)."""
+    return jax.vmap(
+        lambda k, x, u, w, ci, ur, un: _register_step_body(
+            k, x, u, w, pnp_thr, ci, ur, un, focal, tri_thr_px,
+            num_hypotheses)
+    )(keys, Xk, uvk, wk, cams_i, uv_r, uv_n)
+
+
+@jax.jit
+def _triangulate_and_gate_pairs(cams_i, cams_j, uv0n, uv1n, focal, thr_px):
+    """Catch-up triangulation across IMAGES: each row is an independent
+    (ref_cam, new_cam, matches) edge — used once per registration chunk for
+    edges whose references registered inside the same chunk."""
+    with jax.default_matmul_precision("float32"):
+        return jax.vmap(
+            lambda ci, cj, u0, u1: _triangulate_and_gate_body(
+                ci, cj, u0, u1, focal, thr_px)
+        )(cams_i, cams_j, uv0n, uv1n)
 
 
 @jax.jit
@@ -187,16 +218,17 @@ class _ShapeLadder:
     """Monotone padded-shape tracker for the BA problems.
 
     Every distinct compiled shape costs a full XLA compile (~25 s over the
-    remote-TPU tunnel — measured to dominate global-BA wall-clock at 13 s
-    per call vs ~1 s of actual solving). Two rules collapse the ladder:
-    quadrupling buckets instead of doubling, and a per-engine high-water
-    mark so the padded shape only ever grows — each size compiles once
-    and mid-run shrinkage (e.g. a windowed problem smaller than the last)
-    reuses the previous executable instead of minting a new one."""
+    remote-TPU tunnel, near-independent of the shape — it's the LM/CG
+    while-loop graph that's expensive). Measured on the full run this
+    dominated global-BA wall-clock at 13 s/call vs ~1 s of actual solving.
+    Three rules collapse the ladder to ~one executable per run: PRE-SIZE
+    from the known image count (solving a mostly-padding problem costs ~1 s;
+    a fresh executable costs ~25 s), grow by quadrupling when exceeded, and
+    keep a high-water mark so shapes never shrink mid-run."""
 
-    def __init__(self, factor: int = 4):
+    def __init__(self, init: Optional[Dict[str, int]] = None, factor: int = 4):
         self.factor = factor
-        self.hw: Dict[str, int] = {}
+        self.hw: Dict[str, int] = dict(init or {})
 
     def pad(self, name: str, n: int, minimum: int) -> int:
         b = max(self.hw.get(name, 0), minimum)
@@ -248,8 +280,15 @@ class IncrementalSfM:
             "global_ba": 0.0, "windowed_ba": 0.0, "host": 0.0,
         }
         self.counters: Dict[str, int] = {"global_ba": 0, "windowed_ba": 0}
-        self._gba_shapes = _ShapeLadder()
-        self._wba_shapes = _ShapeLadder()
+        # Pre-size the BA shapes from the dataset: ~128 tracks and ~512
+        # observations per camera are generous for 2048-keypoint frames
+        # (ystad_kloster lands at ~190/570); the ladder still grows by 4x
+        # if a denser scene exceeds them.
+        cexp = _bucket(n_images, 8)
+        self._gba_shapes = _ShapeLadder(init={
+            "C": cexp, "P": max(128 * cexp, 4096), "O": max(512 * cexp, 16384)})
+        self._wba_shapes = _ShapeLadder(init={
+            "C": cexp, "P": 16384, "O": 65536} if n_images > 32 else None)
 
     # ------------------------------------------------------------------
     def _next_key(self) -> jax.Array:
@@ -298,21 +337,140 @@ class IncrementalSfM:
         finally:
             self.timers["host"] += (time.time() - t_enter) - (_dev() - dev_before)
 
+    def register_batch(self, regs: Sequence[ImageRegistration],
+                       batch: int = 8) -> List[dict]:
+        """Register a list of images with the fused PnP+triangulation step
+        BATCHED over frontier chunks — one device dispatch per `batch`
+        images instead of one per image (each dispatch over the remote-TPU
+        tunnel costs ~200 ms of round trip; PnP compute is ~10 ms).
+
+        Within a chunk every image is prepared against the PRE-chunk state:
+        an image whose anchors would have come from an earlier image in the
+        same chunk fails this round and succeeds on the caller's next
+        fixpoint round — the same convergence contract the round loop
+        already provides for cross-round dependencies."""
+        t_enter = time.time()
+
+        def _dev():
+            return (self.timers["pnp"] + self.timers["triangulate"]
+                    + self.timers["local_ba"] + self.timers["global_ba"]
+                    + self.timers["windowed_ba"])
+
+        dev_before = _dev()
+        infos: List[dict] = []
+        i = 0
+        # Bootstrap sequentially until the first pair defines the frame.
+        while i < len(regs) and self.num_registered == 0:
+            infos.append(self._register_image(regs[i]))
+            i += 1
+        while i < len(regs):
+            chunk = regs[i : i + batch]
+            i += len(chunk)
+            preps = [self._prepare_register(r) for r in chunk]
+            dev = [p for p in preps if p["status"] == "device"]
+            outs: Dict[int, tuple] = {}
+            if dev:
+                # Pad to the static batch size with repeats: one compiled
+                # executable serves every chunk (incl. the short tail).
+                def stack(ix):
+                    arrs = [p["inputs"][ix] for p in dev]
+                    arrs += [arrs[-1]] * (batch - len(arrs))
+                    return jnp.asarray(np.stack(arrs))
+
+                keys = [np.asarray(p["key"]) for p in dev]
+                keys += [keys[-1]] * (batch - len(keys))
+                t0 = time.time()
+                cam_b, cnt_b, X_b, good_b = _register_step_batch(
+                    jnp.asarray(np.stack(keys)), stack(0), stack(1), stack(2),
+                    dev[0]["pnp_thr"], stack(3), stack(4), stack(5),
+                    self.focal, self.cfg.ransac.threshold_px * 2.0,
+                    num_hypotheses=self.cfg.ransac.num_hypotheses // 2,
+                )
+                cam_b, cnt_b = np.asarray(cam_b), np.asarray(cnt_b)
+                X_b, good_b = np.asarray(X_b), np.asarray(good_b)
+                self.timers["pnp"] += time.time() - t0
+                for bi, p in enumerate(dev):
+                    outs[id(p)] = (cam_b[bi], int(cnt_b[bi]), X_b[bi], good_b[bi])
+            for p in preps:
+                infos.append(self._commit_register(p, outs.get(id(p))))
+            self._catch_up_triangulation(preps, batch)
+        self.timers["host"] += (time.time() - t_enter) - (_dev() - dev_before)
+        return infos
+
+    def _catch_up_triangulation(self, preps: List[dict], batch: int) -> None:
+        """Triangulate edges the chunk's prepare-time snapshot skipped
+        because their reference registered INSIDE the same chunk —
+        sequential registration would have caught them; one extra batched
+        dispatch per chunk recovers the same points."""
+        catch = []
+        for p in preps:
+            if (p["info"].get("status") != "registered"
+                    or p["status"] == "bootstrap"):
+                continue
+            done = {id(e) for e in p.get("tri_edges", [])}
+            for e in p["edges"]:
+                if id(e) not in done and self.has_cam[e.ref_img]:
+                    catch.append((p["img"], e))
+        if not catch:
+            return
+        E = batch * MAX_REFS  # hard bound: <= batch images x MAX_REFS edges
+        ci = np.zeros((E, 6), np.float32)
+        cj = np.zeros((E, 6), np.float32)
+        u0 = np.zeros((E, EDGE_CAP, 2), np.float32)
+        u1 = np.zeros((E, EDGE_CAP, 2), np.float32)
+        for k, (jimg, e) in enumerate(catch):
+            ci[k] = self.cams[e.ref_img]
+            cj[k] = self.cams[jimg]
+            u0[k] = _pad(e.uv_ref.astype(np.float32) / self.focal, EDGE_CAP)
+            u1[k] = _pad(e.uv_new.astype(np.float32) / self.focal, EDGE_CAP)
+        t0 = time.time()
+        X_c, good_c = _triangulate_and_gate_pairs(
+            jnp.asarray(ci), jnp.asarray(cj), jnp.asarray(u0), jnp.asarray(u1),
+            self.focal, self.cfg.ransac.threshold_px * 2.0)
+        X_c, good_c = np.asarray(X_c), np.asarray(good_c)
+        self.timers["triangulate"] += time.time() - t0
+        for k, (jimg, e) in enumerate(catch):
+            self._commit_tri_edge(jimg, e, X_c[k], good_c[k])
+
     def _register_image(self, reg: ImageRegistration) -> dict:
+        prep = self._prepare_register(reg)
+        out = None
+        if prep["status"] == "device":
+            cfg = self.cfg
+            Xk, uvk, wk, tri0, tri1, tri2 = prep["inputs"]
+            t0 = time.time()
+            cam_dev, cnt, X_dev, good_dev = _register_step(
+                prep["key"], jnp.asarray(Xk), jnp.asarray(uvk),
+                jnp.asarray(wk), prep["pnp_thr"],
+                jnp.asarray(tri0), jnp.asarray(tri1), jnp.asarray(tri2),
+                self.focal, cfg.ransac.threshold_px * 2.0,
+                num_hypotheses=cfg.ransac.num_hypotheses // 2,
+            )
+            out = (np.asarray(cam_dev), int(cnt),
+                   np.asarray(X_dev), np.asarray(good_dev))
+            self.timers["pnp"] += time.time() - t0
+        return self._commit_register(prep, out)
+
+    def _prepare_register(self, reg: ImageRegistration) -> dict:
+        """Host-side read-only half of registration: anchor gathering and
+        padded device-input construction against the CURRENT state. The
+        tri-edge set is snapshotted here so batched commits stay aligned
+        with the fused outputs even when other chunk members register
+        their references in between."""
         cfg = self.cfg
         f = self.focal
         j = reg.img
         edges = [e for e in reg.edges if len(e.idx_new) >= 4][:MAX_REFS]
         info = {"img": j, "n_edges": len(edges),
                 "edge_sizes": [len(e.idx_new) for e in edges]}
-        first = self.num_registered == 0
-        fused = None  # (X_all, good_all) when the fused step produced them
+        prep = {"reg": reg, "info": info, "edges": edges, "img": j}
 
-        if first:
+        if self.num_registered == 0:
             e0 = edges[0] if edges else None
             if e0 is None:
                 info["status"] = "rejected_no_bootstrap_pose"
-                return info
+                prep["status"] = "reject"
+                return prep
             if e0.rel_R is None:
                 # Caller didn't attach the relative pose (e.g. synthetic
                 # tests) — recover it from the edge's correspondences.
@@ -329,79 +487,94 @@ class IncrementalSfM:
                 )
                 if int(eres.num_inliers) < 8:
                     info["status"] = "rejected_no_bootstrap_pose"
-                    return info
+                    prep["status"] = "reject"
+                    return prep
                 e0 = dataclasses.replace(
                     e0, rel_R=np.asarray(eres.R), rel_t=np.asarray(eres.t)
                 )
+            prep["status"] = "bootstrap"
+            prep["e0"] = e0
+            return prep
+
+        # ---- PnP over the union of known tracks across ALL edges ----
+        # Anchors need valid 3D TRACKS, not registered reference
+        # cameras: a track triangulated from other views anchors this
+        # image even when this edge's reference never registered.
+        # (Filtering edges by registered refs here caused huge
+        # registration cascades on the full dataset.)
+        X_list, uv_list = [], []
+        seen_kpts = set()
+        for e in edges:
+            tr = np.clip(e.track, 0, self.points.shape[0] - 1)
+            known = (e.track >= 0) & self.point_valid[tr]
+            for m in np.nonzero(known)[0]:
+                k = int(e.idx_new[m])
+                if k in seen_kpts:
+                    continue
+                seen_kpts.add(k)
+                X_list.append(self.points[tr[m]])
+                uv_list.append(e.uv_new[m])
+        n_known = len(X_list)
+        if n_known < 10 and not any(self.has_cam[e.ref_img] for e in edges):
+            info["status"] = "rejected_no_registered_refs"
+            info["n_known"] = n_known
+            prep["status"] = "reject"
+            return prep
+        info["n_known"] = n_known
+        prep["tri_edges"] = [e for e in edges if self.has_cam[e.ref_img]]
+        if n_known < 10:
+            prep["status"] = "fallback"
+            return prep
+        Xk = _pad(np.asarray(X_list, np.float32), PNP_CAP)
+        uvk = _pad(np.asarray(uv_list, np.float32) / f, PNP_CAP)
+        wk = np.zeros(PNP_CAP, np.float32)
+        wk[: min(n_known, PNP_CAP)] = 1.0
+        # Triangulation inputs don't depend on the PnP result, so PnP +
+        # all-edge triangulation fuse into ONE dispatch. With no registered
+        # ref edges the tri inputs are dummies (zero cameras) — the commit
+        # ignores the corresponding outputs.
+        tri_arrays = self._tri_arrays(prep["tri_edges"], f)
+        if tri_arrays is None:
+            tri_arrays = (np.zeros((MAX_REFS, 6), np.float32),
+                          np.zeros((MAX_REFS, EDGE_CAP, 2), np.float32),
+                          np.zeros((MAX_REFS, EDGE_CAP, 2), np.float32))
+        prep["status"] = "device"
+        prep["inputs"] = (Xk, uvk, wk, *tri_arrays)
+        prep["pnp_thr"] = (2.0 * cfg.ransac.threshold_px / f) ** 2
+        prep["key"] = self._next_key()
+        return prep
+
+    def _commit_register(self, prep: dict, out=None) -> dict:
+        """Host-side write half: camera/point/observation commits, local BA
+        and the global/windowed-BA cadence. `out` is the fetched fused-step
+        result (cam, inlier count, per-edge X, per-edge gate) or None."""
+        cfg = self.cfg
+        f = self.focal
+        info = prep["info"]
+        j = prep["img"]
+        edges = prep["edges"]
+        if prep["status"] == "reject":
+            return info
+        fused = None
+        if prep["status"] == "bootstrap":
+            e0 = prep["e0"]
             self.cams[e0.ref_img] = 0.0
             self.has_cam[e0.ref_img] = True
             cam_j = np.concatenate([lie.so3_log_np(e0.rel_R), e0.rel_t]).astype(np.float32)
             self.num_registered += 1
             self.reg_order.append(e0.ref_img)
             edges = [e0]
+            tri_snapshot = [e0]
         else:
-            # ---- PnP over the union of known tracks across ALL edges ----
-            # Anchors need valid 3D TRACKS, not registered reference
-            # cameras: a track triangulated from other views anchors this
-            # image even when this edge's reference never registered.
-            # (Filtering edges by registered refs here caused huge
-            # registration cascades on the full dataset.)
-            X_list, uv_list = [], []
-            seen_kpts = set()
-            for e in edges:
-                tr = np.clip(e.track, 0, self.points.shape[0] - 1)
-                known = (e.track >= 0) & self.point_valid[tr]
-                for m in np.nonzero(known)[0]:
-                    k = int(e.idx_new[m])
-                    if k in seen_kpts:
-                        continue
-                    seen_kpts.add(k)
-                    X_list.append(self.points[tr[m]])
-                    uv_list.append(e.uv_new[m])
-            n_known = len(X_list)
-            if n_known < 10 and not any(self.has_cam[e.ref_img] for e in edges):
-                info["status"] = "rejected_no_registered_refs"
-                info["n_known"] = n_known
-                return info
-            info["n_known"] = n_known
+            tri_snapshot = prep["tri_edges"]
             cam_j = None
-            fused = None
-            if n_known >= 10:
-                Xk = _pad(np.asarray(X_list, np.float32), PNP_CAP)
-                uvk = _pad(np.asarray(uv_list, np.float32) / f, PNP_CAP)
-                wk = np.zeros(PNP_CAP, np.float32)
-                wk[: min(n_known, PNP_CAP)] = 1.0
-                thr = (2.0 * cfg.ransac.threshold_px / f) ** 2
-                # Triangulation inputs don't depend on the PnP result, so
-                # PnP + all-edge triangulation fuse into ONE dispatch.
-                tri_arrays = self._tri_arrays(
-                    [e for e in edges if self.has_cam[e.ref_img]], f)
-                t0 = time.time()
-                if tri_arrays is not None:
-                    cam_dev, cnt, X_dev, good_dev = _register_step(
-                        self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk),
-                        jnp.asarray(wk), thr,
-                        jnp.asarray(tri_arrays[0]), jnp.asarray(tri_arrays[1]),
-                        jnp.asarray(tri_arrays[2]), f,
-                        cfg.ransac.threshold_px * 2.0,
-                        num_hypotheses=cfg.ransac.num_hypotheses // 2,
-                    )
-                    pnp_cnt = int(cnt)
-                    if pnp_cnt > cfg.min_pnp_inliers:
-                        cam_j = np.asarray(cam_dev)
-                        fused = (np.asarray(X_dev), np.asarray(good_dev))
-                else:
-                    R, t, pnp_inl, pnp_cnt = pnp_ransac(
-                        self._next_key(), jnp.asarray(Xk), jnp.asarray(uvk),
-                        jnp.asarray(wk), thr,
-                        num_hypotheses=cfg.ransac.num_hypotheses // 2,
-                    )
-                    if int(pnp_cnt) > cfg.min_pnp_inliers:
-                        cam_j = np.concatenate(
-                            [lie.so3_log_np(np.asarray(R)), np.asarray(t)]
-                        ).astype(np.float32)
-                info["n_pnp_inliers"] = int(pnp_cnt)
-                self.timers["pnp"] += time.time() - t0
+            if prep["status"] == "device" and out is not None:
+                cam_dev, pnp_cnt, X_dev, good_dev = out
+                info["n_pnp_inliers"] = pnp_cnt
+                if pnp_cnt > cfg.min_pnp_inliers:
+                    cam_j = np.asarray(cam_dev)
+                    if tri_snapshot:
+                        fused = (X_dev, good_dev)
             if cam_j is None:
                 # ---- relative-pose fallback (breaks registration cascades) ----
                 # PnP failed or too few anchors: take the matching stage's
@@ -425,12 +598,13 @@ class IncrementalSfM:
         n_new_total = 0
         ba_edges = []
         tri_edges = []
+        tri_ids = {id(e) for e in tri_snapshot}
         for e in edges:
-            if not self.has_cam[e.ref_img]:
-                # Ref not registered (yet): still record this image's own
-                # observations of already-valid tracks — the global-problem
-                # gather filters by has_cam, so they activate when/if the
-                # ref registers.
+            if id(e) not in tri_ids:
+                # Ref not registered (at prepare time): still record this
+                # image's own observations of already-valid tracks — the
+                # global-problem gather filters by has_cam, so they
+                # activate when/if the ref registers.
                 tr2 = np.clip(e.track, 0, self.points.shape[0] - 1)
                 live = (e.track >= 0) & self.point_valid[tr2]
                 if live.any():
@@ -452,26 +626,9 @@ class IncrementalSfM:
             good_all = np.asarray(good_all)
             self.timers["triangulate"] += time.time() - t0
         for k, e in enumerate(tri_edges):
-            tr = np.clip(e.track, 0, self.points.shape[0] - 1)
-            new = (e.track >= 0) & ~self.point_valid[tr]
-            m = min(len(e.idx_new), EDGE_CAP)
-            accept = np.zeros(len(e.idx_new), bool)
-            accept[:m] = good_all[k][:m] & new[:m]
-            n_new = int(accept.sum())
-            if n_new:
-                ids = e.track[accept]
-                self.points[ids] = X_all[k][:m][accept[:m]]
-                self.point_valid[ids] = True
-                self.point_color[ids] = e.colors_ref[accept]
-                n_new_total += n_new
+            accept, n_new = self._commit_tri_edge(j, e, X_all[k], good_all[k])
+            n_new_total += n_new
             ba_edges.append((e, accept))
-
-            # Record observations (both endpoints) for all live matches.
-            tr2 = np.clip(e.track, 0, self.points.shape[0] - 1)
-            live = (e.track >= 0) & self.point_valid[tr2]
-            if live.any():
-                self._record_obs(e.ref_img, e.idx_ref[live], e.track[live], e.uv_ref[live])
-                self._record_obs(j, e.idx_new[live], e.track[live], e.uv_new[live])
 
         # ---- local BA: camera j + its new points, residuals on all edges ----
         if cfg.run_pair_ba:
@@ -496,6 +653,28 @@ class IncrementalSfM:
                 info["windowed_ba"] = True
         self.pair_log.append(info)
         return info
+
+    def _commit_tri_edge(self, j: int, e, X_row: np.ndarray, good_row: np.ndarray):
+        """Accept newly triangulated tracks on edge (e.ref_img, j) and
+        record observations for every live match (first-wins insert makes
+        re-recording idempotent)."""
+        tr = np.clip(e.track, 0, self.points.shape[0] - 1)
+        new = (e.track >= 0) & ~self.point_valid[tr]
+        m = min(len(e.idx_new), EDGE_CAP)
+        accept = np.zeros(len(e.idx_new), bool)
+        accept[:m] = good_row[:m] & new[:m]
+        n_new = int(accept.sum())
+        if n_new:
+            ids = e.track[accept]
+            self.points[ids] = X_row[:m][accept[:m]]
+            self.point_valid[ids] = True
+            self.point_color[ids] = e.colors_ref[accept]
+        tr2 = np.clip(e.track, 0, self.points.shape[0] - 1)
+        live = (e.track >= 0) & self.point_valid[tr2]
+        if live.any():
+            self._record_obs(e.ref_img, e.idx_ref[live], e.track[live], e.uv_ref[live])
+            self._record_obs(j, e.idx_new[live], e.track[live], e.uv_new[live])
+        return accept, n_new
 
     # ------------------------------------------------------------------
     def _tri_arrays(self, tri_edges, f):

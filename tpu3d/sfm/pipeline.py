@@ -490,8 +490,11 @@ def run_reconstruction(
     # bridge can legitimately need dozens of rounds.)
     for round_ in range(64):
         failed = []
-        for reg in pending:
-            info = engine.register_image(reg)
+        # Chunked frontier registration: one fused PnP+triangulation
+        # dispatch per 8 images (intra-chunk anchor staleness resolves on
+        # the next fixpoint round, same as cross-round dependencies).
+        infos = engine.register_batch(pending, batch=cfg.sfm.register_batch)
+        for reg, info in zip(pending, infos):
             if verbose:
                 print(f"[sfm] {info}", flush=True)
             if info.get("status") != "registered":
@@ -633,6 +636,7 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
         _batch_match_pairs(
             feats, [(r, v) for v in todo for r in ref_sets[v]], cfg, bkey, memo)
         progressed = 0
+        round_regs = []
         for v in todo:
             refs = ref_sets[v]
             if not refs:
@@ -654,8 +658,9 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
                     ))
             if not edges:
                 continue
-            reg_v = ImageRegistration(img=v, edges=edges)
-            info = engine.register_image(reg_v)
+            round_regs.append(ImageRegistration(img=v, edges=edges))
+        infos = engine.register_batch(round_regs, batch=cfg.sfm.register_batch)
+        for reg_v, info in zip(round_regs, infos):
             if info.get("status") == "registered":
                 progressed += 1
                 rescued.append(reg_v)
