@@ -137,6 +137,21 @@ _register_step = functools.partial(jax.jit, static_argnames=("num_hypotheses",))
     _register_step_body)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters"))
+def _local_ba_batch(cams0, pts, ci, pi, uv, w, cf, pf, max_iters, cg_iters):
+    """vmapped local BA: one dispatch refines a whole registration chunk's
+    cameras + fresh points (fixed shapes; batched while_loop runs until the
+    slowest problem's LM early-exit)."""
+    from tpu3d.ba.lm import _bundle_adjust_body
+
+    with jax.default_matmul_precision("float32"):
+        st = jax.vmap(
+            lambda a, b, c, d, e, f_, g, h: _bundle_adjust_body(
+                a, b, c, d, e, f_, g, h, max_iters, cg_iters, 1e-3, None)
+        )(cams0, pts, ci, pi, uv, w, cf, pf)
+    return st.cams, st.points
+
+
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
 def _register_step_batch(keys, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n,
                          focal, tri_thr_px, num_hypotheses):
@@ -366,7 +381,10 @@ class IncrementalSfM:
         while i < len(regs):
             chunk = regs[i : i + batch]
             i += len(chunk)
+            n0 = self.num_registered
             preps = [self._prepare_register(r) for r in chunk]
+            for p in preps:
+                p["defer_ba"] = True
             dev = [p for p in preps if p["status"] == "device"]
             outs: Dict[int, tuple] = {}
             if dev:
@@ -394,6 +412,22 @@ class IncrementalSfM:
             for p in preps:
                 infos.append(self._commit_register(p, outs.get(id(p))))
             self._catch_up_triangulation(preps, batch)
+            jobs = [p["_ba_job"] for p in preps if "_ba_job" in p]
+            if self.cfg.run_pair_ba and jobs:
+                self._local_ba_chunk(jobs)
+            # BA cadence at chunk granularity: fire when the chunk crossed
+            # a global_ba_every boundary (same average frequency as the
+            # sequential per-registration check).
+            cfg = self.cfg
+            if (cfg.run_global_ba and self.num_registered > n0
+                    and (self.num_registered // cfg.global_ba_every
+                         > n0 // cfg.global_ba_every)):
+                if (self.num_registered
+                        >= getattr(self, "_last_gba_n", 0) * cfg.global_ba_growth):
+                    self.global_ba()
+                    self._last_gba_n = self.num_registered
+                else:
+                    self.windowed_ba(window=cfg.local_window)
         self.timers["host"] += (time.time() - t_enter) - (_dev() - dev_before)
         return infos
 
@@ -630,13 +664,20 @@ class IncrementalSfM:
             n_new_total += n_new
             ba_edges.append((e, accept))
 
+        info.update(status="registered", n_new_points=n_new_total)
+        if prep.get("defer_ba"):
+            # Batched path: local BA and the BA cadence run once per chunk
+            # (register_batch), not per image.
+            prep["_ba_job"] = (j, ba_edges)
+            self.pair_log.append(info)
+            return info
+
         # ---- local BA: camera j + its new points, residuals on all edges ----
         if cfg.run_pair_ba:
             t0 = time.time()
             self._local_ba(j, ba_edges)
             self.timers["local_ba"] += time.time() - t0
 
-        info.update(status="registered", n_new_points=n_new_total)
         if cfg.run_global_ba and self.num_registered % cfg.global_ba_every == 0:
             if (self.num_registered
                     >= getattr(self, "_last_gba_n", 0) * cfg.global_ba_growth):
@@ -771,9 +812,8 @@ class IncrementalSfM:
         return np.concatenate([lie.so3_log_np(best[1]), best[2]]).astype(np.float32)
 
     # ------------------------------------------------------------------
-    def _local_ba(self, j: int, ba_edges) -> None:
-        """Refine camera j + the points just triangulated, with residuals in
-        camera j AND every (frozen) reference camera."""
+    def _local_ba_prepare(self, j: int, ba_edges):
+        """Fixed-shape local-BA problem for camera j (None if too small)."""
         f = self.focal
         # Collect the point set: live tracks observed on these edges.
         track_slot: Dict[int, int] = {}
@@ -802,7 +842,7 @@ class IncrementalSfM:
                     obs.append((0, ps, e.uv_new[m, 0] / f, e.uv_new[m, 1] / f))
                     obs.append((cs, ps, e.uv_ref[m, 0] / f, e.uv_ref[m, 1] / f))
         if len(obs) < 16 or not pts:
-            return
+            return None
         C = MAX_REFS + 1
         cams0 = np.zeros((C, 6), np.float32)
         cams0[: len(cams_list)] = np.stack(cams_list)
@@ -817,19 +857,57 @@ class IncrementalSfM:
         obs_arr[: len(obs)] = np.asarray(obs, np.float32)
         w = np.zeros(O, np.float32)
         w[: len(obs)] = 1.0
-        st = bundle_adjust(
-            jnp.asarray(cams0), jnp.asarray(pts_arr),
-            jnp.asarray(obs_arr[:, 0].astype(np.int32)),
-            jnp.asarray(obs_arr[:, 1].astype(np.int32)),
-            jnp.asarray(obs_arr[:, 2:4]), jnp.asarray(w),
-            jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
-            max_iters=self.cfg.ba.max_iters // 2, cg_iters=8,
-        )
-        self.cams[j] = np.asarray(st.cams)[0]
-        new_pts = np.asarray(st.points)
+        arrays = (cams0, pts_arr, obs_arr[:, 0].astype(np.int32),
+                  obs_arr[:, 1].astype(np.int32),
+                  np.ascontiguousarray(obs_arr[:, 2:4]), w, cam_fixed, pt_fixed)
+        return arrays, track_slot, pt_new
+
+    def _local_ba_commit(self, j: int, cams_out, pts_out, track_slot, pt_new):
+        self.cams[j] = np.asarray(cams_out)[0]
+        new_pts = np.asarray(pts_out)
         for t, s in track_slot.items():
             if pt_new[s]:
                 self.points[t] = new_pts[s]
+
+    def _local_ba(self, j: int, ba_edges) -> None:
+        """Refine camera j + the points just triangulated, with residuals in
+        camera j AND every (frozen) reference camera."""
+        prep = self._local_ba_prepare(j, ba_edges)
+        if prep is None:
+            return
+        arrays, track_slot, pt_new = prep
+        st = bundle_adjust(
+            *(jnp.asarray(a) for a in arrays),
+            max_iters=self.cfg.ba.max_iters // 2, cg_iters=8,
+        )
+        self._local_ba_commit(j, st.cams, st.points, track_slot, pt_new)
+
+    def _local_ba_chunk(self, jobs) -> None:
+        """All of a registration chunk's local BAs in ONE vmapped dispatch
+        (each is a fixed-shape (MAX_REFS+1, BA_CAP_P, BA_CAP_O) problem —
+        sequentially they cost one ~100 ms tunnel round trip apiece)."""
+        preps = []
+        for j, ba_edges in jobs:
+            p = self._local_ba_prepare(j, ba_edges)
+            if p is not None:
+                preps.append((j, p))
+        if not preps:
+            return
+        t0 = time.time()
+        # Pad to the registration chunk size with repeats so one executable
+        # serves every chunk (incl. the short tail).
+        B = max(len(preps), int(self.cfg.register_batch))
+        rows = list(range(len(preps))) + [len(preps) - 1] * (B - len(preps))
+        stacked = [np.stack([preps[r][1][0][ix] for r in rows])
+                   for ix in range(8)]
+        cams_b, pts_b = _local_ba_batch(
+            *(jnp.asarray(a) for a in stacked),
+            max_iters=self.cfg.ba.max_iters // 2, cg_iters=8,
+        )
+        cams_b, pts_b = np.asarray(cams_b), np.asarray(pts_b)
+        self.timers["local_ba"] += time.time() - t0
+        for bi, (j, (_, track_slot, pt_new)) in enumerate(preps):
+            self._local_ba_commit(j, cams_b[bi], pts_b[bi], track_slot, pt_new)
 
     # ------------------------------------------------------------------
     def _gather_global_problem(self):
