@@ -74,7 +74,7 @@ def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta", "cg_tol"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta"))
 def bundle_adjust(
     cams0: jnp.ndarray,
     points0: jnp.ndarray,
@@ -89,6 +89,7 @@ def bundle_adjust(
     lam0: float = 1e-3,
     robust_delta: float | None = None,
     cg_tol: float = 1e-3,
+    stall_tol: float = 1e-5,
 ) -> BAState:
     """Joint pose+structure refinement.
 
@@ -98,13 +99,13 @@ def bundle_adjust(
     with jax.default_matmul_precision("float32"):  # bf16 MXU breaks normal eqs
         return _bundle_adjust_body(
             cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-            max_iters, cg_iters, lam0, robust_delta, cg_tol,
+            max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
         )
 
 
 def _bundle_adjust_body(
     cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-    max_iters, cg_iters, lam0, robust_delta, cg_tol=1e-3,
+    max_iters, cg_iters, lam0, robust_delta, cg_tol=1e-3, stall_tol=1e-5,
 ) -> BAState:
     C = cams0.shape[0]
     P = points0.shape[0]
@@ -225,8 +226,10 @@ def _bundle_adjust_body(
     # Early-exit LM: mid-run global BAs start near-converged (the previous
     # BA plus windowed refinements), so a fixed-length scan wastes most of
     # its iterations re-building Jacobians for no progress. Stop after 3
-    # consecutive iterations without a relative cost improvement >1e-5
-    # (rejected LM steps need a couple of retries while lambda climbs).
+    # consecutive iterations without a relative cost improvement beyond
+    # stall_tol (rejected LM steps need a couple of retries while lambda
+    # climbs). stall_tol is a traced operand, so mid-run (loose) and final
+    # (tight) solves share one executable.
     def _cond(state):
         _, _, _, _, it, stall = state
         return jnp.logical_and(it < max_iters, stall < 3)
@@ -234,7 +237,7 @@ def _bundle_adjust_body(
     def _body(state):
         cams, points, lam, cost, it, stall = state
         (cams, points, lam, new_cost), _ = lm_step((cams, points, lam, cost), None)
-        improved = new_cost < cost * (1.0 - 1e-5)
+        improved = new_cost < cost * (1.0 - stall_tol)
         stall = jnp.where(improved, 0, stall + 1)
         return (cams, points, lam, new_cost, it + 1, stall)
 

@@ -147,7 +147,8 @@ def _local_ba_batch(cams0, pts, ci, pi, uv, w, cf, pf, max_iters, cg_iters):
     with jax.default_matmul_precision("float32"):
         st = jax.vmap(
             lambda a, b, c, d, e, f_, g, h: _bundle_adjust_body(
-                a, b, c, d, e, f_, g, h, max_iters, cg_iters, 1e-3, None)
+                a, b, c, d, e, f_, g, h, max_iters, cg_iters, 1e-3, None,
+                1e-3, 1e-4)
         )(cams0, pts, ci, pi, uv, w, cf, pf)
     return st.cams, st.points
 
@@ -1000,24 +1001,29 @@ class IncrementalSfM:
             jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
             max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
             robust_delta=(rb / self.focal) if rb else None,
+            stall_tol=1e-4,
         )
         new_cams = np.asarray(st.cams)
         moving = cam_fixed[: len(used_cams)] == 0.0
         self.cams[cam_slots[used_cams[moving]]] = new_cams[: len(used_cams)][moving]
         self.points[uniq_tracks[used_tracks]] = np.asarray(st.points)[: len(used_tracks)]
 
-    def global_ba(self, max_iters: Optional[int] = None, prune: bool = True):
+    def global_ba(self, max_iters: Optional[int] = None, prune: bool = True,
+                  final: bool = False):
         """Global BA with one round of residual-based observation pruning
         (the reference has neither; its heavy outlier tail — BASELINE.md
-        median 0.31px vs mean 4.56px — is exactly what this removes)."""
+        median 0.31px vs mean 4.56px — is exactly what this removes).
+        Mid-run solves use a loose LM stall tolerance (they get refined
+        again anyway); `final=True` runs to the tight tolerance."""
         t0 = time.time()
         self.counters["global_ba"] += 1
         try:
-            return self._global_ba(max_iters, prune)
+            return self._global_ba(max_iters, prune, final)
         finally:
             self.timers["global_ba"] += time.time() - t0
 
-    def _global_ba(self, max_iters: Optional[int] = None, prune: bool = True):
+    def _global_ba(self, max_iters: Optional[int] = None, prune: bool = True,
+                   final: bool = False):
         prob = self._gather_global_problem()
         if prob is None:
             return
@@ -1056,6 +1062,7 @@ class IncrementalSfM:
             jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
             max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
             robust_delta=robust,
+            stall_tol=1e-5 if final else 1e-4,
         )
         if prune:
             r = reprojection_residuals(
@@ -1086,6 +1093,7 @@ class IncrementalSfM:
                     jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
                     max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
                     robust_delta=robust,
+                    stall_tol=1e-5 if final else 1e-4,
                 )
         self.cams[cam_slots] = np.asarray(st.cams)[:C_real]
         keep = self.point_valid[uniq_tracks]
@@ -1155,10 +1163,10 @@ class IncrementalSfM:
 
     def finalize(self, image_names: Sequence[str]) -> Reconstruction:
         if self.cfg.run_global_ba:
-            self.global_ba()
+            self.global_ba(final=True)
             dropped = self.deregister_weak_cameras()
             if dropped:
-                self.global_ba()
+                self.global_ba(final=True)
         mean_err, n_obs = self.mean_reprojection_error()
         track_ids = np.flatnonzero(self.point_valid)
         registered = np.flatnonzero(self.has_cam)

@@ -488,19 +488,32 @@ def run_reconstruction(
     # (64 is a cap, not a target: the loop breaks at its no-progress
     # fixpoint, and a chain segment re-growing off one late-registering
     # bridge can legitimately need dozens of rounds.)
+    batch = max(int(cfg.sfm.register_batch), 1)
     for round_ in range(64):
         failed = []
         # Chunked frontier registration: one fused PnP+triangulation
-        # dispatch per 8 images (intra-chunk anchor staleness resolves on
-        # the next fixpoint round, same as cross-round dependencies).
-        infos = engine.register_batch(pending, batch=cfg.sfm.register_batch)
+        # dispatch per `batch` images (intra-chunk anchor staleness
+        # resolves on the next fixpoint round, same as cross-round
+        # dependencies).
+        infos = engine.register_batch(pending, batch=batch)
         for reg, info in zip(pending, infos):
             if verbose:
                 print(f"[sfm] {info}", flush=True)
             if info.get("status") != "registered":
                 failed.append(reg)
-        if not failed or len(failed) == len(pending):
+        if not failed:
             break
+        if len(failed) == len(pending):
+            # A batched round can stall on intra-chunk staleness that a
+            # strictly sequential pass would resolve — downgrade to
+            # batch=1 for one round before declaring the fixpoint.
+            if batch > 1:
+                batch = 1
+                if verbose:
+                    print("[sfm] no batched progress — sequential fallback round", flush=True)
+                continue
+            break
+        batch = max(int(cfg.sfm.register_batch), 1)
         pending = failed
         if verbose:
             print(f"[sfm] retry round {round_ + 1}: {len(pending)} images", flush=True)
@@ -616,6 +629,7 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
     ImageRegistrations (for consistency gating)."""
     key = jax.random.PRNGKey(seed)
     rescued: List[ImageRegistration] = []
+    batch = max(int(cfg.sfm.register_batch), 1)
     # Per-rescue memo of match+gate results: rounds retry REGISTRATION
     # with evolving track state, but the pair-level E-gate is
     # deterministic per key — one batched computation per pair covers
@@ -659,7 +673,7 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
             if not edges:
                 continue
             round_regs.append(ImageRegistration(img=v, edges=edges))
-        infos = engine.register_batch(round_regs, batch=cfg.sfm.register_batch)
+        infos = engine.register_batch(round_regs, batch=batch)
         for reg_v, info in zip(round_regs, infos):
             if info.get("status") == "registered":
                 progressed += 1
@@ -669,7 +683,13 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
         if verbose:
             print(f"[sfm] rescue round {rescue_round}: +{progressed} registered", flush=True)
         if progressed == 0:
+            # Same staleness guard as the main fixpoint: one sequential
+            # round before giving up.
+            if batch > 1:
+                batch = 1
+                continue
             break
+        batch = max(int(cfg.sfm.register_batch), 1)
     return rescued
 
 
