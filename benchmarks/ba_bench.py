@@ -72,6 +72,20 @@ def main():
 
     report = {"backend": jax.default_backend(),
               "shape": {"C": C, "P": P, "O": O}}
+    # Host<->device transfer rates: on the remote-TPU tunnel these bound
+    # every per-call upload (the BA problem is ~5.5 MB).
+    report["transfer"] = {}
+    for mb in (1, 4, 16):
+        a = np.zeros((mb * 262144,), np.float32)
+        t0 = time.time()
+        d = jnp.asarray(a)
+        jax.block_until_ready(d)
+        t_up = time.time() - t0
+        t0 = time.time()
+        np.asarray(d)
+        t_down = time.time() - t0
+        report["transfer"][f"{mb}MB"] = {
+            "up_s": round(t_up, 3), "down_s": round(t_down, 3)}
     t_full, cost_full = timed(20, 32)
     t_tol, cost_tol = timed(20, 32, cg_tol=1e-3)
     t_cg1, cost_cg1 = timed(20, 1)

@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--mode", default="incremental")
     ap.add_argument("--model", default="plenoxel",
                     choices=["plenoxel", "sdf", "both"])
+    ap.add_argument("--coarse-epochs", type=int, default=0)
+    ap.add_argument("--ba-bench", action="store_true",
+                    help="run benchmarks/ba_bench.py first (BA solver + transfer probe)")
     ap.add_argument("--tv", default="",
                     help="extra plenoxel run with 'sigma,sh' TV weights")
     args = ap.parse_args()
@@ -46,6 +49,12 @@ def main():
 
     t0 = time.time()
     base = ["--images", args.images, "--artifacts", args.artifacts]
+    if args.ba_bench:
+        stamp("ba_bench")
+        import importlib
+
+        sys.argv = ["ba_bench"]
+        importlib.import_module("benchmarks.ba_bench").main()
     if args.bench:
         stamp("bench.py")
         import bench
@@ -65,7 +74,8 @@ def main():
             stamp(f"densify {model}")
             dense = ["densify", *base, "--epochs", str(args.epochs),
                      "--ray-stride", str(args.ray_stride), "--no-checkpoint",
-                     "--model", model]
+                     "--model", model,
+                     "--coarse-epochs", str(args.coarse_epochs)]
             if args.occupancy:
                 dense.append("--occupancy")
             if args.hierarchical:

@@ -381,3 +381,44 @@ def test_train_short_dataset_scan_chunk(rng):
     assert len(losses) == 1 and np.isfinite(losses[0])
     g2, losses2 = train_sdf(ds, cfg, verbose=False, log_every=1)
     assert len(losses2) == 1 and np.isfinite(losses2[0])
+
+
+def test_resample_grid_align_corners(rng):
+    """Upsampled grid reproduces the coarse values exactly at coarse node
+    positions, and a linear field resamples exactly everywhere."""
+    import jax.numpy as jnp
+    from tpu3d.dense.grid import resample_grid
+
+    g = rng.normal(size=(5, 7, 9, 2)).astype(np.float32)
+    up = np.asarray(resample_grid(jnp.asarray(g), (9, 13, 17)))
+    np.testing.assert_allclose(up[::2, ::2, ::2], g, rtol=1e-6, atol=1e-6)
+    # linear field: f(x,y,z) = x + 2y - z resamples exactly
+    x, y, z = np.meshgrid(np.arange(5), np.arange(7), np.arange(9), indexing="ij")
+    lin = (x + 2 * y - z).astype(np.float32)[..., None]
+    up = np.asarray(resample_grid(jnp.asarray(lin), (9, 13, 17)))
+    xf = np.linspace(0, 4, 9)[:, None, None]
+    yf = np.linspace(0, 6, 13)[None, :, None]
+    zf = np.linspace(0, 8, 17)[None, None, :]
+    np.testing.assert_allclose(up[..., 0], xf + 2 * yf - zf, rtol=1e-5, atol=1e-5)
+
+
+def test_coarse_to_fine_training(rng):
+    """coarse_epochs>0 trains a downscaled grid first, then continues at
+    full resolution; returns the full-res grid and a finite loss curve."""
+    from tpu3d.config import DenseConfig
+    from tpu3d.dense.train import RayDataset, train_plenoxel
+
+    n = 512
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+    rgb = rng.uniform(0.2, 0.8, size=(n, 3)).astype(np.float32)
+    ds = RayDataset(o, d, rgb)
+    cfg = DenseConfig(grid_resolution=32, num_samples=16, epochs=3,
+                      batch_size=256, scene_scale=1.0,
+                      coarse_epochs=1, coarse_factor=2)
+    g, losses = train_plenoxel(ds, cfg, verbose=False, log_every=1)
+    assert g.grid.shape[:3] == (32, 32, 32)
+    assert len(losses) == 6 and np.all(np.isfinite(losses))
+    # fine phase should not be worse than the coarse phase's start
+    assert losses[-1] < losses[0]

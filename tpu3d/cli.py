@@ -213,7 +213,8 @@ def cmd_densify(args):
     near, far = auto_near_far(rec["cams"], rec["points"], norm)
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
-        tv_sigma=args.tv_sigma, tv_sh=args.tv_sh))
+        tv_sigma=args.tv_sigma, tv_sh=args.tv_sh,
+        coarse_epochs=args.coarse_epochs))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
@@ -364,6 +365,9 @@ def main(argv=None):
                    help="dense model: plenoxel density grid or SDF grid (ref sdf.py)")
     p.add_argument("--occupancy", action="store_true",
                    help="occupancy-pruned marching (dense/occupancy.py)")
+    p.add_argument("--coarse-epochs", type=int, default=0,
+                   help="coarse-to-fine: train this many epochs on a 2x-"
+                        "downscaled grid first, then upsample and continue")
     p.add_argument("--hierarchical", action="store_true",
                    help="coarse->fine importance sampling in the dense stage")
     p.add_argument("--holdout-every", type=int, default=8,

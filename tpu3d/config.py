@@ -197,6 +197,14 @@ class DenseConfig:
     occupancy_threshold: float = 0.5
     occupancy_probes: int = 128        # band probes per ray
     occupancy_every: int = 500         # refresh cadence (train steps)
+    # Coarse-to-fine grid growing (Plenoxels-style): train the first
+    # `coarse_epochs` epochs on a grid downscaled by `coarse_factor`, then
+    # trilinearly upsample (align-corners, exact at coarse nodes) and
+    # continue at full resolution. 0 = disabled. The coarse phase fills in
+    # smooth global structure ~factor^3 faster and regularizes the fine
+    # phase's initialization.
+    coarse_epochs: int = 0
+    coarse_factor: int = 2
     # Training steps scanned inside one device dispatch (lax.scan over a
     # device-resident ray dataset). Each dispatch on the remote-TPU tunnel
     # pays a ~0.1-0.2 s host round trip; at 2048-ray batches that overhead

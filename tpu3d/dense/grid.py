@@ -44,6 +44,33 @@ def create_grid(resolution, min_bound, max_bound, channels: int = 28, init: floa
     return VoxelGrid(g, jnp.asarray(min_bound, dtype), jnp.asarray(max_bound, dtype))
 
 
+def resample_grid(g: jnp.ndarray, new_res) -> jnp.ndarray:
+    """Align-corners trilinear resample of a (X, Y, Z, C) grid to new_res.
+
+    Matches the sampler's node convention (v = u * (res - 1)): grid node i
+    of the new grid lands exactly at i * (old - 1) / (new - 1) of the old —
+    so upsampling a trained coarse grid preserves every value the renderer
+    would have interpolated at the coarse nodes (Plenoxels-style
+    coarse-to-fine growing)."""
+    def axis_interp(a, axis, n_new):
+        n_old = a.shape[axis]
+        if n_new == n_old:
+            return a
+        pos = jnp.linspace(0.0, n_old - 1.0, n_new)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_old - 2)
+        f = pos - i0
+        a0 = jnp.take(a, i0, axis=axis)
+        a1 = jnp.take(a, i0 + 1, axis=axis)
+        shape = [1] * a.ndim
+        shape[axis] = n_new
+        f = f.reshape(shape)
+        return a0 * (1.0 - f) + a1 * f
+
+    for ax, n in enumerate(tuple(new_res)):
+        g = axis_interp(g, ax, int(n))
+    return g
+
+
 def _corner_setup(grid_shape, min_bound, max_bound, pts):
     res = jnp.asarray(grid_shape, pts.dtype)
     u = (pts - min_bound) / (max_bound - min_bound)  # [0, 1] inside

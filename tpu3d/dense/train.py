@@ -310,6 +310,37 @@ def _chunk_plan(steps_per_epoch: int, chunk: int):
     return out
 
 
+def _coarse_stage(train_fn, dataset, cfg: DenseConfig, seed, grid: VoxelGrid,
+                  verbose, log_every, packed):
+    """Coarse phase of coarse-to-fine grid growing: train `coarse_epochs`
+    on a grid downscaled by `coarse_factor` (dims floored to multiples of
+    8 for the packed Pallas layout), then upsample align-corners back to
+    the full grid. Returns (upsampled grid, coarse losses, config with the
+    remaining epochs)."""
+    from tpu3d.dense.grid import resample_grid
+
+    f = max(int(cfg.coarse_factor), 2)
+    full_res = tuple(grid.grid.shape[:3])
+    coarse_res = tuple(max((r // f) // 8 * 8, 8) for r in full_res)
+    # Fresh bound copies per phase: the jitted steps donate the whole train
+    # state (bounds included), so sharing one array across phases would
+    # hand the fine phase already-deleted buffers.
+    small = VoxelGrid(resample_grid(grid.grid, coarse_res),
+                      jnp.array(grid.min_bound), jnp.array(grid.max_bound))
+    sub = dataclasses.replace(cfg, epochs=cfg.coarse_epochs, coarse_epochs=0)
+    if verbose:
+        print(f"[dense] coarse stage: {coarse_res} for {cfg.coarse_epochs} "
+              f"epochs", flush=True)
+    small, losses = train_fn(dataset, sub, seed=seed, grid=small,
+                             verbose=verbose, log_every=log_every,
+                             packed=packed)
+    up = VoxelGrid(resample_grid(small.grid, full_res),
+                   jnp.array(grid.min_bound), jnp.array(grid.max_bound))
+    rest = dataclasses.replace(cfg, epochs=cfg.epochs - cfg.coarse_epochs,
+                               coarse_epochs=0)
+    return up, losses, rest
+
+
 def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -> None:
     """Persist grid + Adam moments (the reference loses everything on a
     training crash — SURVEY §5 checkpoint/resume row)."""
@@ -371,6 +402,10 @@ def train_plenoxel(
     if grid is None:
         s = cfg.scene_scale
         grid = create_grid(cfg.grid_resolution, (-s, -s, -s), (s, s, s))
+    pre_losses: List[float] = []
+    if cfg.coarse_epochs > 0 and cfg.epochs > cfg.coarse_epochs and not resume:
+        grid, pre_losses, cfg = _coarse_stage(
+            train_plenoxel, dataset, cfg, seed, grid, verbose, log_every, packed)
     use_packed = packed if packed is not None else (jax.default_backend() != "cpu")
     orig_shape = tuple(grid.grid.shape)
     if use_packed:
@@ -382,7 +417,7 @@ def train_plenoxel(
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
     state = TrainState(VoxelGrid(garr, grid.min_bound, grid.max_bound),
                        optimizer.init(garr), jnp.asarray(0))
-    losses: List[float] = []
+    losses: List[float] = list(pre_losses)
     start_epoch = 0
     if resume and checkpoint_store is not None:
         ck = load_checkpoint(checkpoint_store, optimizer)
@@ -588,6 +623,10 @@ def train_sdf(
     if grid is None:
         s = cfg.scene_scale
         grid = create_grid(cfg.grid_resolution, (-s, -s, -s), (s, s, s))
+    pre_losses: List[float] = []
+    if cfg.coarse_epochs > 0 and cfg.epochs > cfg.coarse_epochs:
+        grid, pre_losses, cfg = _coarse_stage(
+            train_sdf, dataset, cfg, seed, grid, verbose, log_every, packed)
     use_packed = packed if packed is not None else (jax.default_backend() != "cpu")
     orig_shape = tuple(grid.grid.shape)
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
@@ -603,7 +642,7 @@ def train_sdf(
     else:
         state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0))
         step_fn = make_sdf_train_step(cfg, optimizer)
-    losses: List[float] = []
+    losses: List[float] = list(pre_losses)
     chunk = max(int(cfg.scan_chunk), 1)
     if n < cfg.batch_size:
         chunk = 1  # single short batch per epoch — per-step path handles it

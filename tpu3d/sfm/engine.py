@@ -1057,18 +1057,21 @@ class IncrementalSfM:
         pt_fixed[P_real:] = 1.0
         rb = self.cfg.ba.robust_huber_px
         robust = (rb / self.focal) if rb else None
+        # Upload the observation arrays ONCE and reuse the device buffers
+        # across the main solve, the residual pass and the prune refit —
+        # the ~5.5 MB problem costs seconds per transfer over the tunnel
+        # and three jnp.asarray calls paid it three times.
+        ci_d, pi_d, uv_d = jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uvp)
+        w_d, cf_d = jnp.asarray(w), jnp.asarray(cam_fixed)
         st = bundle_adjust(
-            jnp.asarray(cams0), jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
-            jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
+            jnp.asarray(cams0), jnp.asarray(pts), ci_d, pi_d,
+            uv_d, w_d, cf_d, jnp.asarray(pt_fixed),
             max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
             robust_delta=robust,
             stall_tol=1e-5 if final else 1e-4,
         )
         if prune:
-            r = reprojection_residuals(
-                st.cams, st.points, jnp.asarray(ci), jnp.asarray(pi),
-                jnp.asarray(uvp), jnp.asarray(w),
-            )
+            r = reprojection_residuals(st.cams, st.points, ci_d, pi_d, uv_d, w_d)
             err_px = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
             thr_px = 3.0 * self.cfg.ransac.threshold_px
             bad = (err_px > thr_px) & (w > 0)
@@ -1086,11 +1089,11 @@ class IncrementalSfM:
                 # shape would double the compile bill that dominates
                 # global-BA wall-clock on the tunnel. Huber ≈ L2 on the
                 # pruned inlier set; the LM early exit bounds the extra
-                # iterations.
+                # iterations. Only the changed arrays (w, pt_fixed) re-upload.
                 st = bundle_adjust(
-                    st.cams, st.points, jnp.asarray(ci), jnp.asarray(pi),
-                    jnp.asarray(uvp), jnp.asarray(w),
-                    jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
+                    st.cams, st.points, ci_d, pi_d,
+                    uv_d, jnp.asarray(w),
+                    cf_d, jnp.asarray(pt_fixed),
                     max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
                     robust_delta=robust,
                     stall_tol=1e-5 if final else 1e-4,
