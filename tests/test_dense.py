@@ -422,3 +422,29 @@ def test_coarse_to_fine_training(rng):
     assert len(losses) == 6 and np.all(np.isfinite(losses))
     # fine phase should not be worse than the coarse phase's start
     assert losses[-1] < losses[0]
+
+
+def test_marching_tetrahedra_sphere():
+    """Iso-surface of a sphere density field: vertex radii ~= analytic
+    iso radius, faces reference valid vertices, colors interpolate."""
+    from tpu3d.dense.mesh import dedup_mesh, marching_tetrahedra
+
+    n = 33
+    ax = np.linspace(-1, 1, n, dtype=np.float32)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(x**2 + y**2 + z**2)
+    sigma = 10.0 * (0.6 - r)  # positive inside radius 0.6, linear falloff
+    colors = np.stack([np.full_like(r, 0.8), np.full_like(r, 0.2),
+                       np.full_like(r, 0.1)], -1)
+    verts, faces, cols = marching_tetrahedra(sigma, 0.0, (-1, -1, -1), (1, 1, 1), colors)
+    assert len(verts) > 500 and len(faces) == len(verts) // 3
+    rad = np.linalg.norm(verts, axis=1)
+    assert abs(rad.mean() - 0.6) < 0.02
+    assert rad.std() < 0.03
+    np.testing.assert_allclose(cols.astype(np.float64).mean(0),
+                               [0.8, 0.2, 0.1], atol=1e-5)
+    v2, f2, c2 = dedup_mesh(verts, faces, cols)
+    assert len(v2) < len(verts) / 2  # interior edge vertices shared
+    assert f2.min() >= 0 and f2.max() < len(v2)
+    rad2 = np.linalg.norm(v2[f2.reshape(-1)], axis=1)
+    assert abs(rad2.mean() - 0.6) < 0.02

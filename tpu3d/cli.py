@@ -240,6 +240,16 @@ def cmd_densify(args):
     if not args.no_checkpoint:
         store.save("dense_grid", grid=np.asarray(grid.grid),
                    min_bound=np.asarray(grid.min_bound), max_bound=np.asarray(grid.max_bound))
+    # Compact mesh-ready grid (density + per-color SH DC, f16): the full
+    # 28-channel grid is 1.9 GB at 256^3 — minutes over the tunnel; these
+    # 4 channels feed `cli mesh` (marching tetrahedra surface export).
+    import jax.numpy as jnp
+
+    mg = np.asarray(jnp.take(grid.grid, jnp.asarray([0, 1, 10, 19]), axis=-1)
+                    ).astype(np.float16)
+    store.save("mesh_grid", grid=mg,
+               min_bound=np.asarray(grid.min_bound),
+               max_bound=np.asarray(grid.max_bound))
     out = {"final_loss": losses[-1] if losses else None,
            "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
     if len(test_idx):
@@ -309,6 +319,31 @@ def _densify_from_rays(args, cfg, store):
     print(json.dumps(out))
 
 
+def cmd_mesh(args):
+    """Surface mesh from the trained density grid (marching tetrahedra over
+    the compact mesh_grid artifact densify saves) — the deliverable beyond
+    the reference's point clouds and view renders."""
+    from tpu3d.dense.mesh import dedup_mesh, marching_tetrahedra
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.io.ply import write_ply_mesh
+
+    store = ArtifactStore(args.artifacts)
+    d = store.load("mesh_grid")
+    if d is None:
+        print("no mesh_grid artifact — run `densify` first", file=sys.stderr)
+        sys.exit(1)
+    sigma = d["grid"][..., 0].astype(np.float32)
+    # channel layout: [sigma, SH-DC r, g, b]; DC term Y00 = 0.282095
+    rgb = np.clip(d["grid"][..., 1:4].astype(np.float32) * 0.282095, 0.0, 1.0)
+    verts, faces, cols = marching_tetrahedra(
+        sigma, args.iso, d["min_bound"], d["max_bound"], rgb)
+    verts, faces, cols = dedup_mesh(verts, faces, cols)
+    out = args.out or os.path.join(args.artifacts, "mesh.ply")
+    n = write_ply_mesh(out, verts, faces, cols)
+    print(json.dumps({"vertices": int(len(verts)), "faces": int(n),
+                      "iso": args.iso, "path": out}))
+
+
 def cmd_export(args):
     """Write the reference pipeline's exact output/ file protocol (SURVEY
     §1) from saved artifacts, so tools built against the reference
@@ -343,7 +378,7 @@ def cmd_full(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpu3d", description="TPU-native incremental SfM + dense reconstruction")
-    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full", "export"])
+    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full", "export", "mesh"])
     p.add_argument("--images", required=True)
     p.add_argument("--artifacts", default="artifacts")
     p.add_argument("--downscale", type=int, default=1)
@@ -365,6 +400,8 @@ def main(argv=None):
                    help="dense model: plenoxel density grid or SDF grid (ref sdf.py)")
     p.add_argument("--occupancy", action="store_true",
                    help="occupancy-pruned marching (dense/occupancy.py)")
+    p.add_argument("--iso", type=float, default=10.0,
+                   help="mesh: density iso level for surface extraction")
     p.add_argument("--coarse-epochs", type=int, default=0,
                    help="coarse-to-fine: train this many epochs on a 2x-"
                         "downscaled grid first, then upsample and continue")
@@ -442,6 +479,7 @@ def main(argv=None):
         "densify": cmd_densify,
         "full": cmd_full,
         "export": cmd_export,
+        "mesh": cmd_mesh,
     }[args.command]
     if args.xprof:
         import jax

@@ -55,3 +55,28 @@ def merge_debug_ply(path: str, clouds, colors=None, scale: float = 1.0) -> int:
         return 0
     return write_ply(path, np.concatenate(pts), np.concatenate(cols),
                      scale=1.0, apply_filter=False)
+
+
+def write_ply_mesh(path: str, verts: np.ndarray, faces: np.ndarray,
+                   vert_colors: np.ndarray | None = None) -> int:
+    """Binary-less ascii PLY triangle mesh (MeshLab/Blender-loadable), with
+    optional per-vertex RGB in [0, 1]. Returns the face count."""
+    has_c = vert_colors is not None
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if has_c:
+            f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {len(faces)}\n")
+        f.write("property list uchar int vertex_indices\nend_header\n")
+        if has_c:
+            c = np.clip(vert_colors * 255.0, 0, 255).astype(np.uint8)
+            for (x, y, z), (r, g, b) in zip(verts, c):
+                f.write(f"{x:.6f} {y:.6f} {z:.6f} {r} {g} {b}\n")
+        else:
+            for x, y, z in verts:
+                f.write(f"{x:.6f} {y:.6f} {z:.6f}\n")
+        for a, b_, c_ in faces:
+            f.write(f"3 {a} {b_} {c_}\n")
+    return len(faces)
