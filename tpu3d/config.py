@@ -116,6 +116,13 @@ class BAConfig:
     complement (replaces scipy.optimize.least_squares at sfm.py:38)."""
 
     max_iters: int = 20
+    # Mid-run iteration budget: growth-gated global BAs and windowed BAs
+    # re-solve a nearly-converged problem that gets refined again anyway;
+    # TPU-measured they run their full 20x32 LM/CG budget at ~0.34 s per
+    # LM iteration (~13 s/call). 8x16 keeps the chain tight at ~1/4 the
+    # cost; finalize still runs the full budget.
+    mid_max_iters: int = 8
+    mid_cg_iters: int = 16
     lm_lambda_init: float = 1e-3
     lm_lambda_up: float = 3.0
     lm_lambda_down: float = 3.0

@@ -999,7 +999,8 @@ class IncrementalSfM:
         st = bundle_adjust(
             jnp.asarray(cams0), jnp.asarray(pts), jnp.asarray(ci), jnp.asarray(pi),
             jnp.asarray(uvp), jnp.asarray(w), jnp.asarray(cam_fixed), jnp.asarray(pt_fixed),
-            max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
+            max_iters=max_iters or self.cfg.ba.mid_max_iters,
+            cg_iters=self.cfg.ba.mid_cg_iters,
             robust_delta=(rb / self.focal) if rb else None,
             stall_tol=1e-4,
         )
@@ -1063,10 +1064,13 @@ class IncrementalSfM:
         # and three jnp.asarray calls paid it three times.
         ci_d, pi_d, uv_d = jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uvp)
         w_d, cf_d = jnp.asarray(w), jnp.asarray(cam_fixed)
+        mi = max_iters or (self.cfg.ba.max_iters if final
+                           else self.cfg.ba.mid_max_iters)
+        cgi = 32 if final else self.cfg.ba.mid_cg_iters
         st = bundle_adjust(
             jnp.asarray(cams0), jnp.asarray(pts), ci_d, pi_d,
             uv_d, w_d, cf_d, jnp.asarray(pt_fixed),
-            max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
+            max_iters=mi, cg_iters=cgi,
             robust_delta=robust,
             stall_tol=1e-5 if final else 1e-4,
         )
@@ -1094,7 +1098,7 @@ class IncrementalSfM:
                     st.cams, st.points, ci_d, pi_d,
                     uv_d, jnp.asarray(w),
                     cf_d, jnp.asarray(pt_fixed),
-                    max_iters=max_iters or self.cfg.ba.max_iters, cg_iters=32,
+                    max_iters=mi, cg_iters=cgi,
                     robust_delta=robust,
                     stall_tol=1e-5 if final else 1e-4,
                 )
