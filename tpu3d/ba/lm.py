@@ -46,8 +46,10 @@ def ba_cost(cams, points, cam_idx, pt_idx, uv, w) -> jnp.ndarray:
     return jnp.sum(r * r)
 
 
-def _seg_sum(x: jnp.ndarray, idx: jnp.ndarray, num: int) -> jnp.ndarray:
-    return jax.ops.segment_sum(x, idx, num_segments=num)
+def _seg_sum(x: jnp.ndarray, idx: jnp.ndarray, num: int,
+             indices_sorted: bool = False) -> jnp.ndarray:
+    return jax.ops.segment_sum(x, idx, num_segments=num,
+                               indices_are_sorted=indices_sorted)
 
 
 def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +76,7 @@ def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta", "pt_sorted"))
 def bundle_adjust(
     cams0: jnp.ndarray,
     points0: jnp.ndarray,
@@ -90,6 +92,7 @@ def bundle_adjust(
     robust_delta: float | None = None,
     cg_tol: float = 1e-3,
     stall_tol: float = 1e-5,
+    pt_sorted: bool = False,
 ) -> BAState:
     """Joint pose+structure refinement.
 
@@ -100,12 +103,14 @@ def bundle_adjust(
         return _bundle_adjust_body(
             cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
             max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
+            pt_sorted,
         )
 
 
 def _bundle_adjust_body(
     cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
     max_iters, cg_iters, lam0, robust_delta, cg_tol=1e-3, stall_tol=1e-5,
+    pt_sorted=False,
 ) -> BAState:
     C = cams0.shape[0]
     P = points0.shape[0]
@@ -117,7 +122,7 @@ def _bundle_adjust_body(
 
     # A point with no valid observation must not move (its V block is
     # singular); freeze it too.
-    obs_per_pt = _seg_sum(w, pt_idx, P)
+    obs_per_pt = _seg_sum(w, pt_idx, P, pt_sorted)
     pt_free = pt_free * (obs_per_pt > 0).astype(dtype)[:, None]
 
     def lm_step(carry, _):
@@ -138,24 +143,29 @@ def _bundle_adjust_body(
 
         # Blocks.
         Ucc = _seg_sum(jnp.einsum("oia,oib->oab", Jc_m, Jc_m), cam_idx, C)  # (C,6,6)
-        Vpp = _seg_sum(jnp.einsum("oia,oib->oab", Jp_m, Jp_m), pt_idx, P)   # (P,3,3)
+        Vpp = _seg_sum(jnp.einsum("oia,oib->oab", Jp_m, Jp_m), pt_idx, P, pt_sorted)   # (P,3,3)
         Wcp = jnp.einsum("oia,oib->oab", Jc_m, Jp_m)                        # (O,6,3)
         gc = _seg_sum(jnp.einsum("oia,oi->oa", Jc_m, r), cam_idx, C)        # (C,6)
-        gp = _seg_sum(jnp.einsum("oia,oi->oa", Jp_m, r), pt_idx, P)         # (P,3)
+        gp = _seg_sum(jnp.einsum("oia,oi->oa", Jp_m, r), pt_idx, P, pt_sorted)  # (P,3)
 
         damp_c = lam * (jnp.einsum("caa->ca", Ucc) + 1e-8)                  # (C,6)
         Vinv = _spd_inv3(Vpp, lam * (jnp.einsum("paa->pa", Vpp).mean(-1) + 1e-8))
 
         # Reduced RHS: b = gc − W V⁻¹ gp   (gathered per observation).
         Vinv_gp = jnp.einsum("pab,pb->pa", Vinv, gp)                        # (P,3)
-        b = gc - _seg_sum(jnp.einsum("oab,ob->oa", Wcp, Vinv_gp[pt_idx]), cam_idx, C)
+        b = gc - _seg_sum(
+            jnp.einsum("oab,ob->oa", Wcp,
+                       jnp.take(Vinv_gp, pt_idx, axis=0,
+                                indices_are_sorted=pt_sorted)), cam_idx, C)
 
         def schur_matvec(x):  # x: (C, 6)
             Ux = jnp.einsum("cab,cb->ca", Ucc, x) + damp_c * x
             a = jnp.einsum("oab,oa->ob", Wcp, x[cam_idx])                   # Wᵀx per obs (3,)
-            bp = _seg_sum(a, pt_idx, P)                                     # (P,3)
+            bp = _seg_sum(a, pt_idx, P, pt_sorted)                          # (P,3)
             cp = jnp.einsum("pab,pb->pa", Vinv, bp)
-            d = jnp.einsum("oab,ob->oa", Wcp, cp[pt_idx])                   # (O,6)
+            d = jnp.einsum("oab,ob->oa", Wcp,
+                           jnp.take(cp, pt_idx, axis=0,
+                                    indices_are_sorted=pt_sorted))          # (O,6)
             return Ux - _seg_sum(d, cam_idx, C)
 
         # Block-Jacobi preconditioner: (U + damp)⁻¹ via 6x6 solves.

@@ -929,7 +929,13 @@ class IncrementalSfM:
         cam_map[cam_slots] = np.arange(len(cam_slots), dtype=np.int32)
         cam_idx = cam_map[img_ids]
         uniq_tracks, pt_idx = np.unique(tracks, return_inverse=True)
-        return cam_slots, cam_idx, uniq_tracks, pt_idx.astype(np.int32), uv, slots
+        pt_idx = pt_idx.astype(np.int32)
+        # Sort observations by point id: segment sums / gathers on the
+        # point axis get contiguous segments (indices_are_sorted hint in
+        # ba/lm.py), and scatter locality improves either way.
+        order = np.argsort(pt_idx, kind="stable")
+        return (cam_slots, cam_idx[order], uniq_tracks, pt_idx[order],
+                uv[order], slots[order])
 
     def windowed_ba(self, window: int = 25, max_iters: Optional[int] = None):
         """COLMAP-style local refinement: optimize the most recently
@@ -989,7 +995,7 @@ class IncrementalSfM:
         w[: len(cam_idx)] = 1.0
         ci = np.zeros(O, np.int32)
         ci[: len(cam_idx)] = cam_idx
-        pi = np.zeros(O, np.int32)
+        pi = np.full(O, P - 1, np.int32)  # sorted invariant (see _global_ba)
         pi[: len(cam_idx)] = pt_idx
         uvp = np.zeros((O, 2), np.float32)
         uvp[: len(cam_idx)] = uv
@@ -1003,6 +1009,7 @@ class IncrementalSfM:
             cg_iters=self.cfg.ba.mid_cg_iters,
             robust_delta=(rb / self.focal) if rb else None,
             stall_tol=1e-4,
+            pt_sorted=True,
         )
         new_cams = np.asarray(st.cams)
         moving = cam_fixed[: len(used_cams)] == 0.0
@@ -1048,7 +1055,10 @@ class IncrementalSfM:
         w[:O_real] = 1.0
         ci = np.zeros(O, np.int32)
         ci[:O_real] = cam_idx
-        pi = np.zeros(O, np.int32)
+        # Pad point ids with P-1 (not 0): observations arrive sorted by
+        # point and the solver passes indices_are_sorted — a zero after the
+        # sorted ids would break the nondecreasing invariant.
+        pi = np.full(O, P - 1, np.int32)
         pi[:O_real] = pt_idx
         uvp = np.zeros((O, 2), np.float32)
         uvp[:O_real] = uv
@@ -1073,6 +1083,7 @@ class IncrementalSfM:
             max_iters=mi, cg_iters=cgi,
             robust_delta=robust,
             stall_tol=1e-5 if final else 1e-4,
+            pt_sorted=True,
         )
         if prune:
             r = reprojection_residuals(st.cams, st.points, ci_d, pi_d, uv_d, w_d)
@@ -1101,6 +1112,7 @@ class IncrementalSfM:
                     max_iters=mi, cg_iters=cgi,
                     robust_delta=robust,
                     stall_tol=1e-5 if final else 1e-4,
+                    pt_sorted=True,
                 )
         self.cams[cam_slots] = np.asarray(st.cams)[:C_real]
         keep = self.point_valid[uniq_tracks]
