@@ -244,6 +244,11 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
     B = max(int(cfg.matching.pair_batch), 1)
     keys = np.asarray(jax.random.split(key, len(edges)))
     t0 = time.time()
+    # Dispatch every block asynchronously FIRST, then fetch: JAX queues the
+    # executions, so block k+1 computes while block k's result crosses the
+    # tunnel — the synchronous dispatch-fetch-dispatch loop paid a full
+    # round trip of idle device time per block.
+    pending = []
     for s in range(0, len(edges), B):
         blk = edges[s : s + B]
         pad = B - len(blk)
@@ -252,17 +257,19 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
         kb = keys[s : s + len(blk)]
         if pad:
             kb = np.concatenate([kb, np.tile(kb[-1:], (pad, 1))])
-        flat = np.asarray(_match_and_gate_block(
+        pending.append((blk, _match_and_gate_block(
             feats.descriptors_dev, feats.valid_dev, feats.keypoints_dev,
             jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(kb),
             cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
             cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
             five_point=cfg.sfm.ransac.use_five_point,
-        ))
+        )))
+    for n_done, (blk, flat_dev) in enumerate(pending):
+        flat = np.asarray(flat_dev)
         for b, e in enumerate(blk):
             memo[e] = flat[b]
-        if verbose and (s // B) % 8 == 0:
-            done = min(s + B, len(edges))
+        if verbose and n_done % 8 == 0:
+            done = min((n_done + 1) * B, len(edges))
             print(f"[match] gated {done}/{len(edges)} candidate edges "
                   f"({done / max(time.time() - t0, 1e-9):.1f} edges/s)", flush=True)
     return memo
