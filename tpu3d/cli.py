@@ -335,13 +335,19 @@ def cmd_mesh(args):
     sigma = d["grid"][..., 0].astype(np.float32)
     # channel layout: [sigma, SH-DC r, g, b]; DC term Y00 = 0.282095
     rgb = np.clip(d["grid"][..., 1:4].astype(np.float32) * 0.282095, 0.0, 1.0)
+    iso = args.iso
+    if iso <= 0:  # auto: density units depend on scene scale — pick the
+        # level that keeps the top ~1% most-opaque cells inside the surface
+        pos = sigma[sigma > 0]
+        iso = float(np.quantile(pos, 0.99)) if len(pos) else 0.0
+        print(f"auto iso level: {iso:.3f}", file=sys.stderr)
     verts, faces, cols = marching_tetrahedra(
-        sigma, args.iso, d["min_bound"], d["max_bound"], rgb)
+        sigma, iso, d["min_bound"], d["max_bound"], rgb)
     verts, faces, cols = dedup_mesh(verts, faces, cols)
     out = args.out or os.path.join(args.artifacts, "mesh.ply")
     n = write_ply_mesh(out, verts, faces, cols)
     print(json.dumps({"vertices": int(len(verts)), "faces": int(n),
-                      "iso": args.iso, "path": out}))
+                      "iso": round(iso, 4), "path": out}))
 
 
 def cmd_export(args):
@@ -400,8 +406,8 @@ def main(argv=None):
                    help="dense model: plenoxel density grid or SDF grid (ref sdf.py)")
     p.add_argument("--occupancy", action="store_true",
                    help="occupancy-pruned marching (dense/occupancy.py)")
-    p.add_argument("--iso", type=float, default=10.0,
-                   help="mesh: density iso level for surface extraction")
+    p.add_argument("--iso", type=float, default=0.0,
+                   help="mesh: density iso level (0 = auto from the density distribution)")
     p.add_argument("--coarse-epochs", type=int, default=0,
                    help="coarse-to-fine: train this many epochs on a 2x-"
                         "downscaled grid first, then upsample and continue")
