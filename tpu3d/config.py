@@ -119,10 +119,12 @@ class BAConfig:
     # Mid-run iteration budget: growth-gated global BAs and windowed BAs
     # re-solve a nearly-converged problem that gets refined again anyway;
     # TPU-measured they run their full 20x32 LM/CG budget at ~0.34 s per
-    # LM iteration (~13 s/call). 8x16 keeps the chain tight at ~1/4 the
-    # cost; finalize still runs the full budget.
-    mid_max_iters: int = 8
-    mid_cg_iters: int = 16
+    # LM iteration (~13 s/call). A/B on the full run: 8x16 cut global BA
+    # 240->115 s but cost 10 cameras of recall and 0.1 px of mean error;
+    # 12x24 is the quality-preserving middle. Finalize runs the full
+    # budget either way.
+    mid_max_iters: int = 12
+    mid_cg_iters: int = 24
     lm_lambda_init: float = 1e-3
     lm_lambda_up: float = 3.0
     lm_lambda_down: float = 3.0
