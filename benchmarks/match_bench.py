@@ -21,14 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, reps=3, warmup=1, **kw):
+    """fn takes a rep index and must derive FRESH inputs from it: the
+    remote backend memoizes (executable, args) -> result, so repeating
+    identical args reports impossibly fast times."""
     import jax
 
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kw))
+        jax.block_until_ready(fn(1000 + _, *args, **kw))
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(fn(*args, **kw))
+        jax.block_until_ready(fn(i, *args, **kw))
         ts.append(time.time() - t0)
     return min(ts)
 
@@ -70,21 +73,24 @@ def main():
 
     res = {}
     res["matcher"] = timeit(
-        lambda: match_descriptors(d0j, d1j, vj, vj, ratio=0.95).idx1)
+        lambda i: match_descriptors(d0j * (1.0 + 1e-6 * i), d1j, vj, vj,
+                                    ratio=0.95).idx1)
     res["ransac_8pt"] = timeit(
-        lambda: find_essential_ransac(key, uv0j, uv1j, vj, focal,
-                                      threshold_px=1.0, num_hypotheses=args.hyps).inliers)
+        lambda i: find_essential_ransac(jax.random.PRNGKey(i), uv0j, uv1j, vj,
+                                        focal, threshold_px=1.0,
+                                        num_hypotheses=args.hyps).inliers)
     res["ransac_5pt"] = timeit(
-        lambda: five_point_ransac(key, uv0j, uv1j, vj, focal, threshold_px=1.0,
-                                  num_hypotheses=max(args.hyps // 4, 64))[1])
+        lambda i: five_point_ransac(jax.random.PRNGKey(i), uv0j, uv1j, vj,
+                                    focal, threshold_px=1.0,
+                                    num_hypotheses=max(args.hyps // 4, 64))[1])
 
     kp0 = jnp.asarray(uv0)
     kp1 = jnp.asarray(uv1)
     for fp in (False, True):
         res[f"fused_pair_{'5pt' if fp else '8pt'}"] = timeit(
-            lambda fp=fp: _match_and_gate_packed(
-                d0j, d1j, vj, vj, kp0, kp1, key, focal, 1.0, 0.95, args.hyps,
-                five_point=fp))
+            lambda i, fp=fp: _match_and_gate_packed(
+                d0j, d1j, vj, vj, kp0, kp1, jax.random.PRNGKey(i), focal,
+                1.0, 0.95, args.hyps, five_point=fp))
 
     # block path on an image set
     N = args.n_img
@@ -95,9 +101,10 @@ def main():
         ii = jnp.asarray(np.arange(B, dtype=np.int32) % N)
         jj = jnp.asarray((np.arange(B, dtype=np.int32) + 1) % N)
         keys = jax.random.split(key, B)
-        dt = timeit(lambda B=B, ii=ii, jj=jj, keys=keys: _match_and_gate_block(
-            d_all, v_all, kp_all, ii, jj, keys, focal, 1.0, 0.95, args.hyps,
-            five_point=True))
+        dt = timeit(lambda i, B=B, ii=ii, jj=jj: _match_and_gate_block(
+            d_all, v_all, kp_all, ii, jj,
+            jax.random.split(jax.random.PRNGKey(i), B), focal, 1.0, 0.95,
+            args.hyps, five_point=True))
         res[f"block_5pt_B{B}_per_edge"] = dt / B
 
     print({k: f"{1e3 * t:.1f} ms" for k, t in res.items()})
