@@ -25,13 +25,15 @@ import numpy as np
 
 
 def timeit(fn, *args, reps=5):
+    """fn(rep_scale, *args): derive FRESH data from rep_scale — the remote
+    backend memoizes identical-arg executions and reports ~0.05 ms."""
     import jax
 
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(1.5, *args))
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(1.0 + 1e-6 * i, *args))
         ts.append(time.time() - t0)
     return min(ts)
 
@@ -62,13 +64,13 @@ def main():
          "shape": {"O": O, "P": P, "C": C}}
 
     @functools.partial(jax.jit, static_argnames=("srt",))
-    def seg_p(d, i, srt):
-        return jax.ops.segment_sum(d, i, num_segments=P,
+    def seg_p(c, d, i, srt):
+        return jax.ops.segment_sum(d * c, i, num_segments=P,
                                    indices_are_sorted=srt)
 
     @functools.partial(jax.jit, static_argnames=("srt",))
-    def gat(x, i, srt):
-        return jnp.take(x, i, axis=0, indices_are_sorted=srt)
+    def gat(c, x, i, srt):
+        return jnp.take(x * c, i, axis=0, indices_are_sorted=srt)
 
     i_rand = jnp.asarray(pt_idx)
     i_sort = jnp.asarray(np.sort(pt_idx))
@@ -81,8 +83,8 @@ def main():
     r["gather_C_random"] = timeit(gat, xc, ci, False)
 
     @jax.jit
-    def seg_c(d, i):
-        return jax.ops.segment_sum(d, i, num_segments=C)
+    def seg_c(c, d, i):
+        return jax.ops.segment_sum(d * c, i, num_segments=C)
 
     r["segsum_C_random"] = timeit(seg_c, d6, ci)
 
@@ -92,14 +94,14 @@ def main():
     jax.block_until_ready(onehot)
 
     @jax.jit
-    def gat_mm(x, oh):
+    def gat_mm(c, x, oh):
         with jax.default_matmul_precision("float32"):
-            return oh @ x                       # (O, C) @ (C, 6)
+            return oh @ (x * c)                 # (O, C) @ (C, 6)
 
     @jax.jit
-    def seg_mm(d, oh):
+    def seg_mm(c, d, oh):
         with jax.default_matmul_precision("float32"):
-            return oh.T @ d                     # (C, O) @ (O, 6)
+            return oh.T @ (d * c)               # (C, O) @ (O, 6)
 
     r["gather_C_onehot_mm"] = timeit(gat_mm, xc, onehot)
     r["segsum_C_onehot_mm"] = timeit(seg_mm, d6, onehot)
