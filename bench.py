@@ -126,6 +126,7 @@ def main():
             "source": "baselines/reference_like.py (cv2 SIFT + cv2 SfM, CPU)",
         },
         "stage_seconds": {k: round(v, 2) for k, v in timings.items()},
+        "sfm_phase_seconds": P.LAST_SFM_TIMERS,
         "cold_pass_seconds": round(cold_total, 2),
         "warmup_compile_seconds": round(warmup_s, 1),
     }

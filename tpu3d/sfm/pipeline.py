@@ -473,6 +473,11 @@ def run_matching(
     return accepted, ts
 
 
+# Observability: the most recent incremental run's engine phase timers
+# (bench.py and batch drivers report them without needing verbose logs).
+LAST_SFM_TIMERS: Dict[str, object] = {}
+
+
 def run_reconstruction(
     feats: ExtractedFeatures,
     registrations: List[ImageRegistration],
@@ -540,6 +545,9 @@ def run_reconstruction(
             _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed + 1,
                          rounds=3, deregister_round=99)
     rec = engine.finalize(feats.names)
+    global LAST_SFM_TIMERS
+    LAST_SFM_TIMERS = {**{k: round(v, 2) for k, v in engine.timers.items()},
+                       "calls": dict(engine.counters)}
     if verbose:
         import json as _json
 
