@@ -31,3 +31,22 @@ __version__ = "0.1.0"
 # throughput paths (frontend convs, descriptor matmuls, dense rendering)
 # keep the fast default — a global "highest" sends the 2048x2048
 # descriptor-similarity matmul into a pathological TPU compile.
+
+# Persistent XLA compilation cache: compiles cost ~25 s apiece over the
+# remote-TPU tunnel and are a per-deployment one-off, not a per-scene cost.
+# Verified to work for the remote backend (serialized executables land in
+# the cache dir and later processes skip the compile). Opt out with
+# TPU3D_COMPILE_CACHE=0.
+import os as _os
+
+_cache = _os.environ.get("TPU3D_COMPILE_CACHE",
+                         _os.path.expanduser("~/.cache/tpu3d_xla"))
+if _cache and _cache != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+del _os
