@@ -82,12 +82,14 @@ class MatchingConfig:
     min_track_overlap: float = 0.1
     ransac_threshold_px: float = 1.0   # ref matching.py:134
     use_learned: bool = False          # LightGlue path (needs converted weights)
-    # Candidate edges gated per device dispatch. Matching is the pipeline's
-    # dominant stage (TPU-measured 0.8 s/edge sequential: 5-point E-gate
-    # compute + a tunnel round trip per edge); all candidate edges are
+    # Candidate edges gated per device dispatch. All candidate edges are
     # precomputed in vmapped blocks of this size and the BFS consumes the
-    # cache. 1 falls back to the sequential per-edge path.
-    pair_batch: int = 8
+    # cache; 1 falls back to the sequential per-edge path. TPU-measured
+    # (match_bench with per-rep-fresh inputs): device compute is ~1 ms per
+    # block while the remote client charges ~0.2-0.7 s PER EXECUTE — the
+    # block size is purely a dispatch-count knob, so go big. 32 blocks of
+    # 2048-kpt pairs peak ~270 MB of bf16 distance matrices.
+    pair_batch: int = 32
 
 
 @dataclasses.dataclass(frozen=True)
