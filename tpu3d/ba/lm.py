@@ -168,14 +168,19 @@ def _bundle_adjust_body(
                                     indices_are_sorted=pt_sorted))          # (O,6)
             return Ux - _seg_sum(d, cam_idx, C)
 
-        # Block-Jacobi preconditioner: (U + damp)⁻¹ via 6x6 solves.
+        # Block-Jacobi preconditioner: (U + damp)⁻¹, INVERTED ONCE per LM
+        # iteration. A batched 6x6 linalg.solve inside the CG body ran on
+        # every CG iteration — batched small LU dominates TPU per-iteration
+        # cost (seg_probe shows the gathers/segment-sums are ~0.1 ms; the
+        # solver was the ~7 ms/iter mystery).
         Udamped = Ucc + damp_c[..., None] * jnp.eye(6, dtype=dtype)[None]
         # Guard frozen cameras: identity block keeps CG well-posed.
         eye6 = jnp.eye(6, dtype=dtype)[None]
         Udamped = Udamped * cam_free[:, :, None] + eye6 * (1.0 - cam_free[:, :, None])
+        Uinv = jnp.linalg.inv(Udamped)
 
         def precond(v):
-            return jnp.linalg.solve(Udamped, v[..., None])[..., 0] * cam_free
+            return jnp.einsum("cab,cb->ca", Uinv, v) * cam_free
 
         # Preconditioned CG on S Δc = b, with an inexact-Newton forcing
         # tolerance: LM only needs the linear system solved to a fraction
