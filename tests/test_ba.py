@@ -149,3 +149,26 @@ def test_ba_monotonic_cost(rng):
         )
         costs.append(float(st.cost))
     assert all(b <= a + 1e-6 for a, b in zip(costs, costs[1:]))
+
+
+def test_observation_jacobians_match_jacfwd(rng):
+    """Closed-form per-camera Jacobian factorization == vmapped jacfwd."""
+    from tpu3d.ba.residuals import (
+        _observation_jacobians_jacfwd, observation_jacobians,
+    )
+
+    C, P, O = 7, 40, 200
+    cams = rng.normal(0, 0.5, (C, 6)).astype(np.float32)
+    pts = rng.normal(0, 1, (P, 3)).astype(np.float32)
+    pts[:, 2] += 5.0
+    ci = rng.integers(0, C, O).astype(np.int32)
+    pi = rng.integers(0, P, O).astype(np.int32)
+    uv = rng.normal(0, 0.2, (O, 2)).astype(np.float32)
+    w = (rng.uniform(size=O) > 0.2).astype(np.float32)
+    args = (jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci),
+            jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w))
+    r1, Jc1, Jp1 = observation_jacobians(*args)
+    r2, Jc2, Jp2 = _observation_jacobians_jacfwd(*args)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Jc1), np.asarray(Jc2), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Jp1), np.asarray(Jp2), rtol=1e-4, atol=1e-5)
