@@ -127,6 +127,7 @@ def main():
         },
         "stage_seconds": {k: round(v, 2) for k, v in timings.items()},
         "sfm_phase_seconds": P.LAST_SFM_TIMERS,
+        "match_phase_seconds": P.LAST_MATCH_TIMERS,
         "cold_pass_seconds": round(cold_total, 2),
         "warmup_compile_seconds": round(warmup_s, 1),
     }

@@ -355,6 +355,9 @@ def _match_one_pair(feats, i, j, cfg, key):
     return sel, idx0, idx1, uv0, uv1, n_raw, n_front, rel_R, rel_t
 
 
+LAST_MATCH_TIMERS: Dict[str, float] = {}
+
+
 def run_matching(
     feats: ExtractedFeatures,
     adj: Dict[int, List[int]],
@@ -378,8 +381,13 @@ def run_matching(
     if not adj or all(len(v) == 0 for v in adj.values()):
         adj = {i: ([i - 1] if i else []) + ([i + 1] if i + 1 < n_img else []) for i in range(n_img)}
     key, ckey = jax.random.split(key)
+    _t0 = time.time()
     cache = (_precompute_pair_cache(feats, adj, cfg, ckey, verbose=verbose)
              if cfg.matching.pair_batch > 1 else None)
+    LAST_MATCH_TIMERS.clear()
+    LAST_MATCH_TIMERS["gate_blocks"] = round(time.time() - _t0, 2)
+    LAST_MATCH_TIMERS["n_edges"] = len(cache) if cache else 0
+    _t0 = time.time()
     start = max(adj, key=lambda i: len(adj[i]))
     visited = {start}
     queue = [start]
@@ -451,6 +459,8 @@ def run_matching(
                 refs = [e.ref_img for e in edges]
                 print(f"[match] img {j} accepted: refs {refs} edges {sizes}", flush=True)
 
+    LAST_MATCH_TIMERS["bfs_consume"] = round(time.time() - _t0, 2)
+    _t0 = time.time()
     # Retry pass: images the BFS never reached (their early candidates
     # failed a gate) get one more attempt against every visited neighbor
     # with only the E-gate applied — the engine's PnP decides registration.
@@ -470,6 +480,7 @@ def run_matching(
             visited.add(vtx)
             if verbose:
                 print(f"[match] img {vtx} accepted on retry: refs {[e.ref_img for e in edges]}", flush=True)
+    LAST_MATCH_TIMERS["retry_pass"] = round(time.time() - _t0, 2)
     return accepted, ts
 
 
