@@ -42,6 +42,7 @@ def _build_config(args):
             global_ba_every=args.global_ba_every,
             global_ba_growth=getattr(args, "global_ba_growth", 1.12),
             local_window=getattr(args, "local_window", 25),
+            register_batch=getattr(args, "register_batch", 8),
         ),
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
@@ -398,6 +399,8 @@ def main(argv=None):
     p.add_argument("--global-ba-every", type=int, default=8)
     p.add_argument("--global-ba-growth", type=float, default=1.12,
                    help="min problem growth between global BAs (1 = every-N)")
+    p.add_argument("--register-batch", type=int, default=8,
+                   help="images per fused registration dispatch")
     p.add_argument("--local-window", type=int, default=25,
                    help="windowed-BA camera count between global BAs")
     p.add_argument("--epochs", type=int, default=1)
