@@ -68,7 +68,7 @@ def main():
                                cg_tol=cg_tol)
             jax.block_until_ready(st.cams)
             ts.append(time.time() - t0)
-        return min(ts), float(st.cost)
+        return min(ts), float(st.cost), int(st.n_iters)
 
     report = {"backend": jax.default_backend(),
               "shape": {"C": C, "P": P, "O": O}}
@@ -86,11 +86,12 @@ def main():
         t_down = time.time() - t0
         report["transfer"][f"{mb}MB"] = {
             "up_s": round(t_up, 3), "down_s": round(t_down, 3)}
-    t_full, cost_full = timed(20, 32)
-    t_tol, cost_tol = timed(20, 32, cg_tol=1e-3)
-    t_cg1, cost_cg1 = timed(20, 1)
-    t_it2, _ = timed(2, 32)
-    t_it1, _ = timed(1, 32)
+    t_full, cost_full, it_full = timed(20, 32)
+    t_tol, cost_tol, it_tol = timed(20, 32, cg_tol=1e-3)
+    t_cg1, cost_cg1, _ = timed(20, 1)
+    t_it2, _, _ = timed(2, 32)
+    t_it1, _, _ = timed(1, 32)
+    report["lm_iters"] = {"cg32": it_full, "cg32_tol1e3": it_tol}
     # max_iters differencing gives a clean per-LM-iteration cost; cg
     # differencing attributes it between the CG loop and jac/blocks.
     per_lm_iter = t_it2 - t_it1

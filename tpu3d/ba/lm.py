@@ -39,6 +39,7 @@ class BAState(NamedTuple):
     points: jnp.ndarray   # (P, 3)
     cost: jnp.ndarray     # scalar — final masked SSE
     lam: jnp.ndarray      # final damping
+    n_iters: jnp.ndarray = jnp.asarray(0)  # LM iterations actually run
 
 
 def ba_cost(cams, points, cam_idx, pt_idx, uv, w) -> jnp.ndarray:
@@ -256,9 +257,9 @@ def _bundle_adjust_body(
         stall = jnp.where(improved, 0, stall + 1)
         return (cams, points, lam, new_cost, it + 1, stall)
 
-    cams, points, lam, cost, _, _ = jax.lax.while_loop(
+    cams, points, lam, cost, n_it, _ = jax.lax.while_loop(
         _cond, _body,
         (cams0, points0, jnp.asarray(lam0, dtype), cost0,
          jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
     )
-    return BAState(cams, points, cost, lam)
+    return BAState(cams, points, cost, lam, n_it)
