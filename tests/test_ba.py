@@ -172,3 +172,20 @@ def test_observation_jacobians_match_jacfwd(rng):
     np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(Jc1), np.asarray(Jc2), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(Jp1), np.asarray(Jp2), rtol=1e-4, atol=1e-5)
+
+
+def test_ba_block_reuse_equivalent(rng):
+    """reuse_blocks=True (lax.cond rebuild only after accepted steps) must
+    be numerically identical to the always-rebuild path: a rejected step
+    leaves (cams, points) unchanged, so the cached blocks are exact."""
+    p = make_ba_problem(rng, perturb_cam=0.08, perturb_pt=0.15)
+    args = (jnp.asarray(p["cams0"]), jnp.asarray(p["X0"]),
+            jnp.asarray(p["cam_idx"]), jnp.asarray(p["pt_idx"]),
+            jnp.asarray(p["uv"]), jnp.asarray(p["w"]),
+            jnp.asarray(p["cam_fixed"]))
+    a = bundle_adjust(*args, max_iters=12, reuse_blocks=True)
+    b = bundle_adjust(*args, max_iters=12, reuse_blocks=False)
+    assert int(a.n_iters) == int(b.n_iters)
+    np.testing.assert_allclose(np.asarray(a.cams), np.asarray(b.cams), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.points), np.asarray(b.points), atol=1e-6)
+    np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-6)

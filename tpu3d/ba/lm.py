@@ -77,7 +77,8 @@ def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
     return inv / det[..., None, None]
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "cg_iters", "robust_delta", "pt_sorted"))
+@functools.partial(jax.jit, static_argnames=(
+    "max_iters", "cg_iters", "robust_delta", "pt_sorted", "reuse_blocks"))
 def bundle_adjust(
     cams0: jnp.ndarray,
     points0: jnp.ndarray,
@@ -94,6 +95,7 @@ def bundle_adjust(
     cg_tol: float = 1e-3,
     stall_tol: float = 1e-5,
     pt_sorted: bool = False,
+    reuse_blocks: bool = True,
 ) -> BAState:
     """Joint pose+structure refinement.
 
@@ -104,14 +106,14 @@ def bundle_adjust(
         return _bundle_adjust_body(
             cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
             max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
-            pt_sorted,
+            pt_sorted, reuse_blocks,
         )
 
 
 def _bundle_adjust_body(
     cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
     max_iters, cg_iters, lam0, robust_delta, cg_tol=1e-3, stall_tol=1e-5,
-    pt_sorted=False,
+    pt_sorted=False, reuse_blocks=False,
 ) -> BAState:
     C = cams0.shape[0]
     P = points0.shape[0]
@@ -126,8 +128,14 @@ def _bundle_adjust_body(
     obs_per_pt = _seg_sum(w, pt_idx, P, pt_sorted)
     pt_free = pt_free * (obs_per_pt > 0).astype(dtype)[:, None]
 
-    def lm_step(carry, _):
-        cams, points, lam, cost = carry
+    def compute_blocks(cams, points):
+        """Jacobian blocks + gradient of the (robustified) normal equations.
+
+        Depends only on (cams, points) — NOT on lambda — so a rejected LM
+        step can reuse the previous iteration's blocks (the state did not
+        move). Rebuilding these is the dominant per-iteration cost at global
+        BA shapes; the damping-dependent pieces (Vinv, Uinv) are cheap and
+        stay inside lm_step."""
         r, Jc, Jp = observation_jacobians(cams, points, cam_idx, pt_idx, uv, w)
         if robust_delta is not None:
             # Huber IRLS: reweight residual rows by sqrt(ψ(|r|)/|r|) so the
@@ -142,12 +150,16 @@ def _bundle_adjust_body(
         Jc_m = Jc * cam_free[cam_idx][:, None, :]
         Jp_m = Jp * pt_free[pt_idx][:, None, :]
 
-        # Blocks.
         Ucc = _seg_sum(jnp.einsum("oia,oib->oab", Jc_m, Jc_m), cam_idx, C)  # (C,6,6)
         Vpp = _seg_sum(jnp.einsum("oia,oib->oab", Jp_m, Jp_m), pt_idx, P, pt_sorted)   # (P,3,3)
         Wcp = jnp.einsum("oia,oib->oab", Jc_m, Jp_m)                        # (O,6,3)
         gc = _seg_sum(jnp.einsum("oia,oi->oa", Jc_m, r), cam_idx, C)        # (C,6)
         gp = _seg_sum(jnp.einsum("oia,oi->oa", Jp_m, r), pt_idx, P, pt_sorted)  # (P,3)
+        return (Ucc, Vpp, Wcp, gc, gp)
+
+    def lm_step(carry, blocks):
+        cams, points, lam, cost = carry
+        Ucc, Vpp, Wcp, gc, gp = blocks
 
         damp_c = lam * (jnp.einsum("caa->ca", Ucc) + 1e-8)                  # (C,6)
         Vinv = _spd_inv3(Vpp, lam * (jnp.einsum("paa->pa", Vpp).mean(-1) + 1e-8))
@@ -225,7 +237,7 @@ def _bundle_adjust_body(
         points = jnp.where(accept, new_points, points)
         lam = jnp.where(accept, jnp.maximum(lam / 3.0, 1e-9), jnp.minimum(lam * 4.0, 1e6))
         cost = jnp.where(accept, new_cost, cost)
-        return (cams, points, lam, cost), cost
+        return (cams, points, lam, cost), accept
 
     def _cost(cams, points):
         """Accept/reject on the robustified objective when IRLS is on —
@@ -247,19 +259,44 @@ def _bundle_adjust_body(
     # climbs). stall_tol is a traced operand, so mid-run (loose) and final
     # (tight) solves share one executable.
     def _cond(state):
-        _, _, _, _, it, stall = state
+        it, stall = state[4], state[5]
         return jnp.logical_and(it < max_iters, stall < 3)
 
+    # `stale` tracks whether the carried blocks still match (cams, points):
+    # an ACCEPTED step moves the state (blocks must rebuild next iteration);
+    # a REJECTED step leaves it unchanged (the blocks are still exact — only
+    # lambda moved, which lives outside the blocks). With `reuse_blocks` the
+    # rebuild happens under lax.cond, skipping the dominant per-iteration
+    # cost on rejected/lambda-climb iterations. vmapped call sites must pass
+    # reuse_blocks=False: vmap lowers cond to select, executing BOTH branches.
     def _body(state):
-        cams, points, lam, cost, it, stall = state
-        (cams, points, lam, new_cost), _ = lm_step((cams, points, lam, cost), None)
+        cams, points, lam, cost, it, stall, blocks, stale = state
+        if reuse_blocks:
+            blocks = jax.lax.cond(
+                stale,
+                lambda args: compute_blocks(*args),
+                lambda args: blocks,
+                (cams, points),
+            )
+        else:
+            blocks = compute_blocks(cams, points)
+        (cams, points, lam, new_cost), accepted = lm_step(
+            (cams, points, lam, cost), blocks)
         improved = new_cost < cost * (1.0 - stall_tol)
         stall = jnp.where(improved, 0, stall + 1)
-        return (cams, points, lam, new_cost, it + 1, stall)
+        return (cams, points, lam, new_cost, it + 1, stall, blocks, accepted)
 
-    cams, points, lam, cost, n_it, _ = jax.lax.while_loop(
+    if reuse_blocks:
+        blocks0 = compute_blocks(cams0, points0)
+    else:  # recomputed unconditionally in _body; carry zero placeholders
+        O = cam_idx.shape[0]
+        blocks0 = (jnp.zeros((C, 6, 6), dtype), jnp.zeros((P, 3, 3), dtype),
+                   jnp.zeros((O, 6, 3), dtype), jnp.zeros((C, 6), dtype),
+                   jnp.zeros((P, 3), dtype))
+    cams, points, lam, cost, n_it, _, _, _ = jax.lax.while_loop(
         _cond, _body,
         (cams0, points0, jnp.asarray(lam0, dtype), cost0,
-         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+         jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+         blocks0, jnp.asarray(False)),
     )
     return BAState(cams, points, cost, lam, n_it)
