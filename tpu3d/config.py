@@ -90,6 +90,10 @@ class MatchingConfig:
     # block size is purely a dispatch-count knob, so go big. 32 blocks of
     # 2048-kpt pairs peak ~270 MB of bf16 distance matrices.
     pair_batch: int = 32
+    # Last-chance pass for images the BFS + retry never reached: gate up to
+    # this many visited 2-hop view-graph neighbors per missing image
+    # (one extra batched dispatch). 0 disables.
+    rescue_candidates: int = 16
 
 
 @dataclasses.dataclass(frozen=True)

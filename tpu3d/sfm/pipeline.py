@@ -481,6 +481,54 @@ def run_matching(
             if verbose:
                 print(f"[match] img {vtx} accepted on retry: refs {[e.ref_img for e in edges]}", flush=True)
     LAST_MATCH_TIMERS["retry_pass"] = round(time.time() - _t0, 2)
+    _t0 = time.time()
+    # Last-chance 2-hop rescue: an image can stay unreached because its
+    # DIRECT retrieval neighbors are themselves unvisited or fail the
+    # E-gate, while a visited image two hops away in the view graph still
+    # overlaps it (the retrieval top-k is a lossy similarity snapshot).
+    # Gather visited 2-hop candidates for every still-missing image, gate
+    # them in one batched dispatch, and accept edges like the retry pass.
+    missing = [v_ for v_ in range(n_img) if v_ not in visited and not first]
+    if missing and cache is not None and cfg.matching.rescue_candidates > 0:
+        cand_map: Dict[int, List[int]] = {}
+        fresh_pairs = []
+        for vtx in missing:
+            direct = set(adj.get(vtx, []))
+            cands: List[int] = [w for w in adj.get(vtx, []) if w in visited]
+            for w in adj.get(vtx, []):
+                for w2 in adj.get(w, []):
+                    if (w2 != vtx and w2 in visited and w2 not in direct
+                            and w2 not in cands):
+                        cands.append(w2)
+            cands = cands[: cfg.matching.rescue_candidates]
+            cand_map[vtx] = cands
+            for w in cands:
+                e = (min(w, vtx), max(w, vtx))
+                if e not in cache:
+                    fresh_pairs.append(e)
+        if fresh_pairs:
+            _batch_match_pairs(feats, fresh_pairs, cfg, key, cache,
+                               verbose=False)
+        for vtx in missing:
+            edges = []
+            for w in cand_map[vtx]:
+                if len(edges) >= MAX_REFS:
+                    break
+                key, sub = jax.random.split(key)
+                sel2, i0b, i1b, u0b, u1b, _, nf2, rR2, rt2 = _match_pair_cached(
+                    feats, w, vtx, cfg, sub, cache)
+                if sel2 is not None and nf2 > cfg.matching.min_inliers:
+                    edges.append(make_edge(w, vtx, sel2, i0b, i1b, u0b, u1b,
+                                           rR2, rt2))
+            if edges:
+                accepted.append(ImageRegistration(img=vtx, edges=edges))
+                visited.add(vtx)
+                if verbose:
+                    print(f"[match] img {vtx} accepted on 2-hop rescue: "
+                          f"refs {[e.ref_img for e in edges]}", flush=True)
+    LAST_MATCH_TIMERS["rescue_2hop"] = round(time.time() - _t0, 2)
+    LAST_MATCH_TIMERS["unmatched"] = sorted(
+        v_ for v_ in range(n_img) if v_ not in visited)
     return accepted, ts
 
 
