@@ -62,6 +62,20 @@ def _extract(
     B, H, W = images.shape
     if images.dtype == jnp.uint8:  # uint8 upload path (4x less link traffic)
         images = images.astype(jnp.float32) / 255.0
+    # Full f32: the TPU default runs convs/matmuls in bf16 passes, which
+    # perturbs DoG extrema and descriptor histograms enough to measurably
+    # change match sets vs the CPU backend (TPU-extracted features
+    # registered 252/290 vs 276/290 for CPU-extracted on the same engine).
+    # The pyramid/descriptor compute is a trivial fraction of wall-clock.
+    with jax.default_matmul_precision("float32"):
+        return _extract_f32(images, max_keypoints, num_octaves,
+                            scales_per_octave, sigma0, contrast_threshold,
+                            edge_threshold, nms_radius)
+
+
+def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
+                 sigma0, contrast_threshold, edge_threshold, nms_radius):
+    B, H, W = images.shape
     S = scales_per_octave
     gauss, dogs = build_pyramid(images, num_octaves, S, sigma0)
 

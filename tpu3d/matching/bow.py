@@ -20,7 +20,8 @@ import jax.numpy as jnp
 def _assign(x: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
     """Nearest codeword per row of x. (N, D) x (K, D) -> (N,) int32."""
     # ||x - c||² = ||x||² - 2 x·c + ||c||²; ||x||² constant per row.
-    dots = jnp.dot(x, codebook.T, preferred_element_type=jnp.float32)
+    dots = jnp.dot(x, codebook.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     c2 = jnp.sum(codebook * codebook, axis=-1)
     return jnp.argmin(c2[None, :] - 2.0 * dots, axis=-1).astype(jnp.int32)
 
@@ -86,7 +87,8 @@ def topk_similar(tfidf: jnp.ndarray, top_k: int = 10) -> Tuple[jnp.ndarray, jnp.
     python loop (matching.py:52-59). Returns (idx (B, top_k), sim)."""
     norm = jnp.maximum(jnp.linalg.norm(tfidf, axis=-1, keepdims=True), 1e-9)
     x = tfidf / norm
-    sim = jnp.dot(x, x.T, preferred_element_type=jnp.float32)
+    sim = jnp.dot(x, x.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     sim = sim - 2.0 * jnp.eye(sim.shape[0], dtype=sim.dtype)  # exclude self
     vals, idx = jax.lax.top_k(sim, min(top_k, sim.shape[0] - 1))
     return idx.astype(jnp.int32), vals

@@ -35,7 +35,11 @@ def match_descriptors(
 
     d0: (K0, D), d1: (K1, D); valid masks gate padded slots. Slot i of the
     output corresponds to keypoint i of set 0 (fixed capacity K0)."""
-    sim = jnp.dot(d0, d1.T, preferred_element_type=jnp.float32)  # (K0, K1)
+    # HIGHEST: the TPU default computes the product in bf16 passes, whose
+    # ~0.4% relative error flips near-tie NN/ratio decisions between
+    # backends; the full-f32 product is ~1 GFLOP — free at this scale.
+    sim = jnp.dot(d0, d1.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)  # (K0, K1)
     neg = jnp.asarray(-2.0, sim.dtype)
     sim = jnp.where(valid0[:, None] > 0, sim, neg)
     sim = jnp.where(valid1[None, :] > 0, sim, neg)
