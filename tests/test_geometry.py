@@ -175,3 +175,22 @@ def test_refine_triangulation_gn(rng):
     dist = np.linalg.norm(np.asarray(X_gn_a - X_gn_b), axis=-1)
     init_dist = np.linalg.norm(np.asarray(noise), axis=-1)
     assert np.median(dist) < 0.1 * np.median(init_dist)
+
+
+def test_nullvec9_mgs_matches_eigh(rng):
+    """The MGS null vector of a random (8, 9) design matrix must match the
+    eigh-based smallest eigenvector of AtA (up to sign) — an 8x9 system
+    always has an exact one-dimensional null space."""
+    import jax.numpy as jnp
+    from tpu3d.geometry.epipolar import _nullvec9_mgs
+
+    A = jnp.asarray(rng.normal(0, 1, (64, 8, 9)).astype(np.float32))
+    v = np.asarray(_nullvec9_mgs(A))
+    # Exact null property: ||A v|| ~ 0.
+    res = np.linalg.norm(np.einsum("bij,bj->bi", np.asarray(A), v), axis=-1)
+    assert res.max() < 1e-4
+    AtA = np.einsum("bni,bnj->bij", np.asarray(A), np.asarray(A))
+    w_, V = np.linalg.eigh(AtA)
+    v_ref = V[..., :, 0]
+    dots = np.abs(np.sum(v * v_ref, -1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-3)

@@ -38,7 +38,34 @@ def _hartley_normalize(x: jnp.ndarray, w: jnp.ndarray):
     return xn, T
 
 
-def essential_eight_point(x0: jnp.ndarray, x1: jnp.ndarray, weights: jnp.ndarray | None = None) -> jnp.ndarray:
+def _nullvec9_mgs(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit null vector of a batched (..., 8, 9) design matrix.
+
+    Twice-iterated modified Gram–Schmidt on the rows, then the least-
+    represented coordinate direction of the orthogonal complement. Fully
+    unrolled vector arithmetic — on TPU this replaces a batched 9x9
+    Jacobi eigensolve (the dominant cost of hypothesis batches; XLA's
+    small-matrix eigh runs as a serial rotation loop). A rank-deficient
+    (degenerate) sample yields a garbage vector that simply scores zero
+    inliers downstream, exactly like eigh's noise vector would."""
+    qs = []
+    for k in range(A.shape[-2]):
+        r = A[..., k, :]
+        for _ in range(2):  # second MGS pass stabilizes f32
+            for q in qs:
+                r = r - jnp.sum(r * q, -1, keepdims=True) * q
+        n = jnp.linalg.norm(r, axis=-1, keepdims=True)
+        qs.append(r / jnp.maximum(n, 1e-12))
+    Q = jnp.stack(qs, -2)                                        # (..., 8, 9)
+    P = jnp.eye(9, dtype=A.dtype) - jnp.einsum("...ki,...kj->...ij", Q, Q)
+    norms = jnp.linalg.norm(P, axis=-2)                          # (..., 9)
+    j = jnp.argmax(norms, -1)
+    v = jnp.take_along_axis(P, j[..., None, None], axis=-1)[..., 0]
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+
+
+def essential_eight_point(x0: jnp.ndarray, x1: jnp.ndarray, weights: jnp.ndarray | None = None,
+                          project: bool = True) -> jnp.ndarray:
     """Normalized 8-point essential matrix from focal-normalized correspondences.
 
     x0, x1: (..., N, 2) with N >= 8 (already divided by focal — i.e. in the
@@ -63,18 +90,33 @@ def essential_eight_point(x0: jnp.ndarray, x1: jnp.ndarray, weights: jnp.ndarray
     # eigh noise (absolute eigensolver error scales with the matrix norm).
     wsum = jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1.0)
     A = A * (weights / jnp.sqrt(wsum))[..., None]
-    # Smallest right singular vector of A == smallest eigvec of AᵀA (9x9).
-    AtA = jnp.einsum("...ni,...nj->...ij", A, A)
-    _, V = jnp.linalg.eigh(AtA)
-    f = V[..., :, 0]  # eigenvector of smallest eigenvalue
+    if A.shape[-2] == 8:
+        # Minimal sample: exact one-dimensional null space — MGS instead
+        # of eigh (see _nullvec9_mgs; this is the RANSAC hypothesis path,
+        # hundreds of solves per candidate pair).
+        f = _nullvec9_mgs(A)
+    else:
+        # Overdetermined fit: smallest eigvec of AᵀA (9x9).
+        AtA = jnp.einsum("...ni,...nj->...ij", A, A)
+        _, V = jnp.linalg.eigh(AtA)
+        f = V[..., :, 0]  # eigenvector of smallest eigenvalue
     F = f.reshape(*f.shape[:-1], 3, 3)
     # Denormalize: F = T1ᵀ F T0
     F = jnp.swapaxes(T1, -1, -2) @ F @ T0
-    # Project onto essential manifold: singular values -> (1, 1, 0).
+    if not project:
+        # Hypothesis scoring can use the rank-unconstrained F directly
+        # (Sampson consensus is insensitive to the manifold projection);
+        # the caller projects only the winning model — this removes a
+        # batched 3x3 SVD per hypothesis.
+        return F
+    return project_to_essential(F)
+
+
+def project_to_essential(F: jnp.ndarray) -> jnp.ndarray:
+    """Nearest essential matrix: singular values -> (1, 1, 0)."""
     U, S, Vt = jnp.linalg.svd(F)
     d = jnp.ones_like(S).at[..., 2].set(0.0)
-    E = U @ (d[..., :, None] * Vt)
-    return E
+    return U @ (d[..., :, None] * Vt)
 
 
 def epipolar_residual(E: jnp.ndarray, x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:

@@ -12,7 +12,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from tpu3d.geometry.epipolar import essential_eight_point, sampson_error
+from tpu3d.geometry.epipolar import (essential_eight_point,
+                                     project_to_essential, sampson_error)
 from tpu3d.geometry.pose import recover_pose
 from tpu3d.geometry.ransac import ransac
 
@@ -50,7 +51,10 @@ def find_essential_ransac(
         thr_sq = (threshold_px / focal) ** 2
 
         def solver(idx):
-            return essential_eight_point(x0[idx], x1[idx])
+            # project=False: hypotheses are scored on the unconstrained F
+            # (saves a batched 3x3 SVD per hypothesis); only the final
+            # winner is projected to the essential manifold below.
+            return essential_eight_point(x0[idx], x1[idx], project=False)
 
         def scorer(E):
             return sampson_error(E, x0, x1)
@@ -82,5 +86,21 @@ def find_essential_ransac(
         better3 = jnp.sum(inliers3) >= count
         E = jnp.where(better3, E3, E)
         inliers = jnp.where(better3, inliers3, inliers)
+        # The winning minimal/LO model is an unprojected F — project it to
+        # the essential manifold once and refresh its consensus set so the
+        # returned (E, inliers) pair is self-consistent.
+        E = project_to_essential(E)
+        errp = sampson_error(E, x0, x1)
+        inliers = (errp < thr_sq) & (valid > 0)
+        count = jnp.sum(inliers)
+        # One more guarded LS polish on the projected winner's consensus:
+        # recovers the slight accuracy the unprojected hypothesis scoring
+        # gives up, at the cost of a single 9x9 eigensolve per pair.
+        E4 = essential_eight_point(x0, x1, inliers.astype(x0.dtype))
+        err4 = sampson_error(E4, x0, x1)
+        inliers4 = (err4 < thr_sq) & (valid > 0)
+        better4 = jnp.sum(inliers4) >= count
+        E = jnp.where(better4, E4, E)
+        inliers = jnp.where(better4, inliers4, inliers)
         R, t, front = recover_pose(E, x0, x1, inliers.astype(x0.dtype))
         return EssentialResult(E, R, t, inliers, front & inliers, jnp.sum(inliers))
