@@ -62,13 +62,40 @@ def _constraints(E: jnp.ndarray) -> jnp.ndarray:
 
 
 def _nullspace_basis(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
-    """(5, 2) correspondences -> (4, 3, 3) basis spanning the E nullspace."""
+    """(5, 2) correspondences -> (4, 3, 3) basis spanning the E nullspace.
+
+    The (5, 9) design matrix has an EXACT 4-dimensional null space, so the
+    basis comes from unrolled Gram–Schmidt instead of a 9x9 eigensolve
+    (XLA's small eigh is a serial Jacobi loop — the hypothesis path runs
+    hundreds of these per candidate pair): orthonormalize the 5 rows, form
+    the orthogonal-complement projector, and orthonormalize its 4 most
+    independent columns. Any orthonormal null basis is equally valid — the
+    solver parametrizes E over the span, and the z-degree bound (Nistér)
+    is basis-independent. A degenerate (rank<5) sample yields a bogus
+    basis whose models score no inliers, as with eigh."""
     u0, v0 = x0[:, 0], x0[:, 1]
     u1, v1 = x1[:, 0], x1[:, 1]
     ones = jnp.ones_like(u0)
     Q = jnp.stack([u1 * u0, u1 * v0, u1, v1 * u0, v1 * v0, v1, u0, v0, ones], axis=-1)
-    _, V = jnp.linalg.eigh(Q.T @ Q)
-    return V[:, :4].T.reshape(4, 3, 3)  # 4 smallest eigvecs
+    qs = []
+    for k in range(5):
+        r = Q[k]
+        for _ in range(2):
+            for q in qs:
+                r = r - jnp.sum(r * q) * q
+        qs.append(r / jnp.maximum(jnp.linalg.norm(r), 1e-12))
+    Qo = jnp.stack(qs)                                   # (5, 9)
+    P = jnp.eye(9, dtype=Q.dtype) - Qo.T @ Qo            # (9, 9) projector
+    order = jnp.argsort(-jnp.linalg.norm(P, axis=0))     # most independent first
+    cols = P.T[order]                                    # (9, 9) rows = candidate basis
+    basis = []
+    for k in range(4):
+        r = cols[k]
+        for _ in range(2):
+            for q in basis:
+                r = r - jnp.sum(r * q) * q
+        basis.append(r / jnp.maximum(jnp.linalg.norm(r), 1e-12))
+    return jnp.stack(basis).reshape(4, 3, 3)
 
 
 def _M_of_z(basis: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
@@ -182,11 +209,20 @@ def essential_five_point(x0: jnp.ndarray, x1: jnp.ndarray) -> Tuple[jnp.ndarray,
     (lo, hi, _), _ = jax.lax.scan(bis, (lo, hi, d_lo), None, length=BISECT_ITERS)
     roots = jnp.tan(0.5 * (lo + hi))           # (MAX_ROOTS,) back to z
 
-    # 3. per root: nullvector of M(z) -> (x, y); build E
+    # 3. per root: nullvector of M(z) -> (x, y); build E. At a root M is
+    # rank-9, so the smallest eigenvector of MᵀM is isolated — 3 rounds of
+    # Cholesky inverse iteration on the regularized normal matrix converge
+    # to it for a fraction of the cost of a batched 10x10 eigh (XLA lowers
+    # small eigh to a serial Jacobi loop; Cholesky+triangular solves are
+    # straight-line batched arithmetic).
     M = _M_of_z(basis, roots)                  # (MAX_ROOTS, 10, 10)
     MtM = jnp.swapaxes(M, -1, -2) @ M
-    _, V = jnp.linalg.eigh(MtM)
-    v = V[..., :, 0]                           # (MAX_ROOTS, 10)
+    eps = 1e-7 * jnp.trace(MtM, axis1=-2, axis2=-1)[..., None, None] + 1e-30
+    L = jnp.linalg.cholesky(MtM + eps * jnp.eye(10, dtype=MtM.dtype))
+    v = jnp.ones((M.shape[0], 10), MtM.dtype) / jnp.sqrt(10.0)
+    for _ in range(3):
+        v = jax.scipy.linalg.cho_solve((L, True), v[..., None])[..., 0]
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
     w = v[..., 9]
     w_safe = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
     x = v[..., 7] / w_safe
