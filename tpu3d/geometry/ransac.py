@@ -24,8 +24,21 @@ def _sample_indices(key, valid: jnp.ndarray, num_hypotheses: int, sample_size: i
     n = valid.shape[0]
     g = jax.random.gumbel(key, (num_hypotheses, n))
     g = jnp.where(valid[None, :] > 0, g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, sample_size)
-    return idx
+    if jax.default_backend() == "cpu":
+        # LAPACK-style partial sort is fast on CPU.
+        _, idx = jax.lax.top_k(g, sample_size)
+        return idx
+    # On TPU lax.top_k over a (M, 2048) operand lowers to a full sort;
+    # s<=8 vectorized argmax sweeps are pure VPU work (the iota/compare
+    # mask avoids a scatter). Both paths select the SAME indices in the
+    # same (descending-gumbel) order.
+    cols = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    idxs = []
+    for _ in range(sample_size):
+        j = jnp.argmax(g, axis=-1)
+        idxs.append(j)
+        g = jnp.where(cols == j[:, None], -jnp.inf, g)
+    return jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
 def ransac(
