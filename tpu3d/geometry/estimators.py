@@ -51,10 +51,14 @@ def find_essential_ransac(
         thr_sq = (threshold_px / focal) ** 2
 
         def solver(idx):
-            # project=False: hypotheses are scored on the unconstrained F
-            # (saves a batched 3x3 SVD per hypothesis); only the final
-            # winner is projected to the essential manifold below.
-            return essential_eight_point(x0[idx], x1[idx], project=False)
+            # Hypotheses ARE projected to the essential manifold before
+            # scoring. Scoring the unconstrained F looked like a free 3x3-
+            # SVD saving but is UNSAFE: a noisy minimal sample's F can win
+            # the consensus vote while sitting far from the manifold, and
+            # the post-hoc projection then destroys its inlier set
+            # (observed: adjacent real frames with 179 raw matches gating
+            # to front=0). Winner selection must happen on the manifold.
+            return essential_eight_point(x0[idx], x1[idx])
 
         def scorer(E):
             return sampson_error(E, x0, x1)
