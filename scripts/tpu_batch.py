@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--coarse-epochs", type=int, default=0)
     ap.add_argument("--ba-bench", action="store_true",
                     help="run benchmarks/ba_bench.py first (BA solver + transfer probe)")
+    ap.add_argument("--match-probe", action="store_true",
+                    help="run benchmarks/match_block_probe.py first")
     ap.add_argument("--tv", default="",
                     help="extra plenoxel run with 'sigma,sh' TV weights")
     args = ap.parse_args()
@@ -55,6 +57,12 @@ def main():
 
         sys.argv = ["ba_bench"]
         importlib.import_module("benchmarks.ba_bench").main()
+    if args.match_probe:
+        stamp("match_block_probe")
+        import importlib
+
+        sys.argv = ["match_block_probe"]
+        importlib.import_module("benchmarks.match_block_probe").main()
     if args.bench:
         stamp("bench.py")
         import bench
