@@ -251,6 +251,15 @@ def cmd_densify(args):
     store.save("mesh_grid", grid=mg,
                min_bound=np.asarray(grid.min_bound),
                max_bound=np.asarray(grid.max_bound))
+    # Render/eval provenance for `cli render`: the exact sampling band +
+    # semantics this grid was evaluated with (the SDF band replace above
+    # must be captured — rendering an SDF grid with the scene band measures
+    # band mismatch, not quality).
+    store.save_json("dense_meta", {
+        "model": args.model, "near": float(dcfg.near), "far": float(dcfg.far),
+        "num_samples": int(dcfg.num_samples),
+        "per_ray_aabb": bool(dcfg.per_ray_aabb), "downscale": int(ds),
+    })
     out = {"final_loss": losses[-1] if losses else None,
            "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
     if len(test_idx):
@@ -351,6 +360,96 @@ def cmd_mesh(args):
                       "iso": round(iso, 4), "path": out}))
 
 
+def cmd_render(args):
+    """Render registered views and/or a novel-view orbit from the trained
+    dense grid to PNGs — the reference's test protocol (plenoxel.py:46-61,
+    134-135 renders train views 0/60/120/180 to Imgs/img_i.png), plus a
+    trajectory-interpolated flythrough the reference has no equivalent of."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tpu3d.dense.eval import interpolate_poses, render_view
+    from tpu3d.dense.grid import VoxelGrid
+    from tpu3d.dense.train import auto_near_far, normalize_scene
+    from tpu3d.io.artifacts import ArtifactStore
+
+    cfg = _build_config(args)
+    store = ArtifactStore(args.artifacts)
+    rec = store.load("reconstruction")
+    if rec is None:
+        print("no reconstruction artifact — run `reconstruct` first", file=sys.stderr)
+        sys.exit(1)
+    d = store.load("dense_grid")
+    dc_only = False
+    if d is None:
+        # Fall back to the compact mesh grid (density + SH DC): renders are
+        # view-independent DC color, but always available after densify.
+        m = store.load("mesh_grid")
+        if m is None:
+            print("no dense_grid/mesh_grid artifact — run `densify` first", file=sys.stderr)
+            sys.exit(1)
+        g = np.zeros((*m["grid"].shape[:3], 28), np.float32)
+        for src, dst in [(0, 0), (1, 1), (2, 10), (3, 19)]:
+            g[..., dst] = m["grid"][..., src].astype(np.float32)
+        d = {"grid": g, "min_bound": m["min_bound"], "max_bound": m["max_bound"]}
+        dc_only = True
+    grid = VoxelGrid(jnp.asarray(d["grid"], jnp.float32),
+                     jnp.asarray(d["min_bound"], jnp.float32),
+                     jnp.asarray(d["max_bound"], jnp.float32))
+    meta = store.load_json("dense_meta") or {}
+    rmeta = store.load_json("reconstruction_meta") or {}
+    fmeta = store.load_json("features_meta") or {}
+    norm = normalize_scene(rec["points"])
+    ds = int(meta.get("downscale") or
+             (fmeta or rmeta or {}).get("downscale", 1) * args.dense_downscale)
+    focal = args.focal / ds
+    name0 = rmeta.get("registered_names", [None])[0]
+    if name0 is None:
+        print("reconstruction_meta lacks registered_names", file=sys.stderr)
+        sys.exit(1)
+    with Image.open(os.path.join(args.images, name0)) as im:
+        W, H = im.width // ds, im.height // ds
+    if meta:
+        near, far = float(meta["near"]), float(meta["far"])
+    else:
+        near, far = auto_near_far(rec["cams"], rec["points"], norm)
+    dcfg = dataclasses.replace(
+        cfg.dense, near=near, far=far,
+        num_samples=int(meta.get("num_samples", cfg.dense.num_samples)),
+        per_ray_aabb=bool(meta.get("per_ray_aabb", cfg.dense.per_ray_aabb)))
+    out_dir = args.out or os.path.join(args.artifacts, "renders")
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = time.time()
+    cams = rec["cams"]
+    written = []
+
+    def save(img, name):
+        path = os.path.join(out_dir, name)
+        Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+        written.append(name)
+
+    if args.render_views:
+        for v in [int(s) for s in args.render_views.split(",") if s.strip()]:
+            if not 0 <= v < len(cams):
+                print(f"view {v} out of range (registered: {len(cams)})",
+                      file=sys.stderr)
+                continue
+            img = render_view(grid, cams[v], H, W, focal, dcfg, norm,
+                              stride=args.render_stride)
+            save(img, f"view_{v:04d}.png")
+    if args.orbit > 0:
+        for k, cam in enumerate(interpolate_poses(cams, args.orbit)):
+            img = render_view(grid, cam, H, W, focal, dcfg, norm,
+                              stride=args.render_stride)
+            save(img, f"orbit_{k:04d}.png")
+    print(json.dumps({
+        "frames": len(written), "out": out_dir, "hw": [H, W],
+        "dc_only_colors": dc_only, "seconds": round(time.time() - t0, 1),
+    }))
+
+
 def cmd_export(args):
     """Write the reference pipeline's exact output/ file protocol (SURVEY
     §1) from saved artifacts, so tools built against the reference
@@ -385,7 +484,7 @@ def cmd_full(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpu3d", description="TPU-native incremental SfM + dense reconstruction")
-    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full", "export", "mesh"])
+    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full", "export", "mesh", "render"])
     p.add_argument("--images", required=True)
     p.add_argument("--artifacts", default="artifacts")
     p.add_argument("--downscale", type=int, default=1)
@@ -440,6 +539,15 @@ def main(argv=None):
                    help="resume dense training from the saved checkpoint")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="skip grid/optimizer checkpoint downloads (minutes per epoch on the remote tunnel)")
+    p.add_argument("--render-views", default="0,60,120,180",
+                   help="render: comma-separated registered-view indices "
+                        "(the reference's plenoxel.py:134-135 test views); "
+                        "'' to skip")
+    p.add_argument("--orbit", type=int, default=0,
+                   help="render: also render N novel views interpolated "
+                        "along the registered trajectory")
+    p.add_argument("--render-stride", type=int, default=1,
+                   help="render: pixel stride (2 = half resolution)")
     p.add_argument("--ply", default="")
     p.add_argument("--out", default="",
                    help="export: destination dir (default ARTIFACTS/output)")
@@ -489,6 +597,7 @@ def main(argv=None):
         "full": cmd_full,
         "export": cmd_export,
         "mesh": cmd_mesh,
+        "render": cmd_render,
     }[args.command]
     if args.xprof:
         import jax

@@ -86,6 +86,36 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
     }
 
 
+def interpolate_poses(cams: np.ndarray, n_frames: int) -> np.ndarray:
+    """Smooth novel-view flythrough along the registered trajectory:
+    piecewise slerp of the world-to-camera rotations + lerp of the camera
+    CENTERS (interpolating t directly would swing the center on an arc),
+    sampled at uniform arc length over the center polyline. cams is (M, 6)
+    [rvec, t] in registration order; returns (n_frames, 6)."""
+    from tpu3d.core import lie
+
+    cams = np.asarray(cams, np.float64)
+    M = len(cams)
+    if M == 1 or n_frames < 1:
+        return np.repeat(cams[:1], max(n_frames, 1), axis=0)
+    Rs = np.stack([lie.so3_exp_np(c[:3]) for c in cams])
+    Cs = np.stack([-R.T @ c[3:6] for R, c in zip(Rs, cams)])
+    seg = np.linalg.norm(np.diff(Cs, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1] if cum[-1] > 0 else 1.0
+    out = []
+    k = 0
+    for s in np.linspace(0.0, total, n_frames):
+        while k < M - 2 and cum[k + 1] < s:
+            k += 1
+        a = float(np.clip((s - cum[k]) / max(cum[k + 1] - cum[k], 1e-12), 0.0, 1.0))
+        w = lie.so3_log_np(Rs[k + 1] @ Rs[k].T)
+        R = lie.so3_exp_np(a * w) @ Rs[k]
+        c = (1.0 - a) * Cs[k] + a * Cs[k + 1]
+        out.append(np.concatenate([lie.so3_log_np(R), -R @ c]))
+    return np.stack(out)
+
+
 def dataset_from_views(cams: np.ndarray, images_rgb: np.ndarray, focal: float,
                        view_idx: np.ndarray,
                        norm: Optional[SceneNormalization] = None,
