@@ -106,14 +106,19 @@ def run_extraction(
     # uint8 image upload + ONE keypoint download for color sampling (every
     # additional device->host fetch is a costly round trip on a remote
     # backend). Everything else is fetched in bulk after the loop.
+    # Dispatch depth 2: the per-batch keypoint fetch blocks the host a full
+    # tunnel round trip, so keep two extract executions queued ahead before
+    # draining — the device computes batch k+1/k+2 while batch k's keypoints
+    # cross the link and its colors sample on the host.
+    from collections import deque
+
     kps_px, descs, valids_dev, colors, kps_dev, sizes_dev = [], [], [], [], [], []
-    for bi, s in enumerate(starts):
-        chunk, gray_u8, rgb = futures.pop(s).result()
-        if bi + 2 < len(starts):
-            futures[starts[bi + 2]] = pool.submit(load_batch, starts[bi + 2])
-        # Upload as uint8 (4x less host-link traffic); the extractor
-        # normalizes on device.
-        fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
+    n_done = 0
+    pending = deque()
+
+    def drain_one():
+        nonlocal n_done
+        chunk, rgb, fs = pending.popleft()
         n = len(chunk)
         kp_px = np.asarray(fs.keypoints_px[:n])   # single per-batch download
         cols = sample_colors(rgb[..., ::-1][:n], kp_px)  # BGR like cv2
@@ -123,8 +128,22 @@ def run_extraction(
         descs.append(fs.descriptors[:n])
         valids_dev.append(fs.valid[:n])
         sizes_dev.append(fs.image_size[:n])
+        n_done += n
         if verbose:
-            print(f"[extract] {s + n}/{len(names)} images", flush=True)
+            print(f"[extract] {n_done}/{len(names)} images", flush=True)
+
+    for bi, s in enumerate(starts):
+        chunk, gray_u8, rgb = futures.pop(s).result()
+        if bi + 2 < len(starts):
+            futures[starts[bi + 2]] = pool.submit(load_batch, starts[bi + 2])
+        # Upload as uint8 (4x less host-link traffic); the extractor
+        # normalizes on device.
+        fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
+        pending.append((chunk, rgb, fs))
+        if len(pending) > 2:
+            drain_one()
+    while pending:
+        drain_one()
     pool.shutdown(wait=False)
     valid_dev = jnp.concatenate(valids_dev)
     keypoints_dev = jnp.concatenate(kps_dev)
