@@ -114,6 +114,10 @@ def cmd_match(args):
     save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
     n_edges = sum(len(r.edges) for r in regs)
     print(f"matched {len(regs)} images / {n_edges} edges in {time.time() - t0:.1f}s")
+    from tpu3d.sfm.pipeline import LAST_MATCH_TIMERS
+
+    if LAST_MATCH_TIMERS:
+        print(f"match timers: {LAST_MATCH_TIMERS}")
 
 
 def _rescale_cfg(cfg, meta, args):
