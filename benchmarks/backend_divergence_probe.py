@@ -46,13 +46,16 @@ def main():
     K = kp.shape[1]
     n_img = kp.shape[0]
     loaded = load_matches(args.artifacts, n_img, K, 400000)
+    if loaded is None:
+        print("no saved matches — run `match` first", file=sys.stderr)
+        sys.exit(1)
     regs = loaded[0]
     # Take the first N accepted primary edges with >=200 correspondences.
     rows = []
     CAP = 2048
     for reg in regs:
         e = reg.edges[0]
-        m = len(e.idx_new)
+        m = min(len(e.idx_new), CAP)
         if m < 200:
             continue
         uv0 = np.zeros((CAP, 2), np.float32)
@@ -83,7 +86,7 @@ def main():
     # fake depth-1 cloud and re-solve PnP; counts expose sampling/polish
     # divergence without needing a reconstruction.
     rng = np.random.default_rng(0)
-    for img, ref, uv0, uv1, v, m in rows[: max(4, args.pairs // 4)]:
+    for trial, (img, ref, uv0, uv1, v, m) in enumerate(rows[: max(4, args.pairs // 4)]):
         n = 512
         X = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
         X[:, 2] += 4.0
@@ -103,7 +106,8 @@ def main():
                                  (1.0 / focal) ** 2,
                                  num_hypotheses=256)
         ang = np.degrees(np.arccos(np.clip((np.trace(np.asarray(Rr) @ R.T) - 1) / 2, -1, 1)))
-        report["pnp"].append({"pair": [int(ref), int(img)],
+        # synthetic points/poses — label by trial, not the unrelated pair ids
+        report["pnp"].append({"trial": trial,
                               "inliers": int(n_inl),
                               "rot_err_deg": round(float(ang), 4),
                               "t_err": round(float(np.linalg.norm(np.asarray(tr) - tv)), 5)})

@@ -77,6 +77,37 @@ def test_export_reference_layout(fake_artifacts, tmp_path):
     assert ply.startswith("ply\nformat ascii 1.0")
 
 
+def test_export_codebook_reference_retrieval_roundtrip(fake_artifacts, tmp_path):
+    """The exported bow_codebook.plk must satisfy the reference matching.py's
+    consumer: joblib load of a (k, codebook) tuple (matching.py:16) and the
+    vq + tf-idf retrieval math on the exported descriptors (matching.py:26-45)."""
+    joblib = pytest.importorskip("joblib")
+    from scipy.cluster.vq import vq
+
+    out = str(tmp_path / "output")
+    written = export_reference_layout(fake_artifacts, out)
+    # 4 imgs x (8..11) valid kpts = 38 descriptors < 200 -> k clamps
+    assert written.get("bow_codebook.plk") == 38
+
+    k, codebook = joblib.load(os.path.join(out, "bow_codebook.plk"))
+    assert k == 38 and codebook.shape == (38, 128)
+    assert np.isfinite(codebook).all()
+
+    # the reference's retrieval loop on the exported ragged descriptors
+    descs = np.load(os.path.join(out, "all_descriptors.npy"), allow_pickle=True)
+    n = len(descs)
+    tf = np.zeros((n, k))
+    for i in range(n):
+        words, _ = vq(descs[i].astype(np.float64), codebook.astype(np.float64))
+        for w in words:
+            tf[i, w] += 1
+    df = (tf > 0).sum(axis=0)
+    idf = np.log(n / np.maximum(df, 1))
+    vecs = tf * idf
+    norms = np.linalg.norm(vecs, axis=1)
+    assert (norms > 0).all()  # every image lands on some codewords
+
+
 def test_export_real_artifacts_roundtrip(tmp_path):
     """End-to-end on the committed small verify artifacts when present."""
     src = "/tmp/v"

@@ -60,6 +60,27 @@ def export_reference_layout(artifact_dir: str, out_dir: str) -> dict:
     np.save(os.path.join(out_dir, "img_size.npy"), feats["image_size"])
     written["all_points/descriptors/colors, img_size"] = int(valid.sum())
 
+    # BoW codebook in the reference's exact (k, codebook) joblib layout
+    # (bow.py:25) — its matching.py loads this with joblib at line 16. Built
+    # here from the exported descriptors with the on-device kmeans.
+    try:
+        import jax
+        import jax.numpy as jnp
+        import joblib
+
+        from tpu3d.matching.bow import build_codebook
+
+        # ref bow.py:7 uses k=200; clamp to the descriptor count so tiny
+        # exports (tests, subsets) stay valid — kmeans needs k <= n points.
+        k = min(200, int(valid.sum()))
+        codebook = np.asarray(build_codebook(
+            jax.random.PRNGKey(0), jnp.asarray(feats["descriptors"]),
+            jnp.asarray(valid), k=k))
+        joblib.dump((k, codebook), os.path.join(out_dir, "bow_codebook.plk"))
+        written["bow_codebook.plk"] = k
+    except ImportError:
+        pass  # joblib absent: every numpy/txt artifact above is still valid
+
     regs = _load_regs(artifact_dir, len(names), feats["keypoints"].shape[1])
     if regs is not None:
         img_pairs = []

@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import itertools
+import os
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -52,6 +54,15 @@ EDGE_CAP = 2048   # max inlier matches per edge (= keypoint budget)
 BA_CAP_P = 4096   # max points in the local BA
 BA_CAP_O = 8192   # max observations in the local BA
 MAX_REFS = 3      # reference views per image
+
+# Backend-divergence forensics: when TPU3D_DUMP_REGISTER names a directory,
+# every fused register step's device inputs + fetched outputs are saved so
+# benchmarks/register_replay_probe.py can replay the IDENTICAL inputs on
+# another backend and diff the PnP/triangulation gate decisions per call
+# (the registration chain is sequential, so live CPU-vs-TPU runs diverge
+# after the first flipped gate and stop being comparable).
+_DUMP_DIR = os.environ.get("TPU3D_DUMP_REGISTER", "")
+_dump_seq = itertools.count()
 
 
 @dataclasses.dataclass
@@ -588,6 +599,18 @@ class IncrementalSfM:
         info = prep["info"]
         j = prep["img"]
         edges = prep["edges"]
+        if _DUMP_DIR and prep["status"] == "device" and out is not None:
+            os.makedirs(_DUMP_DIR, exist_ok=True)
+            Xk, uvk, wk, tri0, tri1, tri2 = prep["inputs"]
+            np.savez_compressed(
+                os.path.join(_DUMP_DIR, f"reg_{next(_dump_seq):05d}.npz"),
+                img=j, key=np.asarray(prep["key"]), Xk=Xk, uvk=uvk, wk=wk,
+                tri0=tri0, tri1=tri1, tri2=tri2,
+                pnp_thr=prep["pnp_thr"], focal=self.focal,
+                tri_thr_px=cfg.ransac.threshold_px * 2.0,
+                nhyp=cfg.ransac.num_hypotheses // 2,
+                cam=np.asarray(out[0]), cnt=int(out[1]),
+                good_per_edge=np.asarray(out[3]).sum(axis=-1))
         if prep["status"] == "reject":
             return info
         fused = None

@@ -140,7 +140,7 @@ def run_extraction(
         # normalizes on device.
         fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
         pending.append((chunk, rgb, fs))
-        if len(pending) > 2:
+        if len(pending) >= 2:
             drain_one()
     while pending:
         drain_one()
