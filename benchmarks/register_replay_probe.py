@@ -32,8 +32,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--out", default="")
-    ap.add_argument("--batch", type=int, default=8,
-                    help="also replay through the vmapped batch path")
+    ap.add_argument("--both", action="store_true",
+                    help="run each record on BOTH the default backend and the "
+                         "in-process CPU backend and diff them directly "
+                         "(ignores the recorded outputs — measures the "
+                         "CURRENT code's backend divergence)")
     args = ap.parse_args()
 
     import jax
@@ -53,7 +56,22 @@ def main():
         files = files[: args.limit]
 
     backend = jax.default_backend()
+    cpu_dev = None
+    if args.both:
+        cpu_dev = jax.local_devices(backend="cpu")[0]
+        backend = f"{backend}-vs-cpu"
     print(f"replaying {len(files)} register steps on backend={backend}")
+
+    def run_step(z, device=None):
+        def put(a):
+            a = jnp.asarray(a)
+            return jax.device_put(a, device) if device is not None else a
+        return _register_step(
+            put(z["key"]), put(z["Xk"]), put(z["uvk"]), put(z["wk"]),
+            float(z["pnp_thr"]), put(z["tri0"]), put(z["tri1"]), put(z["tri2"]),
+            float(z["focal"]), float(z["tri_thr_px"]),
+            num_hypotheses=int(z["nhyp"]),
+        )
 
     records = []
     n_cnt_flips = 0     # PnP accept-gate flips at the engine's min_pnp_inliers
@@ -61,19 +79,19 @@ def main():
     n_pose_div = 0      # rotation diff > 1 deg on accepted poses
     for fi, path in enumerate(files):
         z = np.load(path)
-        cam, cnt, X_all, good_all = _register_step(
-            jnp.asarray(z["key"]), jnp.asarray(z["Xk"]), jnp.asarray(z["uvk"]),
-            jnp.asarray(z["wk"]), float(z["pnp_thr"]),
-            jnp.asarray(z["tri0"]), jnp.asarray(z["tri1"]), jnp.asarray(z["tri2"]),
-            float(z["focal"]), float(z["tri_thr_px"]),
-            num_hypotheses=int(z["nhyp"]),
-        )
+        cam, cnt, X_all, good_all = run_step(z)
         cam = np.asarray(cam)
         cnt = int(cnt)
         good = np.asarray(good_all).sum(axis=-1)
-        ref_cnt = int(z["cnt"])
-        ref_cam = np.asarray(z["cam"])
-        ref_good = np.asarray(z["good_per_edge"])
+        if cpu_dev is not None:
+            ccam, ccnt, _, cgood = run_step(z, device=cpu_dev)
+            ref_cnt = int(ccnt)
+            ref_cam = np.asarray(ccam)
+            ref_good = np.asarray(cgood).sum(axis=-1)
+        else:
+            ref_cnt = int(z["cnt"])
+            ref_cam = np.asarray(z["cam"])
+            ref_good = np.asarray(z["good_per_edge"])
         # rotation geodesic distance between recorded and replayed pose
         R0 = lie.so3_exp_np(ref_cam[:3])
         R1 = lie.so3_exp_np(cam[:3])

@@ -14,7 +14,8 @@ REF = "/root/reference"
 
 
 @pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "lightglue")), reason="reference not mounted")
-def test_lightglue_matches_torch_reference(rng):
+@pytest.mark.parametrize("n_layers", [2, 9])
+def test_lightglue_matches_torch_reference(rng, n_layers):
     torch = pytest.importorskip("torch")
     # Load the reference module file directly (the package __init__ pulls in
     # kornia, which is not installed; lightglue.py itself is torch-only).
@@ -31,7 +32,8 @@ def test_lightglue_matches_torch_reference(rng):
     from tpu3d.matching.lightglue import LightGlue as JaxLG, convert_torch_state_dict, filter_matches
 
     torch.manual_seed(0)
-    n_layers = 2  # parity per-layer; 2 layers exercise self+cross+assignment
+    # 2 layers exercise self+cross+assignment cheaply; 9 layers is the full
+    # released-checkpoint depth (the default LightGlue config).
     tm = TorchLG(
         features=None, input_dim=128, n_layers=n_layers, flash=False,
         depth_confidence=-1, width_confidence=-1, weights=None,

@@ -32,8 +32,12 @@ def _build_config(args):
     focal = args.focal / args.downscale
     return PipelineConfig(
         camera=CameraConfig(focal_length=focal),
-        frontend=FrontendConfig(max_keypoints=args.max_keypoints),
-        matching=MatchingConfig(min_raw_matches=args.min_raw_matches),
+        frontend=FrontendConfig(max_keypoints=args.max_keypoints,
+                                model=getattr(args, "frontend", "classical"),
+                                weights=getattr(args, "frontend_weights", "")),
+        matching=MatchingConfig(min_raw_matches=args.min_raw_matches,
+                                matcher=getattr(args, "matcher", "mnn"),
+                                weights=getattr(args, "matcher_weights", "")),
         sfm=SfMConfig(
             camera=CameraConfig(focal_length=focal),
             max_tracks=args.max_tracks,
@@ -496,6 +500,17 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--focal", type=float, default=2378.98305085)
     p.add_argument("--max-keypoints", type=int, default=2048)
+    p.add_argument("--frontend", choices=["classical", "disk", "superpoint"],
+                   default="classical",
+                   help="feature extractor: classical (weight-free) or a "
+                        "learned model (needs --frontend-weights)")
+    p.add_argument("--frontend-weights", default="",
+                   help="DISK/SuperPoint checkpoint (.pth torch or converted .npz)")
+    p.add_argument("--matcher", choices=["mnn", "lightglue"], default="mnn",
+                   help="descriptor matcher: mutual-NN or LightGlue "
+                        "(needs --matcher-weights)")
+    p.add_argument("--matcher-weights", default="",
+                   help="LightGlue checkpoint (.pth torch or converted .npz)")
     p.add_argument("--max-tracks", type=int, default=400_000)
     p.add_argument("--min-raw-matches", type=int, default=100)
     p.add_argument("--ransac-hypotheses", type=int, default=512)

@@ -31,6 +31,13 @@ class FrontendConfig:
     (feature_extraction.py:10). We keep the same keypoint budget so the rest
     of the pipeline sees identical shapes."""
 
+    # Front-end model. "classical" is the weight-free DoG/SIFT-style path;
+    # "disk" / "superpoint" run the learned Flax forwards (features/disk.py,
+    # features/superpoint.py) and require `weights` to point at a torch
+    # checkpoint (.pth, converted on load) or a pre-converted .npz.
+    # The reference's production front-end is DISK (feature_extraction.py:28).
+    model: str = "classical"
+    weights: str = ""
     max_keypoints: int = 2048
     num_octaves: int = 4
     scales_per_octave: int = 3
@@ -81,7 +88,12 @@ class MatchingConfig:
     # only a weak prior.
     min_track_overlap: float = 0.1
     ransac_threshold_px: float = 1.0   # ref matching.py:134
-    use_learned: bool = False          # LightGlue path (needs converted weights)
+    # Matcher. "mnn" = mutual-NN + ratio test (weight-free); "lightglue"
+    # runs the Flax LightGlue forward (matching/lightglue.py, the
+    # reference's matcher at matching.py:122) and requires `weights`
+    # (torch .pth checkpoint or pre-converted .npz).
+    matcher: str = "mnn"
+    weights: str = ""
     # Candidate edges gated per device dispatch. All candidate edges are
     # precomputed in vmapped blocks of this size and the BFS consumes the
     # cache; 1 falls back to the sequential per-edge path. TPU-measured

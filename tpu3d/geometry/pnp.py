@@ -127,9 +127,18 @@ def pnp_ransac(
     ((px_threshold / focal)²). Returns (R, t, inlier_mask, inlier_count)."""
     with jax.default_matmul_precision("float32"):  # bf16 MXU breaks DLT/LM
         def solver(idx):
-            return jnp.concatenate(
-                [jnp.reshape(a, (-1,)) for a in pnp_dlt(X[idx], x[idx])]
-            )
+            # Polish every hypothesis to its sample's reprojection optimum
+            # BEFORE scoring. The raw DLT null vector comes from a 12x12
+            # eigh whose TPU (Jacobi) and CPU (LAPACK) last bits differ
+            # enough to flip winner selection and accept gates on weak
+            # problems (replay-measured: 8/645 accept flips, pose drift up
+            # to 180 deg). Three damped GN steps put both backends at the
+            # same optimum — same cure as refine_triangulation_gn for the
+            # DLT triangulation gate.
+            Rh, th = pnp_dlt(X[idx], x[idx])
+            Rh, th = refine_pose(Rh, th, X[idx], x[idx],
+                                 jnp.ones(idx.shape[0], X.dtype), iters=3)
+            return jnp.concatenate([Rh.reshape(-1), th])
 
         def scorer(model):
             R = model[:9].reshape(3, 3)

@@ -72,7 +72,8 @@ class SelfBlock(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, enc: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, enc: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         h = self.heads
         d = self.dim
         hd = d // h
@@ -83,9 +84,13 @@ class SelfBlock(nn.Module):
         q, k, v = qkv[..., 0], qkv[..., 1], qkv[..., 2]
         q = apply_rotary(enc, q)
         k = apply_rotary(enc, k)
-        attn = jax.nn.softmax(
-            jnp.einsum("...id,...jd->...ij", q, k) / jnp.sqrt(hd), axis=-1
-        )
+        logits = jnp.einsum("...id,...jd->...ij", q, k) / jnp.sqrt(hd)
+        if mask is not None:
+            # Padded (invalid) keypoints must not influence real ones: the
+            # torch reference runs exact-length tensors; our fixed-shape
+            # batches mask the attention keys instead.
+            logits = jnp.where(mask[..., None, None, :] > 0, logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
         ctx = jnp.einsum("...ij,...jd->...id", attn, v)  # (B, h, N, hd)
         ctx = jnp.moveaxis(ctx, -3, -2).reshape(*x.shape[:-1], d)
         msg = nn.Dense(d, name="out_proj")(ctx)
@@ -102,7 +107,9 @@ class CrossBlock(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x0: jnp.ndarray, x1: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, x0: jnp.ndarray, x1: jnp.ndarray,
+                 mask0: Optional[jnp.ndarray] = None,
+                 mask1: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
         h = self.heads
         d = self.dim
         hd = d // h
@@ -122,8 +129,13 @@ class CrossBlock(nn.Module):
         v1 = split(to_v(x1))
         scale = hd**-0.5
         sim = jnp.einsum("...id,...jd->...ij", qk0 * scale**0.5, qk1 * scale**0.5)
-        attn01 = jax.nn.softmax(sim, axis=-1)
-        attn10 = jax.nn.softmax(jnp.swapaxes(sim, -1, -2), axis=-1)
+        sim01 = sim if mask1 is None else jnp.where(
+            mask1[..., None, None, :] > 0, sim, -1e9)
+        sim10 = jnp.swapaxes(sim, -1, -2)
+        if mask0 is not None:
+            sim10 = jnp.where(mask0[..., None, None, :] > 0, sim10, -1e9)
+        attn01 = jax.nn.softmax(sim01, axis=-1)
+        attn10 = jax.nn.softmax(sim10, axis=-1)
         m0 = jnp.einsum("...ij,...jd->...id", attn01, v1)
         m1 = jnp.einsum("...ji,...jd->...id", jnp.swapaxes(attn10, -1, -2), v0)
 
@@ -144,20 +156,35 @@ class MatchAssignment(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, d0: jnp.ndarray, d1: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, d0: jnp.ndarray, d1: jnp.ndarray,
+                 mask0: Optional[jnp.ndarray] = None,
+                 mask1: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         proj = nn.Dense(self.dim, name="final_proj")
         match0 = nn.Dense(1, name="matchability")
         md0 = proj(d0) / self.dim**0.25
         md1 = proj(d1) / self.dim**0.25
         sim = jnp.einsum("bmd,bnd->bmn", md0, md1)
+        if mask0 is not None:
+            sim = jnp.where(mask0[..., :, None] > 0, sim, -1e9)
+        if mask1 is not None:
+            sim = jnp.where(mask1[..., None, :] > 0, sim, -1e9)
         z0 = match0(d0)  # (B, M, 1)
         z1 = match0(d1)
         cert = jax.nn.log_sigmoid(z0) + jnp.swapaxes(jax.nn.log_sigmoid(z1), -1, -2)
         s0 = jax.nn.log_softmax(sim, axis=2)
         s1 = jnp.swapaxes(jax.nn.log_softmax(jnp.swapaxes(sim, -1, -2), axis=2), -1, -2)
         b, m, n = sim.shape
+        inner = s0 + s1 + cert
+        # Hard-mask padded slots: log_softmax of a uniformly masked row is
+        # log(1/n), not -inf, and garbage descriptors can carry high
+        # matchability — without this, invalid-invalid pairs decode as
+        # confident matches.
+        if mask0 is not None:
+            inner = jnp.where(mask0[..., :, None] > 0, inner, -1e9)
+        if mask1 is not None:
+            inner = jnp.where(mask1[..., None, :] > 0, inner, -1e9)
         scores = jnp.zeros((b, m + 1, n + 1), sim.dtype)
-        scores = scores.at[:, :m, :n].set(s0 + s1 + cert)
+        scores = scores.at[:, :m, :n].set(inner)
         scores = scores.at[:, :-1, -1].set(jax.nn.log_sigmoid(-z0[..., 0]))
         scores = scores.at[:, -1, :-1].set(jax.nn.log_sigmoid(-z1[..., 0]))
         return scores
@@ -173,7 +200,9 @@ class LightGlue(nn.Module):
     heads: int = 4
 
     @nn.compact
-    def __call__(self, kpts0, desc0, size0, kpts1, desc1, size1):
+    def __call__(self, kpts0, desc0, size0, kpts1, desc1, size1,
+                 mask0: Optional[jnp.ndarray] = None,
+                 mask1: Optional[jnp.ndarray] = None):
         d = self.dim
         hd = d // self.heads
         k0 = normalize_keypoints(kpts0, size0)
@@ -189,9 +218,10 @@ class LightGlue(nn.Module):
         enc1 = posenc(k1)
         for i in range(self.n_layers):
             sb = SelfBlock(d, self.heads, name=f"self_attn_{i}")  # shared for x0/x1
-            x0, x1 = sb(x0, enc0), sb(x1, enc1)
-            x0, x1 = CrossBlock(d, self.heads, name=f"cross_attn_{i}")(x0, x1)
-        scores = MatchAssignment(d, name=f"log_assignment_{self.n_layers - 1}")(x0, x1)
+            x0, x1 = sb(x0, enc0, mask0), sb(x1, enc1, mask1)
+            x0, x1 = CrossBlock(d, self.heads, name=f"cross_attn_{i}")(x0, x1, mask0, mask1)
+        scores = MatchAssignment(d, name=f"log_assignment_{self.n_layers - 1}")(
+            x0, x1, mask0, mask1)
         return scores
 
 

@@ -84,6 +84,21 @@ def run_extraction(
     names = names if names is not None else list_images(img_dir)
     B = cfg.frontend.batch_size
 
+    # Front-end dispatch: classical (weight-free, default) or a learned
+    # model (DISK — the reference's production extractor,
+    # feature_extraction.py:28 — or SuperPoint) with converted weights.
+    fe_params = None
+    if cfg.frontend.model != "classical":
+        from tpu3d.features.learned import extract_learned, load_frontend_params
+
+        if not cfg.frontend.weights:
+            raise ValueError(
+                f"frontend model {cfg.frontend.model!r} needs FrontendConfig."
+                "weights (torch checkpoint or converted .npz)")
+        fe_params = jax.tree_util.tree_map(
+            jnp.asarray, load_frontend_params(cfg.frontend.model,
+                                              cfg.frontend.weights))
+
     def load_batch(s):
         chunk = names[s : s + B]
         gray, rgb = load_images(img_dir, chunk, downscale)
@@ -138,7 +153,11 @@ def run_extraction(
             futures[starts[bi + 2]] = pool.submit(load_batch, starts[bi + 2])
         # Upload as uint8 (4x less host-link traffic); the extractor
         # normalizes on device.
-        fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
+        if fe_params is None:
+            fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
+        else:
+            fs = extract_learned(fe_params, cfg.frontend.model, gray_u8,
+                                 rgb, cfg.frontend)
         pending.append((chunk, rgb, fs))
         if len(pending) >= 2:
             drain_one()
@@ -194,11 +213,49 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     return adj
 
 
+def _lightglue_module(lg_params, input_dim):
+    """Static LightGlue hyperparams from the (static) param-tree structure."""
+    from tpu3d.matching.lightglue import LightGlue
+
+    p = lg_params["params"]
+    n_layers = 1 + max(int(k.rsplit("_", 1)[1]) for k in p if k.startswith("self_attn_"))
+    dim = p[f"log_assignment_{n_layers - 1}"]["final_proj"]["kernel"].shape[1]
+    return LightGlue(input_dim=input_dim, dim=dim, n_layers=n_layers)
+
+
 def _match_and_gate_body(d0, d1, v0, v1, kp0, kp1, key, focal, thr_px, ratio, num_hypotheses,
-                         five_point=False):
-    """Fused mutual-NN match + E-RANSAC gate, packed into ONE flat array so
-    the host pays a single device->host round trip per candidate pair."""
-    res = match_descriptors(d0, d1, v0, v1, ratio=ratio)
+                         five_point=False, lg=None):
+    """Fused match + E-RANSAC gate, packed into ONE flat array so the host
+    pays a single device->host round trip per candidate pair. The matcher is
+    mutual-NN (default) or LightGlue when `lg = (params, size0, size1)` is
+    given (the reference's matcher, matching.py:122)."""
+    if lg is None:
+        res = match_descriptors(d0, d1, v0, v1, ratio=ratio)
+    else:
+        from tpu3d.core.camera import centered_to_pixel
+        from tpu3d.matching.lightglue import filter_matches
+        from tpu3d.matching.mnn import MatchResult
+
+        lg_params, size0, size1 = lg
+        mod = _lightglue_module(lg_params, d0.shape[-1])
+        # LightGlue normalizes PIXEL keypoints against the image size the
+        # way its checkpoints were trained; our stored coords are centered
+        # y-up (ref convention) — map back (ref matching.py:109,116 does
+        # the same un-centering before calling LightGlue).
+        kp0_px = centered_to_pixel(kp0, size0[None, :])
+        kp1_px = centered_to_pixel(kp1, size1[None, :])
+        with jax.default_matmul_precision("float32"):
+            scores = mod.apply(lg_params, kp0_px[None], d0[None], size0[None],
+                               kp1_px[None], d1[None], size1[None],
+                               v0[None], v1[None])
+        m0, _, ms0, _ = filter_matches(scores, threshold=0.1)
+        ok = (m0[0] >= 0) & (v0 > 0)
+        res = MatchResult(
+            idx0=jnp.arange(d0.shape[0], dtype=jnp.int32),
+            idx1=jnp.maximum(m0[0], 0).astype(jnp.int32),
+            valid=ok,
+            score=ms0[0],
+        )
     uv0 = kp0  # slot k of the match result is keypoint k of image 0
     uv1 = kp1[res.idx1]
     mvalid = res.valid.astype(jnp.float32)
@@ -238,7 +295,8 @@ _match_and_gate_packed = jax.jit(
 
 @functools.partial(jax.jit, static_argnames=("ratio", "num_hypotheses", "five_point"))
 def _match_and_gate_block(d, v, kp, ii, jj, keys, focal, thr_px, ratio,
-                          num_hypotheses, five_point=False):
+                          num_hypotheses, five_point=False, sizes=None,
+                          lg_params=None):
     """One dispatch gates a whole block of candidate edges: gather the
     per-edge descriptor/keypoint slices from the device-resident tensors
     and vmap the fused match+gate body. On the remote-TPU tunnel the
@@ -246,10 +304,32 @@ def _match_and_gate_block(d, v, kp, ii, jj, keys, focal, thr_px, ratio,
     the dominant pipeline stage); blocking amortizes both the dispatch and
     the 5-point solver's small-matrix work."""
     def one(i, j, key):
+        lg = None if lg_params is None else (lg_params, sizes[i], sizes[j])
         return _match_and_gate_body(d[i], d[j], v[i], v[j], kp[i], kp[j], key,
-                                    focal, thr_px, ratio, num_hypotheses, five_point)
+                                    focal, thr_px, ratio, num_hypotheses,
+                                    five_point, lg=lg)
 
     return jax.vmap(one)(ii, jj, keys)
+
+
+_LG_PARAMS_CACHE: Dict[str, object] = {}
+
+
+def _lg_params_for(cfg) -> Optional[object]:
+    """Device-resident LightGlue params for the configured matcher (memoized
+    per weights path); None for the mutual-NN matcher."""
+    if cfg.matching.matcher != "lightglue":
+        return None
+    path = cfg.matching.weights
+    if not path:
+        raise ValueError("matcher 'lightglue' needs MatchingConfig.weights "
+                         "(torch checkpoint or converted .npz)")
+    if path not in _LG_PARAMS_CACHE:
+        from tpu3d.features.learned import load_matcher_params
+
+        _LG_PARAMS_CACHE[path] = jax.tree_util.tree_map(
+            jnp.asarray, load_matcher_params(path))
+    return _LG_PARAMS_CACHE[path]
 
 
 def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
@@ -260,7 +340,14 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
                    - set(memo))
     if not edges:
         return memo
+    lg_params = _lg_params_for(cfg)
+    sizes_dev = None if lg_params is None else jnp.asarray(
+        feats.image_size.astype(np.float32))
     B = max(int(cfg.matching.pair_batch), 1)
+    if lg_params is not None:
+        # 9-layer attention over 2048-kpt pairs: cap the vmapped block so
+        # the (B, h, K, K) attention intermediates stay within HBM.
+        B = min(B, 8)
     keys = np.asarray(jax.random.split(key, len(edges)))
     t0 = time.time()
     # Dispatch every block asynchronously FIRST, then fetch: JAX queues the
@@ -282,6 +369,7 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
             cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
             cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
             five_point=cfg.sfm.ransac.use_five_point,
+            sizes=sizes_dev, lg_params=lg_params,
         )))
     for n_done, (blk, flat_dev) in enumerate(pending):
         flat = np.asarray(flat_dev)
@@ -352,11 +440,15 @@ def _match_one_pair(feats, i, j, cfg, key):
     v = feats.valid_dev
     kp = feats.keypoints_dev
     K = d.shape[1]
+    lg_params = _lg_params_for(cfg)
+    lg = None if lg_params is None else (
+        lg_params, jnp.asarray(feats.image_size[i].astype(np.float32)),
+        jnp.asarray(feats.image_size[j].astype(np.float32)))
     flat = np.asarray(_match_and_gate_packed(
         d[i], d[j], v[i], v[j], kp[i], kp[j], key,
         cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
         cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
-        five_point=cfg.sfm.ransac.use_five_point,
+        five_point=cfg.sfm.ransac.use_five_point, lg=lg,
     ))
     per_kpt = flat[: K * 3].reshape(K, 3)
     idx1 = per_kpt[:, 0].astype(np.int64)
