@@ -39,7 +39,10 @@ class BAState(NamedTuple):
     points: jnp.ndarray   # (P, 3)
     cost: jnp.ndarray     # scalar — final masked SSE
     lam: jnp.ndarray      # final damping
-    n_iters: jnp.ndarray = jnp.asarray(0)  # LM iterations actually run
+    # Plain-int default: a jnp.asarray default would initialize the XLA
+    # backend at import time (breaking jax.distributed.initialize, which
+    # must run first in multi-process setups).
+    n_iters: jnp.ndarray | int = 0  # LM iterations actually run
 
 
 def ba_cost(cams, points, cam_idx, pt_idx, uv, w) -> jnp.ndarray:

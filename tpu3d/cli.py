@@ -589,11 +589,27 @@ def main(argv=None):
                    help="force the CPU backend (useful off-TPU; the axon "
                         "sitecustomize overrides JAX_PLATFORMS so this must "
                         "be a jax.config update, not an env var)")
+    p.add_argument("--distributed", default="",
+                   help="join a multi-process group before any device use: "
+                        "'auto' (cluster-env autodetect, multi-host TPU "
+                        "slices) or 'COORD_HOST:PORT,NUM_PROCS,PROC_ID'. "
+                        "TPU3D_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID env "
+                        "vars work too (tpu3d/dist/runtime.py).")
     args = p.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed or os.environ.get("TPU3D_COORDINATOR"):
+        from tpu3d.dist import maybe_initialize_distributed
+
+        if args.distributed == "auto":
+            maybe_initialize_distributed(num_processes=-1)
+        elif args.distributed:
+            coord, nproc, pid = args.distributed.rsplit(",", 2)
+            maybe_initialize_distributed(coord, int(nproc), int(pid))
+        else:
+            maybe_initialize_distributed()
     # Persistent XLA compilation cache: compiles are a per-deployment
     # one-off, not a per-scene cost (a single bundle-adjust executable
     # takes ~25 s to build over the remote-TPU tunnel). Safe to enable

@@ -1,5 +1,10 @@
 from tpu3d.dist.mesh import make_mesh, data_sharding, grid_sharding, replicated
-from tpu3d.dist.sharding import make_sharded_dense_step, sharded_bundle_adjust
+from tpu3d.dist.runtime import maybe_initialize_distributed
+from tpu3d.dist.sharding import (
+    make_sharded_dense_step,
+    make_sharded_match_block,
+    sharded_bundle_adjust,
+)
 
 __all__ = [
     "make_mesh",
@@ -7,5 +12,7 @@ __all__ = [
     "grid_sharding",
     "replicated",
     "make_sharded_dense_step",
+    "make_sharded_match_block",
     "sharded_bundle_adjust",
+    "maybe_initialize_distributed",
 ]
