@@ -223,7 +223,7 @@ def cmd_densify(args):
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
         tv_sigma=args.tv_sigma, tv_sh=args.tv_sh,
-        coarse_epochs=args.coarse_epochs))
+        coarse_epochs=args.coarse_epochs, exposure=args.exposure))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
@@ -274,7 +274,8 @@ def cmd_densify(args):
         ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx], focal, dcfg,
                             norm, stride=2, max_views=args.max_eval_views)
         out.update(test_psnr=ev["mean_psnr"],
-                   test_psnr_per_view=[round(p, 2) for p in ev["per_view"]])
+                   test_psnr_per_view=[round(p, 2) for p in ev["per_view"]],
+                   test_psnr_calibrated=ev["mean_psnr_calibrated"])
         try:
             from PIL import Image
 
@@ -529,6 +530,10 @@ def main(argv=None):
                    help="occupancy-pruned marching (dense/occupancy.py)")
     p.add_argument("--iso", type=float, default=0.0,
                    help="mesh: density iso level (0 = auto from the density distribution)")
+    p.add_argument("--exposure", action="store_true",
+                   help="per-train-image exposure latents (3 log-gains, "
+                        "jointly optimized — outdoor auto-exposure varies "
+                        "across views; see DenseConfig.exposure)")
     p.add_argument("--coarse-epochs", type=int, default=0,
                    help="coarse-to-fine: train this many epochs on a 2x-"
                         "downscaled grid first, then upsample and continue")

@@ -247,6 +247,15 @@ class DenseConfig:
     tv_sigma: float = 0.0
     tv_sh: float = 0.0
     tv_crop: int = 32
+    # Per-image exposure compensation (NeRF-W-style, 3 log-gains per train
+    # camera, jointly optimized): outdoor captures like ystad_kloster are
+    # shot on auto-exposure, so the same surface photographs at different
+    # intensities across views — without a per-image latent the grid learns
+    # the average and every view pays the variance as MSE. Rendering uses
+    # gain 1 (the canonical exposure); held-out eval reports raw AND
+    # half-image-calibrated PSNR (dense/eval.py).
+    exposure: bool = False
+    exposure_lr: float = 1e-2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,25 +63,49 @@ def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
     return np.asarray(img).reshape(h, w, 3)
 
 
+def fit_view_exposure(pred: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    """Closed-form per-channel gain a* = <pred, gt>/<pred, pred> minimizing
+    ||a·pred − gt||² — the eval-side counterpart of the per-TRAIN-image
+    exposure latents (DenseConfig.exposure): held-out cameras never had a
+    latent trained, so their (unknown, auto-exposure) gain is fit on the
+    LEFT half of the view and scored on the RIGHT half (NeRF-W protocol)."""
+    num = (pred * gt).sum(axis=(0, 1))
+    den = (pred * pred).sum(axis=(0, 1)) + 1e-12
+    return num / den
+
+
 def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
                    focal: float, cfg: DenseConfig,
                    norm: Optional[SceneNormalization] = None,
                    stride: int = 2, chunk: int = 8192,
                    max_views: int = 0) -> dict:
     """PSNR of rendered vs ground-truth photographs for the given cameras.
-    Returns {"per_view": [...], "mean_psnr": float, "renders": [...]}."""
+
+    Reports both raw PSNR (canonical exposure vs the photo as shot) and
+    exposure-calibrated PSNR (3 gains fit on the left half-image, scored on
+    the right half). Returns {"per_view", "mean_psnr", "per_view_calibrated",
+    "mean_psnr_calibrated", "renders"}."""
     n = len(cams) if not max_views else min(len(cams), max_views)
     per_view: List[float] = []
+    per_view_cal: List[float] = []
     renders = []
     H, W = images_rgb.shape[1:3]
     for m in range(n):
         pred = render_view(grid, cams[m], H, W, focal, cfg, norm, stride, chunk)
         gt = images_rgb[m, ::stride, ::stride].astype(np.float32) / 255.0
-        per_view.append(psnr(pred, gt[: pred.shape[0], : pred.shape[1]]))
+        gt = gt[: pred.shape[0], : pred.shape[1]]
+        per_view.append(psnr(pred, gt))
+        half = pred.shape[1] // 2
+        gains = fit_view_exposure(pred[:, :half], gt[:, :half])
+        per_view_cal.append(psnr(np.clip(pred[:, half:] * gains, 0.0, 1.0),
+                                 gt[:, half:]))
         renders.append(pred)
     return {
         "per_view": per_view,
         "mean_psnr": float(np.mean(per_view)) if per_view else float("nan"),
+        "per_view_calibrated": per_view_cal,
+        "mean_psnr_calibrated": (float(np.mean(per_view_cal))
+                                 if per_view_cal else float("nan")),
         "renders": renders,
     }
 

@@ -35,6 +35,10 @@ class RayDataset(NamedTuple):
     origins: np.ndarray   # (N, 3)
     dirs: np.ndarray      # (N, 3) unit
     rgb: np.ndarray       # (N, 3) in [0, 1]
+    # Per-ray source-camera index (local, 0..M-1) — drives the per-image
+    # exposure latents (DenseConfig.exposure). None for externally loaded
+    # ray pickles (the reference's training_data.pkl has no camera ids).
+    cam_ids: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -87,10 +91,12 @@ def rays_from_cameras(
         origins.append(np.broadcast_to(o, d.shape).copy())
         dirs.append(d.astype(np.float32))
         rgbs.append(images_rgb[m, ys.reshape(-1), xs.reshape(-1)].astype(np.float32) / 255.0)
+    rays_per = len(ys.reshape(-1))
     return RayDataset(
         np.concatenate(origins).astype(np.float32),
         np.concatenate(dirs).astype(np.float32),
         np.concatenate(rgbs).astype(np.float32),
+        np.repeat(np.arange(M, dtype=np.int32), rays_per),
     )
 
 
@@ -131,6 +137,41 @@ class TrainState(NamedTuple):
     grid: VoxelGrid
     opt_state: optax.OptState
     step: jnp.ndarray
+    # Per-image exposure latents, stacked (3, M, 3) = [log-gains, Adam m,
+    # Adam v]; None when DenseConfig.exposure is off (keeps every existing
+    # step bit-identical).
+    exposure: Optional[jnp.ndarray] = None
+
+
+def init_exposure(n_cams: int) -> jnp.ndarray:
+    return jnp.zeros((3, n_cams, 3), jnp.float32)
+
+
+def _exposure_apply(pred: jnp.ndarray, gains: Optional[jnp.ndarray],
+                    cid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """pred * e^{g[cid]} — maps the grid's canonical exposure into each
+    source photo's exposure before the MSE. gains: (M, 3) log-gains."""
+    if gains is None or cid is None:
+        return pred
+    return pred * jnp.exp(gains[cid])
+
+
+def _exposure_adam(exposure: jnp.ndarray, g: jnp.ndarray, step: jnp.ndarray,
+                   lr: float) -> jnp.ndarray:
+    """Manual Adam on the (M, 3) log-gains (kept out of the grid optimizer
+    so the grid's optax state/shape stays unchanged when exposure is off).
+    Adam's scale invariance matters here: a 2048-ray batch touches each
+    image with only a handful of rays, so raw gradients are ~1000x smaller
+    than the loss scale."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    gains, m, v = exposure[0], exposure[1], exposure[2]
+    m = b1 * m + (1 - b1) * g
+    v = b2 * v + (1 - b2) * g * g
+    t = step.astype(jnp.float32) + 1.0
+    mhat = m / (1 - b1**t)
+    vhat = v / (1 - b2**t)
+    gains = gains - lr * mhat / (jnp.sqrt(vhat) + eps)
+    return jnp.stack([gains, m, v])
 
 
 def _tv_crop_loss(grid_arr: jnp.ndarray, key: jax.Array, crop: int
@@ -180,43 +221,61 @@ def _tv_crop_loss_packed(packed: jnp.ndarray, res, key: jax.Array, crop: int,
     return per_ch[0], jnp.sum(per_ch[1:])
 
 
+def _split_grads(cfg, state, loss_fn, grid_args, key, rgb, cid):
+    """Joint (grid, exposure-gain) gradients when exposure latents exist;
+    grid-only otherwise (trace-time branch on the pytree structure)."""
+    if state.exposure is not None and cid is not None:
+        loss, (g, g_exp) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            grid_args, state.exposure[0], key, rgb, cid)
+        exposure = _exposure_adam(state.exposure, g_exp, state.step,
+                                  cfg.exposure_lr)
+    else:
+        loss, g = jax.value_and_grad(loss_fn)(grid_args, None, key, rgb, None)
+        exposure = state.exposure
+    return loss, g, exposure
+
+
 def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     """One jitted plenoxel training step (MSE on a ray batch)."""
 
-    def loss_fn(grid_arr, vg_template, key, ro, rd, rgb, occ):
+    def render_loss(grid_arr, vg_template, key, ro, rd, occ):
         vg = VoxelGrid(grid_arr, vg_template.min_bound, vg_template.max_bound)
         if cfg.hierarchical:
             from tpu3d.dense.render import render_rays_hierarchical
 
-            pred = render_rays_hierarchical(
+            return render_rays_hierarchical(
                 vg, key, ro, rd, cfg.near, cfg.far, cfg.n_coarse, cfg.n_fine,
                 cfg.white_background, clip_aabb=cfg.per_ray_aabb,
                 occ=occ, occ_probes=cfg.occupancy_probes,
             )
-        else:
-            pred = render_rays(
-                vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background,
-                clip_aabb=cfg.per_ray_aabb,
-                occ=occ, occ_probes=cfg.occupancy_probes,
-            )
-        loss = jnp.mean((pred - rgb) ** 2)
-        if cfg.tv_sigma or cfg.tv_sh:
-            tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
-            loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-        return loss
+        return render_rays(
+            vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background,
+            clip_aabb=cfg.per_ray_aabb,
+            occ=occ, occ_probes=cfg.occupancy_probes,
+        )
 
     # Donating the state is what makes a 256^3 grid fit: grid + Adam
     # moments are 5.6 GB, and without donation the old and new state
     # coexist during the step (plus temporaries) — ResourceExhausted on a
     # 16 GB chip.
-    def step_body(state: TrainState, key, ro, rd, rgb, occ=None):
-        loss, g = jax.value_and_grad(loss_fn)(state.grid.grid, state.grid, key, ro, rd, rgb, occ)
+    def step_body(state: TrainState, key, ro, rd, rgb, occ=None, cid=None):
+        def loss_fn(grid_arr, gains, key, rgb, cid):
+            pred = render_loss(grid_arr, state.grid, key, ro, rd, occ)
+            loss = jnp.mean((_exposure_apply(pred, gains, cid) - rgb) ** 2)
+            if cfg.tv_sigma or cfg.tv_sh:
+                tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
+                loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            return loss
+
+        loss, g, exposure = _split_grads(
+            cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
             VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
             opt_state,
             state.step + 1,
+            exposure,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -234,35 +293,37 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
     from tpu3d.dense.render import (render_rays_hierarchical_packed,
                                     render_rays_packed_diff)
 
-    def loss_fn(packed, minb, maxb, key, ro, rd, rgb, occ):
+    def render_pred(packed, minb, maxb, key, ro, rd, occ):
         if cfg.hierarchical:
-            pred = render_rays_hierarchical_packed(
+            return render_rays_hierarchical_packed(
                 packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
                 cfg.n_coarse, cfg.n_fine, cfg.white_background,
                 clip_aabb=cfg.per_ray_aabb, interpret=interpret,
                 occ=occ, occ_probes=cfg.occupancy_probes)
-        else:
-            pred = render_rays_packed_diff(
-                packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
-                cfg.num_samples, cfg.white_background,
-                clip_aabb=cfg.per_ray_aabb, interpret=interpret,
-                occ=occ, occ_probes=cfg.occupancy_probes)
-        loss = jnp.mean((pred - rgb) ** 2)
-        if cfg.tv_sigma or cfg.tv_sh:
-            tv_s, tv_c = _tv_crop_loss_packed(
-                packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
-            loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-        return loss
+        return render_rays_packed_diff(
+            packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
+            cfg.num_samples, cfg.white_background,
+            clip_aabb=cfg.per_ray_aabb, interpret=interpret,
+            occ=occ, occ_probes=cfg.occupancy_probes)
 
-    def step_body(state: TrainState, key, ro, rd, rgb, occ=None):
-        loss, g = jax.value_and_grad(loss_fn)(
-            state.grid.grid, state.grid.min_bound, state.grid.max_bound,
-            key, ro, rd, rgb, occ)
+    def step_body(state: TrainState, key, ro, rd, rgb, occ=None, cid=None):
+        def loss_fn(packed, gains, key, rgb, cid):
+            pred = render_pred(packed, state.grid.min_bound,
+                               state.grid.max_bound, key, ro, rd, occ)
+            loss = jnp.mean((_exposure_apply(pred, gains, cid) - rgb) ** 2)
+            if cfg.tv_sigma or cfg.tv_sh:
+                tv_s, tv_c = _tv_crop_loss_packed(
+                    packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
+                loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            return loss
+
+        loss, g, exposure = _split_grads(
+            cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
             VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
-            opt_state, state.step + 1,
+            opt_state, state.step + 1, exposure,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -279,7 +340,8 @@ def make_multi_step(step_fn, with_occ: bool):
     body = step_fn.body
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def multi(state, epoch_key, step0, idx, o_all, d_all, rgb_all, occ=None):
+    def multi(state, epoch_key, step0, idx, o_all, d_all, rgb_all, occ=None,
+              cid_all=None):
         # Per-step keys are fold_in(epoch_key, step) — identical to the
         # per-step (scan_chunk=1) loop, so dispatch granularity cannot
         # change the training sequence (tests/test_trilinear_grad.py).
@@ -288,10 +350,13 @@ def make_multi_step(step_fn, with_occ: bool):
 
         def scan_body(st, args):
             k, ix = args
+            cid = None if cid_all is None else cid_all[ix]
             if with_occ:
-                st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix], occ)
+                st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix], occ,
+                                cid=cid)
             else:
-                st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix])
+                st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix],
+                                cid=cid)
             return st, loss
 
         return jax.lax.scan(scan_body, state, (keys, idx))
@@ -347,6 +412,9 @@ def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -
     import numpy as np
 
     flat, _ = jax.tree_util.tree_flatten(state.opt_state)
+    extra = {}
+    if state.exposure is not None:
+        extra["exposure"] = np.asarray(state.exposure)
     store.save(
         "dense_ckpt",
         grid=np.asarray(state.grid.grid),
@@ -355,6 +423,7 @@ def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -
         step=np.asarray(state.step),
         epoch=np.asarray(epoch),
         losses=np.asarray(losses, np.float32),
+        **extra,
         **{f"opt_{i}": np.asarray(a) for i, a in enumerate(flat) if hasattr(a, "shape")},
     )
 
@@ -375,7 +444,8 @@ def load_checkpoint(store, optimizer) -> Optional[Tuple[TrainState, int, List[fl
         else:
             restored.append(a)
     opt_state = jax.tree_util.tree_unflatten(treedef, restored)
-    state = TrainState(grid, opt_state, jnp.asarray(data["step"]))
+    exposure = jnp.asarray(data["exposure"]) if "exposure" in data else None
+    state = TrainState(grid, opt_state, jnp.asarray(data["step"]), exposure)
     return state, int(data["epoch"]), list(data["losses"])
 
 
@@ -415,8 +485,10 @@ def train_plenoxel(
     else:
         garr = grid.grid
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
+    exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
+            if cfg.exposure and dataset.cam_ids is not None else None)
     state = TrainState(VoxelGrid(garr, grid.min_bound, grid.max_bound),
-                       optimizer.init(garr), jnp.asarray(0))
+                       optimizer.init(garr), jnp.asarray(0), exp0)
     losses: List[float] = list(pre_losses)
     start_epoch = 0
     if resume and checkpoint_store is not None:
@@ -456,10 +528,12 @@ def train_plenoxel(
         chunk = 1  # single short batch per epoch — per-step path handles it
     plan = _chunk_plan(steps_per_epoch, chunk)
     multi_fn = make_multi_step(step_fn, with_occ=True) if chunk > 1 else None
+    cid_all = dataset.cam_ids if exp0 is not None else None
     if multi_fn is not None:
         o_dev = jnp.asarray(dataset.origins)
         d_dev = jnp.asarray(dataset.dirs)
         rgb_dev = jnp.asarray(dataset.rgb)
+        cid_dev = jnp.asarray(cid_all) if cid_all is not None else None
 
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
@@ -479,7 +553,8 @@ def train_plenoxel(
                 idx = perm[b * cfg.batch_size : (b + k_steps) * cfg.batch_size]
                 idx = jnp.asarray(idx.reshape(k_steps, cfg.batch_size))
                 state, loss_chunk = multi_fn(state, ekey, np.uint32(b), idx,
-                                             o_dev, d_dev, rgb_dev, occ)
+                                             o_dev, d_dev, rgb_dev, occ,
+                                             cid_all=cid_dev)
             else:
                 idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
                 state, loss = step_fn(
@@ -488,6 +563,8 @@ def train_plenoxel(
                     jnp.asarray(dataset.dirs[idx]),
                     jnp.asarray(dataset.rgb[idx]),
                     occ=occ,
+                    cid=(jnp.asarray(cid_all[idx]) if cid_all is not None
+                         else None),
                 )
                 loss_chunk = None
             global_step += k_steps
@@ -524,6 +601,7 @@ def _convert_layout(state: TrainState, use_packed: bool, orig_shape) -> TrainSta
         VoxelGrid(conv(state.grid.grid), state.grid.min_bound, state.grid.max_bound),
         jax.tree_util.tree_map(conv, state.opt_state),
         state.step,
+        state.exposure,
     )
 
 
@@ -539,29 +617,29 @@ def make_sdf_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransf
 
     BIG = 1e6
 
-    def loss_fn(packed, minb, maxb, key, ro, rd, rgb):
-        pred = render_rays_packed_diff(
-            packed, minb, maxb, res, key, ro, rd, 0.0, BIG,
-            cfg.num_samples, cfg.white_background,
-            clip_aabb=True, interpret=interpret)
-        _, _, valid = ray_aabb(ro, rd, minb, maxb)
-        w = valid.astype(pred.dtype)[:, None]
-        loss = jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
-        if cfg.tv_sigma or cfg.tv_sh:
-            tv_s, tv_c = _tv_crop_loss_packed(
-                packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
-            loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-        return loss
+    def step_body(state: TrainState, key, ro, rd, rgb, cid=None):
+        def loss_fn(packed, gains, key, rgb, cid):
+            pred = render_rays_packed_diff(
+                packed, state.grid.min_bound, state.grid.max_bound, res, key,
+                ro, rd, 0.0, BIG, cfg.num_samples, cfg.white_background,
+                clip_aabb=True, interpret=interpret)
+            pred = _exposure_apply(pred, gains, cid)
+            _, _, valid = ray_aabb(ro, rd, state.grid.min_bound, state.grid.max_bound)
+            w = valid.astype(pred.dtype)[:, None]
+            loss = jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+            if cfg.tv_sigma or cfg.tv_sh:
+                tv_s, tv_c = _tv_crop_loss_packed(
+                    packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
+                loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            return loss
 
-    def step_body(state: TrainState, key, ro, rd, rgb):
-        loss, g = jax.value_and_grad(loss_fn)(
-            state.grid.grid, state.grid.min_bound, state.grid.max_bound,
-            key, ro, rd, rgb)
+        loss, g, exposure = _split_grads(
+            cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
             VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
-            opt_state, state.step + 1,
+            opt_state, state.step + 1, exposure,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -576,27 +654,26 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
     from tpu3d.dense.render import render_rays_aabb
     from tpu3d.dense.sdf import SDFGrid
 
-    def loss_fn(grid_arr, template, key, ro, rd, rgb):
-        sg = SDFGrid(grid_arr, template.min_bound, template.max_bound)
-        pred, valid = render_rays_aabb(sg, key, ro, rd, cfg.num_samples,
-                                       cfg.white_background)
-        w = valid.astype(pred.dtype)[:, None]
-        loss = jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
-        if cfg.tv_sigma or cfg.tv_sh:
-            tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
-            loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-        return loss
+    def step_body(state: TrainState, key, ro, rd, rgb, cid=None):
+        def loss_fn(grid_arr, gains, key, rgb, cid):
+            sg = SDFGrid(grid_arr, state.grid.min_bound, state.grid.max_bound)
+            pred, valid = render_rays_aabb(sg, key, ro, rd, cfg.num_samples,
+                                           cfg.white_background)
+            pred = _exposure_apply(pred, gains, cid)
+            w = valid.astype(pred.dtype)[:, None]
+            loss = jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
+            if cfg.tv_sigma or cfg.tv_sh:
+                tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
+                loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            return loss
 
-    def step_body(state: TrainState, key, ro, rd, rgb):
-        from tpu3d.dense.sdf import SDFGrid
-
-        tmpl = SDFGrid(state.grid.grid, state.grid.min_bound, state.grid.max_bound)
-        loss, g = jax.value_and_grad(loss_fn)(state.grid.grid, tmpl, key, ro, rd, rgb)
+        loss, g, exposure = _split_grads(
+            cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
             VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
-            opt_state, state.step + 1,
+            opt_state, state.step + 1, exposure,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -630,17 +707,19 @@ def train_sdf(
     use_packed = packed if packed is not None else (jax.default_backend() != "cpu")
     orig_shape = tuple(grid.grid.shape)
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
+    exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
+            if cfg.exposure and dataset.cam_ids is not None else None)
     if use_packed:
         from tpu3d.kernels.trilinear import pack_grid
 
         garr = pack_grid(grid.grid)
         state = TrainState(VoxelGrid(garr, grid.min_bound, grid.max_bound),
-                           optimizer.init(garr), jnp.asarray(0))
+                           optimizer.init(garr), jnp.asarray(0), exp0)
         step_fn = make_sdf_train_step_packed(
             cfg, optimizer, orig_shape[:3],
             interpret=jax.default_backend() == "cpu")
     else:
-        state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0))
+        state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0), exp0)
         step_fn = make_sdf_train_step(cfg, optimizer)
     losses: List[float] = list(pre_losses)
     chunk = max(int(cfg.scan_chunk), 1)
@@ -648,10 +727,12 @@ def train_sdf(
         chunk = 1  # single short batch per epoch — per-step path handles it
     plan = _chunk_plan(steps_per_epoch, chunk)
     multi_fn = make_multi_step(step_fn, with_occ=False) if chunk > 1 else None
+    cid_all = dataset.cam_ids if exp0 is not None else None
     if multi_fn is not None:
         o_dev = jnp.asarray(dataset.origins)
         d_dev = jnp.asarray(dataset.dirs)
         rgb_dev = jnp.asarray(dataset.rgb)
+        cid_dev = jnp.asarray(cid_all) if cid_all is not None else None
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
     for epoch in range(cfg.epochs):
@@ -662,7 +743,8 @@ def train_sdf(
                 idx = perm[b * cfg.batch_size : (b + k_steps) * cfg.batch_size]
                 idx = jnp.asarray(idx.reshape(k_steps, cfg.batch_size))
                 state, loss_chunk = multi_fn(state, ekey, np.uint32(b), idx,
-                                             o_dev, d_dev, rgb_dev)
+                                             o_dev, d_dev, rgb_dev,
+                                             cid_all=cid_dev)
             else:
                 idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
                 state, loss = step_fn(
@@ -670,6 +752,8 @@ def train_sdf(
                     jnp.asarray(dataset.origins[idx]),
                     jnp.asarray(dataset.dirs[idx]),
                     jnp.asarray(dataset.rgb[idx]),
+                    cid=(jnp.asarray(cid_all[idx]) if cid_all is not None
+                         else None),
                 )
                 loss_chunk = None
             log_js = [j for j in range(k_steps) if (b + j) % log_every == 0]
