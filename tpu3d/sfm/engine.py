@@ -802,6 +802,23 @@ class IncrementalSfM:
             t_r = self.cams[e.ref_img, 3:6]
             Xw = self.points[tr[known]]
             X_ref = Xw @ R_r.T + t_r                      # ref-cam frame
+            # Self-consistency prefilter: only anchors whose world point
+            # reprojects onto its OWN observation in the (registered)
+            # reference camera may vote on the scale. Drift-polluted track
+            # regions (measured: img 180 with 272 anchors, only 29% within
+            # 2 px in their own ref view) otherwise scatter the z-ratios
+            # and fail the MAD gate even when the edge itself is perfect
+            # (630/631 E-inliers).
+            zr = X_ref[:, 2]
+            pred_r = f * X_ref[:, :2] / np.where(np.abs(zr[:, None]) < 1e-9, 1e-9, zr[:, None])
+            err_r = np.linalg.norm(pred_r - e.uv_ref[known], axis=1)
+            consistent = (zr > 1e-4) & (err_r < 6.0 * self.cfg.ransac.threshold_px)
+            if consistent.sum() >= 6:
+                known_idx = np.nonzero(known)[0][consistent]
+                known = np.zeros_like(known)
+                known[known_idx] = True
+                Xw = self.points[tr[known]]
+                X_ref = Xw @ R_r.T + t_r
             # unit-baseline triangulation in the ref-cam frame
             uv_r = e.uv_ref[known].astype(np.float32) / f
             uv_n = e.uv_new[known].astype(np.float32) / f
