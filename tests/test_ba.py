@@ -189,3 +189,36 @@ def test_ba_block_reuse_equivalent(rng):
     np.testing.assert_allclose(np.asarray(a.cams), np.asarray(b.cams), atol=1e-6)
     np.testing.assert_allclose(np.asarray(a.points), np.asarray(b.points), atol=1e-6)
     np.testing.assert_allclose(float(a.cost), float(b.cost), rtol=1e-6)
+
+
+def test_refine_focal_recovers_true_focal(rng):
+    """Shared-focal coordinate descent (ba/focal.py — the working
+    counterpart of the reference's dead intrinsic-refinement path,
+    sfm.py:42-45,93-99): start from a 25%-wrong focal and noisy geometry,
+    recover the true focal to <1%."""
+    import jax.numpy as jnp
+    from tests.conftest import synthetic_scene
+    from tpu3d.ba.focal import refine_focal
+    from tpu3d.core import lie as tlie
+
+    sc = synthetic_scene(rng, n_points=120, n_cams=5, focal=1000.0)
+    n_cams, n_pts = sc["R"].shape[0], sc["X"].shape[0]
+    cams0 = np.stack([
+        np.concatenate([tlie.so3_log_np(sc["R"][c]), sc["t"][c]])
+        for c in range(n_cams)
+    ]).astype(np.float32)
+    # perturb the free cameras + points a little (focal-BA must cope)
+    cams0[1:] += rng.normal(0, 0.005, cams0[1:].shape).astype(np.float32)
+    X0 = sc["X"] + rng.normal(0, 0.01, sc["X"].shape).astype(np.float32)
+    cam_idx = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    pt_idx = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    uv_px = sc["uv"].reshape(-1, 2).astype(np.float32)
+    w = np.ones(len(cam_idx), np.float32)
+    cam_fixed = np.zeros(n_cams, np.float32)
+    cam_fixed[0] = 1.0
+    f, st = refine_focal(
+        jnp.asarray(cams0), jnp.asarray(X0), jnp.asarray(cam_idx),
+        jnp.asarray(pt_idx), jnp.asarray(uv_px), jnp.asarray(w),
+        jnp.asarray(cam_fixed), focal0=750.0)
+    assert abs(f - 1000.0) / 1000.0 < 0.01, f
+    assert float(st.cost) < 1e-4
