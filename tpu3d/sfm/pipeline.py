@@ -663,6 +663,7 @@ def run_reconstruction(
         # Canonicalize track ids (unions may have merged since creation).
         for e in reg.edges:
             e.track = ts.resolve(e.track)
+    pending = _symmetrize_weak_registrations(pending, feats, verbose)
     # Fixpoint retry: an image whose references register later in the pass
     # (or whose anchor tracks get triangulated later) succeeds on a
     # subsequent round — the matching-stage order is similarity-driven, not
@@ -726,6 +727,57 @@ def run_reconstruction(
               + " calls: " + _json.dumps(engine.counters),
               flush=True)
     return rec
+
+
+def _symmetrize_weak_registrations(registrations, feats,
+                                   verbose: bool, weak_total: int = 100):
+    """Mine REVERSE edges for images the BFS left weakly anchored.
+
+    The matching BFS attaches each accepted edge to the LATER-visited
+    endpoint, so an image reached early through one weak edge can sit on a
+    single 11-match anchor while its strong edges (hundreds of inliers)
+    live on its neighbours' records pointing back at it (measured: img 225
+    anchored on 11 matches while edges (224,225)/(225,226) carried 619/955
+    front inliers on the neighbours' side — unregistrable as stored).
+    For every image whose own edges total < weak_total matches, reversed
+    copies of the strongest incoming edges are appended up to MAX_REFS."""
+    by_img = {r.img: r for r in registrations}
+    incoming: Dict[int, list] = {}
+    for r in registrations:
+        for e in r.edges:
+            incoming.setdefault(e.ref_img, []).append((r.img, e))
+    out = list(registrations)
+    for j, inc in incoming.items():
+        reg = by_img.get(j)
+        own = sum(len(e.idx_new) for e in reg.edges) if reg else 0
+        if own >= weak_total:
+            continue
+        have = {e.ref_img for e in reg.edges} if reg else set()
+        inc = sorted(inc, key=lambda t: -len(t[1].idx_new))
+        added = 0
+        for other, e in inc:
+            if other in have or (reg and len(reg.edges) >= MAX_REFS):
+                continue
+            rev = EdgeObservations(
+                ref_img=other,
+                idx_ref=e.idx_new, idx_new=e.idx_ref, track=e.track,
+                uv_ref=e.uv_new, uv_new=e.uv_ref,
+                colors_ref=feats.colors_bgr[other][e.idx_ref],
+                rel_R=(None if e.rel_R is None else np.asarray(e.rel_R).T),
+                rel_t=(None if e.rel_R is None
+                       else -np.asarray(e.rel_R).T @ np.asarray(e.rel_t)),
+            )
+            if reg is None:
+                reg = ImageRegistration(img=j, edges=[])
+                by_img[j] = reg
+                out.append(reg)
+            reg.edges.append(rev)
+            have.add(other)
+            added += 1
+        if added and verbose:
+            print(f"[sfm] img {j}: +{added} reverse edges "
+                  f"(own anchors {own} matches)", flush=True)
+    return out
 
 
 def _edge_consistency_gate(
