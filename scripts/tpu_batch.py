@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--model", default="plenoxel",
                     choices=["plenoxel", "sdf", "both"])
     ap.add_argument("--coarse-epochs", type=int, default=0)
+    ap.add_argument("--exposure", action="store_true",
+                    help="per-train-image exposure latents in the dense stage")
+    ap.add_argument("--extract-probe", action="store_true",
+                    help="run benchmarks/extract_probe.py first")
     ap.add_argument("--ba-bench", action="store_true",
                     help="run benchmarks/ba_bench.py first (BA solver + transfer probe)")
     ap.add_argument("--match-probe", action="store_true",
@@ -63,6 +67,12 @@ def main():
 
         sys.argv = ["match_block_probe"]
         importlib.import_module("benchmarks.match_block_probe").main()
+    if args.extract_probe:
+        stamp("extract_probe")
+        import importlib
+
+        sys.argv = ["extract_probe"]
+        importlib.import_module("benchmarks.extract_probe").main()
     if args.bench:
         stamp("bench.py")
         import bench
@@ -88,6 +98,8 @@ def main():
                 dense.append("--occupancy")
             if args.hierarchical:
                 dense.append("--hierarchical")
+            if args.exposure:
+                dense.append("--exposure")
             cli.main(dense)
         if args.tv:
             tv_s, tv_c = args.tv.split(",")

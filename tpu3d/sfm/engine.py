@@ -1192,26 +1192,27 @@ class IncrementalSfM:
         err = np.linalg.norm(r, axis=-1) * self.focal
         return float(err.mean()), len(err)
 
-    def deregister_weak_cameras(self, min_obs: int = 8, max_median_px: float = 8.0) -> int:
+    def deregister_weak_cameras(self, min_obs: int = 8, max_median_px: float = 8.0):
         """Drop cameras whose surviving observation support is too thin or
         too inconsistent. A camera placed at a wrong scale (fallback gone
         bad) ends up with its anchor observations pruned — internally
         consistent but teleported relative to the main component. Better to
-        report it unregistered than to ship a wrong pose."""
+        report it unregistered than to ship a wrong pose.
+        Returns the list of dropped image ids (empty list = none)."""
         prob = self._gather_global_problem()
         if prob is None:
-            return 0
+            return []
         cam_slots, cam_idx, uniq_tracks, pt_idx, uv, keys = prob
         r = self._padded_residuals(cam_slots, cam_idx, uniq_tracks, pt_idx, uv)
         err = np.linalg.norm(r, axis=-1) * self.focal
-        dropped = 0
+        dropped = []
         for ci, img in enumerate(cam_slots):
             sel = cam_idx == ci
             n = int(sel.sum())
             if n < min_obs or (n and float(np.median(err[sel])) > max_median_px):
                 self.has_cam[img] = False
                 self.num_registered -= 1
-                dropped += 1
+                dropped.append(int(img))
                 self.obs_valid[keys[np.nonzero(sel)[0]]] = 0
         if dropped:
             # Tracks that lost support down to <2 observations die with them.
@@ -1220,12 +1221,40 @@ class IncrementalSfM:
             self.point_valid &= counts[: len(self.point_valid)] >= 2
         return dropped
 
-    def finalize(self, image_names: Sequence[str]) -> Reconstruction:
+    def finalize(self, image_names: Sequence[str],
+                 registrations: Optional[Sequence[ImageRegistration]] = None,
+                 verbose: bool = False) -> Reconstruction:
         if self.cfg.run_global_ba:
             self.global_ba(final=True)
             dropped = self.deregister_weak_cameras()
+            if dropped and verbose:
+                print(f"[sfm] finalize dropped weak cameras: {dropped}",
+                      flush=True)
             if dropped:
                 self.global_ba(final=True)
+                if registrations is not None:
+                    # One fresh attempt against the re-refined cloud: a
+                    # camera that was dropped for thin support often
+                    # re-registers cleanly once the BA has absorbed the
+                    # pruning (measured: 14 finalize-drops on the full
+                    # dataset, most with strong edges).
+                    by_img = {r.img: r for r in registrations}
+                    retry = [by_img[i] for i in dropped if i in by_img]
+                    if retry:
+                        infos = self.register_batch(retry)
+                        back = [i["img"] for i in infos
+                                if i.get("status") == "registered"]
+                        if back:
+                            if verbose:
+                                print(f"[sfm] finalize re-registered: {back}",
+                                      flush=True)
+                            self.global_ba(final=True)
+                            dropped2 = self.deregister_weak_cameras()
+                            if dropped2:
+                                if verbose:
+                                    print("[sfm] finalize re-dropped: "
+                                          f"{dropped2}", flush=True)
+                                self.global_ba(final=True)
         mean_err, n_obs = self.mean_reprojection_error()
         track_ids = np.flatnonzero(self.point_valid)
         registered = np.flatnonzero(self.has_cam)

@@ -715,7 +715,8 @@ def run_reconstruction(
         if dropped and adj:
             _rescue_pass(engine, feats, ts, adj, cfg, verbose, seed + 1,
                          rounds=3, deregister_round=99)
-    rec = engine.finalize(feats.names)
+    rec = engine.finalize(feats.names, registrations=registrations,
+                          verbose=verbose)
     global LAST_SFM_TIMERS
     LAST_SFM_TIMERS = {**{k: round(v, 2) for k, v in engine.timers.items()},
                        "calls": dict(engine.counters)}
@@ -877,7 +878,8 @@ def _rescue_pass(engine, feats, ts, adj, cfg, verbose: bool, seed: int = 3,
         if rescue_round == deregister_round:
             dropped = engine.deregister_weak_cameras()
             if dropped and verbose:
-                print(f"[sfm] deregistered {dropped} weak cameras mid-rescue", flush=True)
+                print(f"[sfm] deregistered {len(dropped)} weak cameras "
+                      f"mid-rescue: {dropped}", flush=True)
         todo = [v for v in range(len(feats.names)) if not engine.has_cam[v]]
         ref_sets = {
             v: [r for r in adj.get(v, []) if engine.has_cam[r]][: MAX_REFS]
