@@ -67,6 +67,27 @@ def cmd_extract(args):
     if args.limit:
         names = names[: args.limit]
     t0 = time.time()
+    import jax
+
+    if jax.process_count() > 1:
+        # Multi-host data parallelism for stage 1: each process extracts a
+        # contiguous image shard on its local devices; process 0 merges the
+        # shards through the shared artifact store (the reference is
+        # single-device — SURVEY §2.2 parallelism table, DP row).
+        from tpu3d.io.artifacts import merge_feature_shards, save_feature_shard
+
+        pid, nproc = jax.process_index(), jax.process_count()
+        per = -(-len(names) // nproc)
+        shard_names = names[pid * per : (pid + 1) * per]
+        feats = run_extraction(args.images, cfg, shard_names, args.downscale,
+                               verbose=not args.quiet)
+        save_feature_shard(args.artifacts, pid, feats)
+        if pid == 0:
+            merge_feature_shards(args.artifacts, nproc, names,
+                                 args.downscale, t0)
+            print(f"extracted {len(names)} images on {nproc} processes in "
+                  f"{time.time() - t0:.1f}s -> {args.artifacts}/features.npz")
+        return
     feats = run_extraction(args.images, cfg, names, args.downscale, verbose=not args.quiet)
     store = ArtifactStore(args.artifacts)
     store.save(

@@ -51,3 +51,46 @@ class ArtifactStore:
             return None
         with open(p) as f:
             return json.load(f)
+
+
+def save_feature_shard(root: str, pid: int, feats) -> None:
+    """One process's extraction shard (multi-host DP extraction). A
+    temp-file rename makes the shard's appearance atomic for the merger's
+    poll loop."""
+    store = ArtifactStore(root)
+    tmp = store._path(f"features_shard{pid}.tmp")
+    np.savez(tmp,
+             keypoints=feats.keypoints, keypoints_px=feats.keypoints_px,
+             descriptors=feats.descriptors, valid=feats.valid,
+             colors_bgr=feats.colors_bgr, image_size=feats.image_size)
+    os.replace(tmp, store._path(f"features_shard{pid}"))
+
+
+def merge_feature_shards(root: str, nproc: int, names, downscale: int,
+                         t0: float, timeout_s: float = 1800.0) -> None:
+    """Process 0 waits for every shard file and concatenates them into the
+    canonical features artifact (deleting the shards). The shared
+    filesystem is the cross-host interchange — the multi-host analog of
+    the reference's output/ directory protocol (SURVEY §1)."""
+    import time as _time
+
+    store = ArtifactStore(root)
+    deadline = _time.time() + timeout_s
+    paths = [store._path(f"features_shard{p}") for p in range(nproc)]
+    while not all(os.path.exists(p) for p in paths):
+        if _time.time() > deadline:
+            missing = [p for p in paths if not os.path.exists(p)]
+            raise TimeoutError(f"extraction shards never appeared: {missing}")
+        _time.sleep(0.2)
+    parts = []
+    for p in paths:
+        with np.load(p, allow_pickle=False) as z:
+            parts.append({k: z[k] for k in z.files})
+    merged = {k: np.concatenate([s[k] for s in parts]) for k in parts[0]}
+    store.save("features", **merged)
+    store.save_json("features_meta", {"names": list(names),
+                                      "downscale": downscale,
+                                      "n_processes": nproc,
+                                      "seconds": _time.time() - t0})
+    for p in paths:
+        os.remove(p)
