@@ -73,6 +73,9 @@ def main():
 
         sys.argv = ["extract_probe"]
         importlib.import_module("benchmarks.extract_probe").main()
+        stamp("extract_phase_probe")
+        sys.argv = ["extract_phase_probe"]
+        importlib.import_module("benchmarks.extract_phase_probe").main()
     if args.bench:
         stamp("bench.py")
         import bench
