@@ -79,3 +79,34 @@ def test_sample_colors(rng):
     xi = np.clip(np.round(kp[:, 0]).astype(int), 0, 255)
     yi = np.clip(np.round(kp[:, 1]).astype(int), 0, 255)
     np.testing.assert_array_equal(colors[0], rgb[yi, xi])
+
+
+def test_topk_threshold_matches_topk_set(rng):
+    """_topk_threshold must select the same SET as lax.top_k on an NMS-like
+    sparse score map (the TPU sort-free path must not change features)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.features.detector import _topk_threshold
+
+    B, N, k = 3, 50_000, 256
+    flat = np.zeros((B, N), np.float32)
+    for b in range(B):
+        nz = rng.choice(N, 2000, replace=False)
+        flat[b, nz] = rng.uniform(1e-4, 1.0, 2000).astype(np.float32)
+    vals_t, idx_t = jax.jit(_topk_threshold, static_argnames="k")(
+        jnp.asarray(flat), k=k)
+    vals_r, idx_r = jax.lax.top_k(jnp.asarray(flat), k)
+    vals_t, idx_t = np.asarray(vals_t), np.asarray(idx_t)
+    vals_r, idx_r = np.asarray(vals_r), np.asarray(idx_r)
+    for b in range(B):
+        sel_t = set(idx_t[b][vals_t[b] > 0].tolist())
+        sel_r = set(idx_r[b][vals_r[b] > 0].tolist())
+        assert sel_t == sel_r
+    # sparse case: fewer nonzeros than k -> all survive, rest zero-filled
+    flat2 = np.zeros((1, N), np.float32)
+    flat2[0, [5, 77, 1234]] = [0.5, 0.2, 0.9]
+    v, i = jax.jit(_topk_threshold, static_argnames="k")(jnp.asarray(flat2), k=8)
+    v, i = np.asarray(v), np.asarray(i)
+    assert set(i[0][v[0] > 0].tolist()) == {5, 77, 1234}
+    assert (v[0] > 0).sum() == 3

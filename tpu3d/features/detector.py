@@ -120,6 +120,39 @@ def _subpixel_offsets(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.n
     return jnp.clip(jnp.stack([off_s, off_y, off_x], axis=-1), -0.6, 0.6)
 
 
+def _topk_threshold(flat: jnp.ndarray, k: int):
+    """Exact top-k SET selection without a sort.
+
+    `lax.top_k` over a (B, ~2M) score map lowers to a full TPU sort — the
+    dominant cost of octave detection. NMS'd score maps are ~99.9% zeros,
+    so: per-image binary search for the threshold whose exceedance count is
+    <= k (26 memory-bound reduction passes), then static-size nonzero
+    compaction of the survivors. Returns (vals, idx) with zero-filled empty
+    slots — the same SET as top_k (selection order differs: ascending index
+    instead of descending score; every consumer is order-independent, and
+    the frontend's cross-octave merge re-top-ks over 4*K candidates
+    anyway). Distinct float scores => set-exact; equal scores straddling
+    the k-boundary can drop a tied element (negligible at k=2048)."""
+    B, N = flat.shape
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        cnt = jnp.sum(flat > mid[:, None], axis=1)
+        take_hi = cnt > k
+        return jnp.where(take_hi, mid, lo), jnp.where(take_hi, hi, mid)
+
+    lo = jnp.zeros((B,), flat.dtype)
+    hi = jnp.max(flat, axis=1)
+    lo, hi = jax.lax.fori_loop(0, 26, body, (lo, hi))
+    flag = flat > hi[:, None]
+    idx = jax.vmap(lambda f: jnp.nonzero(f, size=k, fill_value=0)[0])(flag)
+    vals = jnp.take_along_axis(flat, idx, axis=1)
+    n = jnp.sum(flag, axis=1)
+    slot_valid = jnp.arange(k)[None, :] < n[:, None]
+    return jnp.where(slot_valid, vals, 0.0), idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "contrast_threshold", "edge_threshold", "nms_radius"))
 def detect_octave(
     dog: jnp.ndarray,
@@ -152,7 +185,12 @@ def detect_octave(
     score = score * bm[None, None]
 
     flat = score.reshape(B, -1)
-    vals, idx = jax.lax.top_k(flat, k)
+    if jax.default_backend() == "tpu" and flat.shape[1] > (1 << 17):
+        # Same selected set as top_k; avoids the full-array TPU sort (see
+        # _topk_threshold). Small maps keep top_k (sort cost negligible).
+        vals, idx = _topk_threshold(flat, k)
+    else:
+        vals, idx = jax.lax.top_k(flat, k)
     s_idx = idx // (H * W)
     rem = idx % (H * W)
     y_idx = rem // W
