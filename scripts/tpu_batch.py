@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--coarse-epochs", type=int, default=0)
     ap.add_argument("--exposure", action="store_true",
                     help="per-train-image exposure latents in the dense stage")
+    ap.add_argument("--sh-background", action="store_true",
+                    help="learnable SH background in the dense stage")
     ap.add_argument("--extract-probe", action="store_true",
                     help="run benchmarks/extract_probe.py first")
     ap.add_argument("--ba-bench", action="store_true",
@@ -103,6 +105,8 @@ def main():
                 dense.append("--hierarchical")
             if args.exposure:
                 dense.append("--exposure")
+            if args.sh_background:
+                dense.append("--sh-background")
             cli.main(dense)
         if args.tv:
             tv_s, tv_c = args.tv.split(",")

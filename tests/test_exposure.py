@@ -121,3 +121,87 @@ def test_exposure_off_is_unchanged(rng):
                             verbose=False, log_every=1)
     np.testing.assert_array_equal(np.asarray(g1.grid), np.asarray(g2.grid))
     assert l1 == l2
+
+
+def _ball_scene_bg(rng, bg_color, n_rays=2048):
+    res = 32
+    coords = np.stack(np.meshgrid(*[np.linspace(-1, 1, res)] * 3, indexing="ij"), -1)
+    inside = (np.linalg.norm(coords, axis=-1) < 0.4).astype(np.float32)
+    g = np.zeros((res, res, res, 28), np.float32)
+    g[..., 0] = inside * 50.0
+    g[..., 1] = inside * 0.8 / 0.282095
+    gt_grid = VoxelGrid(jnp.asarray(g), jnp.asarray([-1.0, -1, -1]),
+                        jnp.asarray([1.0, 1, 1]))
+    o = rng.normal(0, 1, (n_rays, 3)).astype(np.float32)
+    o = 3.0 * o / np.linalg.norm(o, axis=1, keepdims=True)
+    # aim at scattered targets so a good fraction of rays MISS the opaque
+    # ball and see the background through the (empty) grid volume
+    targets = rng.uniform(-0.9, 0.9, (n_rays, 3)).astype(np.float32)
+    d = targets - o
+    d = (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(np.float32)
+    bg = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (n_rays, 3))
+    gt = np.asarray(render_rays(gt_grid, jax.random.PRNGKey(1),
+                                jnp.asarray(o), jnp.asarray(d),
+                                near=1.0, far=5.0, n_samples=64,
+                                perturb=False, bg=bg))
+    return o, d, gt.astype(np.float32)
+
+
+def test_sh_background_learns_sky_color(rng):
+    """Frozen ground-truth grid (lr 0), GT rays composited over a non-white
+    background: only the SH background latent can explain the residual, and
+    its DC term must recover the color. (A jointly-trained grid can fake a
+    CONSTANT background with fog voxels instead — that failure mode is what
+    DenseConfig.sparsity_sigma exists for on real scenes.)"""
+    import optax
+
+    from tpu3d.dense.train import init_background
+
+    bg_color = (0.3, 0.5, 0.8)
+    o, d, rgb = _ball_scene_bg(rng, bg_color, n_rays=1024)
+    res = 32
+    coords = np.stack(np.meshgrid(*[np.linspace(-1, 1, res)] * 3, indexing="ij"), -1)
+    inside = (np.linalg.norm(coords, axis=-1) < 0.4).astype(np.float32)
+    g = np.zeros((res, res, res, 28), np.float32)
+    g[..., 0] = inside * 50.0
+    g[..., 1] = inside * 0.8 / 0.282095
+    grid = VoxelGrid(jnp.asarray(g), jnp.asarray([-1.0, -1, -1]),
+                     jnp.asarray([1.0, 1, 1]))
+    cfg = DenseConfig(grid_resolution=res, num_samples=64, near=1.0, far=5.0,
+                      scene_scale=1.0, batch_size=1024, epochs=1,
+                      learning_rate=0.0, sh_background=True,
+                      background_lr=5e-2)
+    opt = optax.adam(cfg.learning_rate)
+    step = make_train_step(cfg, opt)
+    state = TrainState(grid, opt.init(grid.grid), jnp.asarray(0),
+                       None, init_background())
+    key = jax.random.PRNGKey(0)
+    loss0 = None
+    for i in range(200):
+        key, k = jax.random.split(key)
+        state, loss = step(state, k, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(rgb))
+        if loss0 is None:
+            loss0 = float(loss)
+    assert float(loss) < loss0 * 0.05, (float(loss), loss0)
+    dc_color = np.asarray(state.background[0])[:, 0] * 0.282095
+    np.testing.assert_allclose(dc_color, bg_color, atol=0.06)
+
+
+def test_sh_background_off_unchanged(rng):
+    o, d, rgb, cam_ids, _ = _ball_scene(rng, n_rays=512)
+    cfg = DenseConfig(grid_resolution=32, num_samples=32, near=1.0, far=5.0,
+                      scene_scale=1.0, batch_size=256, epochs=2,
+                      learning_rate=1e-1, scan_chunk=2)
+    g1, l1 = train_plenoxel(RayDataset(o, d, rgb), cfg, verbose=False, log_every=1)
+    from tpu3d.dense.train import LAST_TRAIN_AUX
+    assert LAST_TRAIN_AUX["background"] is None
+    # composite with bg=None + white_bg must be the historical behavior
+    from tpu3d.dense.render import composite
+    sig = jnp.asarray(rng.uniform(0, 2, (8, 16)).astype(np.float32))
+    col = jnp.asarray(rng.uniform(0, 1, (8, 16, 3)).astype(np.float32))
+    z = jnp.cumsum(jnp.asarray(rng.uniform(0.01, 0.1, (8, 16)).astype(np.float32)), axis=1)
+    white = np.asarray(composite(sig, col, z, white_bg=True))
+    via_bg = np.asarray(composite(sig, col, z, white_bg=True,
+                                  bg=jnp.ones((8, 3))))
+    np.testing.assert_allclose(white, via_bg, atol=1e-6)

@@ -244,7 +244,8 @@ def cmd_densify(args):
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
         tv_sigma=args.tv_sigma, tv_sh=args.tv_sh,
-        coarse_epochs=args.coarse_epochs, exposure=args.exposure))
+        coarse_epochs=args.coarse_epochs, exposure=args.exposure,
+        sh_background=args.sh_background))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
@@ -267,9 +268,14 @@ def cmd_densify(args):
     else:
         grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
                                       checkpoint_store=ck_store, resume=args.resume)
+    from tpu3d.dense.train import LAST_TRAIN_AUX
+
+    bg_sh = LAST_TRAIN_AUX.get("background")
     if not args.no_checkpoint:
+        extra = {} if bg_sh is None else {"bg_sh": bg_sh}
         store.save("dense_grid", grid=np.asarray(grid.grid),
-                   min_bound=np.asarray(grid.min_bound), max_bound=np.asarray(grid.max_bound))
+                   min_bound=np.asarray(grid.min_bound),
+                   max_bound=np.asarray(grid.max_bound), **extra)
     # Compact mesh-ready grid (density + per-color SH DC, f16): the full
     # 28-channel grid is 1.9 GB at 256^3 — minutes over the tunnel; these
     # 4 channels feed `cli mesh` (marching tetrahedra surface export).
@@ -293,7 +299,8 @@ def cmd_densify(args):
            "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
     if len(test_idx):
         ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx], focal, dcfg,
-                            norm, stride=2, max_views=args.max_eval_views)
+                            norm, stride=2, max_views=args.max_eval_views,
+                            bg_sh=bg_sh)
         out.update(test_psnr=ev["mean_psnr"],
                    test_psnr_per_view=[round(p, 2) for p in ev["per_view"]],
                    test_psnr_calibrated=ev["mean_psnr_calibrated"])
@@ -551,6 +558,9 @@ def main(argv=None):
                    help="occupancy-pruned marching (dense/occupancy.py)")
     p.add_argument("--iso", type=float, default=0.0,
                    help="mesh: density iso level (0 = auto from the density distribution)")
+    p.add_argument("--sh-background", action="store_true",
+                   help="learnable view-directional SH background (outdoor "
+                        "sky; replaces the hard white background)")
     p.add_argument("--exposure", action="store_true",
                    help="per-train-image exposure latents (3 log-gains, "
                         "jointly optimized — outdoor auto-exposure varies "

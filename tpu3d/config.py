@@ -256,6 +256,15 @@ class DenseConfig:
     # half-image-calibrated PSNR (dense/eval.py).
     exposure: bool = False
     exposure_lr: float = 1e-2
+    # Learnable view-directional background (3 x 9 SH coefficients,
+    # initialized to white): the reference composites residual
+    # transmittance over hard white (sdf.py:402, plenoxel.py:93), but an
+    # outdoor sky is neither white nor constant — the grid then wastes
+    # density on "sky fog" and every sky pixel pays (1-sky)^2 MSE. Jointly
+    # optimized like the exposure latents; rendering/eval use the learned
+    # coefficients.
+    sh_background: bool = False
+    background_lr: float = 1e-2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -52,12 +52,14 @@ def view_rays(cam: np.ndarray, H: int, W: int, focal: float,
 
 def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
                 cfg: DenseConfig, norm: Optional[SceneNormalization] = None,
-                stride: int = 1, chunk: int = 8192) -> np.ndarray:
+                stride: int = 1, chunk: int = 8192,
+                bg_sh: Optional[np.ndarray] = None) -> np.ndarray:
     """Render one full camera view. Returns (H', W', 3) float in [0, 1]."""
     ro, rd = view_rays(cam, H, W, focal, norm, stride)
     img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro), jnp.asarray(rd),
                        cfg.near, cfg.far, cfg.num_samples, chunk=chunk,
-                       clip_aabb=cfg.per_ray_aabb)
+                       clip_aabb=cfg.per_ray_aabb,
+                       bg_sh=None if bg_sh is None else jnp.asarray(bg_sh))
     h = len(range(0, H, stride))
     w = len(range(0, W, stride))
     return np.asarray(img).reshape(h, w, 3)
@@ -78,7 +80,8 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
                    focal: float, cfg: DenseConfig,
                    norm: Optional[SceneNormalization] = None,
                    stride: int = 2, chunk: int = 8192,
-                   max_views: int = 0) -> dict:
+                   max_views: int = 0,
+                   bg_sh: Optional[np.ndarray] = None) -> dict:
     """PSNR of rendered vs ground-truth photographs for the given cameras.
 
     Reports both raw PSNR (canonical exposure vs the photo as shot) and
@@ -91,7 +94,8 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
     renders = []
     H, W = images_rgb.shape[1:3]
     for m in range(n):
-        pred = render_view(grid, cams[m], H, W, focal, cfg, norm, stride, chunk)
+        pred = render_view(grid, cams[m], H, W, focal, cfg, norm, stride,
+                           chunk, bg_sh=bg_sh)
         gt = images_rgb[m, ::stride, ::stride].astype(np.float32) / 255.0
         gt = gt[: pred.shape[0], : pred.shape[1]]
         per_view.append(psnr(pred, gt))

@@ -18,15 +18,23 @@ from tpu3d.dense.grid import VoxelGrid, query
 from tpu3d.dense.sdf import SDFGrid, query_sdf_sh, ray_aabb, sample_pdf, sample_stratified
 
 
-def composite(sigma: jnp.ndarray, rgb: jnp.ndarray, z: jnp.ndarray, white_bg: bool = True) -> jnp.ndarray:
-    """sigma: (N, S), rgb: (N, S, 3), z: (N, S) sorted depths -> (N, 3)."""
+def composite(sigma: jnp.ndarray, rgb: jnp.ndarray, z: jnp.ndarray, white_bg: bool = True,
+              bg=None) -> jnp.ndarray:
+    """sigma: (N, S), rgb: (N, S, 3), z: (N, S) sorted depths -> (N, 3).
+
+    bg: optional per-ray background color (N, 3) (or broadcastable) that
+    replaces the white background — residual transmittance composites over
+    it (the learnable view-directional sky of DenseConfig.sh_background;
+    the reference hard-codes white, sdf.py:402/plenoxel.py:93)."""
     delta = jnp.concatenate([z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1)
     alpha = 1.0 - jnp.exp(-sigma * delta)
     trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
     trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
     w = (trans * alpha)[..., None]
     c = jnp.sum(w * rgb, axis=1)
-    if white_bg:
+    if bg is not None:
+        c = c + (1.0 - jnp.sum(w, axis=(1, 2)))[..., None] * bg
+    elif white_bg:
         c = c + 1.0 - jnp.sum(w, axis=(1, 2))[..., None]
     return c
 
@@ -68,6 +76,7 @@ def render_rays(
     clip_aabb: bool = False,
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
+    bg: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Plenoxel-style [near, far] rendering (ref plenoxel.py:71-93).
     clip_aabb=True additionally intersects each ray's band with the grid
@@ -86,7 +95,7 @@ def render_rays(
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
-    return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg)
+    return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb"))
@@ -98,6 +107,7 @@ def render_rays_aabb(
     n_samples: int = 160,
     white_bg: bool = True,
     perturb: bool = True,
+    bg: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SDF-grid rendering with per-ray AABB bounds (ref sdf.py:391-406).
     Invalid (non-intersecting) rays are masked, not filtered — returns
@@ -109,7 +119,7 @@ def render_rays_aabb(
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     sigma, rgb = query_sdf_sh(sg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
-    out = composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg)
+    out = composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
     return out, valid
 
 
@@ -128,6 +138,7 @@ def render_rays_hierarchical(
     clip_aabb: bool = False,
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
+    bg: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Two-pass hierarchical rendering (NeRF coarse→fine; the reference
     COMPUTES importance samples then throws them away, sdf.py:248-252 —
@@ -162,7 +173,7 @@ def render_rays_hierarchical(
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
     S = n_coarse + n_fine
-    return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg)
+    return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg, bg)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes"))
@@ -182,6 +193,7 @@ def render_rays_packed(
     clip_aabb: bool = False,
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
+    bg: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """render_rays via the Pallas box-DMA sampler (kernels/trilinear.py) —
     ~5x over the XLA gather on a v5e for the full-grid access pattern.
@@ -204,7 +216,7 @@ def render_rays_packed(
     sigma = jax.nn.relu(vals[:, 0]) * in_b
     k = vals[:, 1:28].reshape(-1, 3, 9)
     rgb = eval_sh(k, dirs) * in_b[:, None]
-    return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg)
+    return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
 
 
 def _query_packed_diff(packed, min_bound, max_bound, res, pts, dirs, interpret):
@@ -238,6 +250,7 @@ def render_rays_packed_diff(
     interpret: bool = False,
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
+    bg: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """render_rays with BOTH passes of the Pallas kernel pair — the
     TRAINING path on the packed layout (vs render_rays_packed, which is
@@ -256,7 +269,7 @@ def render_rays_packed_diff(
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
                                     pts.reshape(-1, 3), dirs, interpret)
-    return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg)
+    return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "n_coarse", "n_fine", "white_bg",
@@ -279,6 +292,7 @@ def render_rays_hierarchical_packed(
     interpret: bool = False,
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
+    bg: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Hierarchical packed-layout training render. The coarse pass feeds
     only the stop-gradiented importance weights, so it uses the
@@ -309,7 +323,7 @@ def render_rays_hierarchical_packed(
     sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
                                     pts.reshape(-1, 3), dirs, interpret)
     S = n_coarse + n_fine
-    return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg)
+    return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg, bg)
 
 
 def render_image(
@@ -326,13 +340,16 @@ def render_image(
     occ_prune: bool = False,
     occ_factor: int = 4,
     occ_threshold: float = 0.5,
+    bg_sh: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Chunked full-image render (ref plenoxel.py:46-61 `test`). Padding to
     a whole number of chunks keeps one compiled shape. On TPU backends the
     Pallas box-DMA sampler is used automatically (use_pallas overrides).
     occ_prune=True tightens every ray's band to occupied space first
     (dense/occupancy.py) — the trained grid is frozen here, so pruning is
-    computed once for the whole image."""
+    computed once for the whole image. bg_sh: learned (3, 9) background SH
+    coefficients (DenseConfig.sh_background) — residual transmittance
+    composites over the view-directional sky instead of white."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     occ = None
@@ -352,15 +369,19 @@ def render_image(
         res = vg.grid.shape[:3]
     outs = []
     for s in range(0, n + pad, chunk):
+        rd_c = rd[s : s + chunk]
+        bg = None if bg_sh is None else eval_sh(
+            jnp.broadcast_to(bg_sh, (rd_c.shape[0], 3, 9)), rd_c)
         if packed is not None:
             outs.append(render_rays_packed(
                 packed, vg.min_bound, vg.max_bound, res, key,
-                ro[s : s + chunk], rd[s : s + chunk], near, far, n_samples,
-                clip_aabb=clip_aabb, occ=occ,
+                ro[s : s + chunk], rd_c, near, far, n_samples,
+                clip_aabb=clip_aabb, occ=occ, bg=bg,
             ))
         else:
             outs.append(
-                render_rays(vg, key, ro[s : s + chunk], rd[s : s + chunk], near, far,
-                            n_samples, perturb=False, clip_aabb=clip_aabb, occ=occ)
+                render_rays(vg, key, ro[s : s + chunk], rd_c, near, far,
+                            n_samples, perturb=False, clip_aabb=clip_aabb,
+                            occ=occ, bg=bg)
             )
     return jnp.concatenate(outs)[:n]

@@ -128,6 +128,22 @@ def auto_near_far(cams: np.ndarray, points: np.ndarray,
     return near, max(far, near + 1e-2)
 
 
+# Aux outputs of the most recent train_plenoxel/train_sdf call (learned
+# background SH coefficients + exposure gains) — consumed by the CLI for
+# eval/render without changing the (grid, losses) return contract.
+LAST_TRAIN_AUX: Dict[str, object] = {}
+
+
+def _publish_aux(state) -> None:
+    LAST_TRAIN_AUX.clear()
+    LAST_TRAIN_AUX.update(
+        background=(None if state.background is None
+                    else np.asarray(state.background[0])),
+        exposure=(None if state.exposure is None
+                  else np.asarray(state.exposure[0])),
+    )
+
+
 def _lr_schedule(cfg: DenseConfig, steps_per_epoch: int) -> optax.Schedule:
     boundaries = {m * steps_per_epoch: cfg.lr_gamma for m in cfg.lr_milestones}
     return optax.piecewise_constant_schedule(cfg.learning_rate, boundaries)
@@ -141,10 +157,30 @@ class TrainState(NamedTuple):
     # Adam v]; None when DenseConfig.exposure is off (keeps every existing
     # step bit-identical).
     exposure: Optional[jnp.ndarray] = None
+    # View-directional background SH, stacked (3, 3, 9) = [coeffs, Adam m,
+    # Adam v]; None when DenseConfig.sh_background is off.
+    background: Optional[jnp.ndarray] = None
 
 
 def init_exposure(n_cams: int) -> jnp.ndarray:
     return jnp.zeros((3, n_cams, 3), jnp.float32)
+
+
+def init_background() -> jnp.ndarray:
+    """(3, 3, 9) [coeffs, m, v], coefficients initialized to WHITE (DC
+    1/C0) so switching sh_background on starts exactly at the white-bg
+    behavior and learns away from it."""
+    g = jnp.zeros((3, 9), jnp.float32).at[:, 0].set(1.0 / 0.282095)
+    return jnp.stack([g, jnp.zeros_like(g), jnp.zeros_like(g)])
+
+
+def _ray_background(bg_sh: Optional[jnp.ndarray], rd: jnp.ndarray):
+    """Per-ray background colors from (3, 9) SH coeffs (None passthrough)."""
+    if bg_sh is None:
+        return None
+    from tpu3d.dense.grid import eval_sh
+
+    return eval_sh(jnp.broadcast_to(bg_sh, (rd.shape[0], 3, 9)), rd)
 
 
 def _exposure_apply(pred: jnp.ndarray, gains: Optional[jnp.ndarray],
@@ -222,23 +258,35 @@ def _tv_crop_loss_packed(packed: jnp.ndarray, res, key: jax.Array, crop: int,
 
 
 def _split_grads(cfg, state, loss_fn, grid_args, key, rgb, cid):
-    """Joint (grid, exposure-gain) gradients when exposure latents exist;
-    grid-only otherwise (trace-time branch on the pytree structure)."""
-    if state.exposure is not None and cid is not None:
-        loss, (g, g_exp) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            grid_args, state.exposure[0], key, rgb, cid)
-        exposure = _exposure_adam(state.exposure, g_exp, state.step,
+    """Joint (grid, exposure, background) gradients for whichever latents
+    exist; grid-only otherwise (trace-time branch on the pytree
+    structure). loss_fn(grid_args, gains, bg_sh, key, rgb, cid)."""
+    has_exp = state.exposure is not None and cid is not None
+    has_bg = state.background is not None
+    wrt = (0,) + ((1,) if has_exp else ()) + ((2,) if has_bg else ())
+    loss, grads = jax.value_and_grad(loss_fn, argnums=wrt)(
+        grid_args,
+        state.exposure[0] if has_exp else None,
+        state.background[0] if has_bg else None,
+        key, rgb, cid if has_exp else None)
+    grads = (grads,) if not isinstance(grads, tuple) else grads
+    g = grads[0]
+    i = 1
+    exposure, background = state.exposure, state.background
+    if has_exp:
+        exposure = _exposure_adam(state.exposure, grads[i], state.step,
                                   cfg.exposure_lr)
-    else:
-        loss, g = jax.value_and_grad(loss_fn)(grid_args, None, key, rgb, None)
-        exposure = state.exposure
-    return loss, g, exposure
+        i += 1
+    if has_bg:
+        background = _exposure_adam(state.background, grads[i], state.step,
+                                    cfg.background_lr)
+    return loss, g, exposure, background
 
 
 def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     """One jitted plenoxel training step (MSE on a ray batch)."""
 
-    def render_loss(grid_arr, vg_template, key, ro, rd, occ):
+    def render_loss(grid_arr, vg_template, key, ro, rd, occ, bg):
         vg = VoxelGrid(grid_arr, vg_template.min_bound, vg_template.max_bound)
         if cfg.hierarchical:
             from tpu3d.dense.render import render_rays_hierarchical
@@ -246,12 +294,12 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
             return render_rays_hierarchical(
                 vg, key, ro, rd, cfg.near, cfg.far, cfg.n_coarse, cfg.n_fine,
                 cfg.white_background, clip_aabb=cfg.per_ray_aabb,
-                occ=occ, occ_probes=cfg.occupancy_probes,
+                occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
             )
         return render_rays(
             vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background,
             clip_aabb=cfg.per_ray_aabb,
-            occ=occ, occ_probes=cfg.occupancy_probes,
+            occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
         )
 
     # Donating the state is what makes a 256^3 grid fit: grid + Adam
@@ -259,15 +307,16 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     # coexist during the step (plus temporaries) — ResourceExhausted on a
     # 16 GB chip.
     def step_body(state: TrainState, key, ro, rd, rgb, occ=None, cid=None):
-        def loss_fn(grid_arr, gains, key, rgb, cid):
-            pred = render_loss(grid_arr, state.grid, key, ro, rd, occ)
+        def loss_fn(grid_arr, gains, bg_sh, key, rgb, cid):
+            pred = render_loss(grid_arr, state.grid, key, ro, rd, occ,
+                               _ray_background(bg_sh, rd))
             loss = jnp.mean((_exposure_apply(pred, gains, cid) - rgb) ** 2)
             if cfg.tv_sigma or cfg.tv_sh:
                 tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
             return loss
 
-        loss, g, exposure = _split_grads(
+        loss, g, exposure, background = _split_grads(
             cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
@@ -276,6 +325,7 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
             opt_state,
             state.step + 1,
             exposure,
+            background,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -293,23 +343,24 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
     from tpu3d.dense.render import (render_rays_hierarchical_packed,
                                     render_rays_packed_diff)
 
-    def render_pred(packed, minb, maxb, key, ro, rd, occ):
+    def render_pred(packed, minb, maxb, key, ro, rd, occ, bg):
         if cfg.hierarchical:
             return render_rays_hierarchical_packed(
                 packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
                 cfg.n_coarse, cfg.n_fine, cfg.white_background,
                 clip_aabb=cfg.per_ray_aabb, interpret=interpret,
-                occ=occ, occ_probes=cfg.occupancy_probes)
+                occ=occ, occ_probes=cfg.occupancy_probes, bg=bg)
         return render_rays_packed_diff(
             packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
             cfg.num_samples, cfg.white_background,
             clip_aabb=cfg.per_ray_aabb, interpret=interpret,
-            occ=occ, occ_probes=cfg.occupancy_probes)
+            occ=occ, occ_probes=cfg.occupancy_probes, bg=bg)
 
     def step_body(state: TrainState, key, ro, rd, rgb, occ=None, cid=None):
-        def loss_fn(packed, gains, key, rgb, cid):
+        def loss_fn(packed, gains, bg_sh, key, rgb, cid):
             pred = render_pred(packed, state.grid.min_bound,
-                               state.grid.max_bound, key, ro, rd, occ)
+                               state.grid.max_bound, key, ro, rd, occ,
+                               _ray_background(bg_sh, rd))
             loss = jnp.mean((_exposure_apply(pred, gains, cid) - rgb) ** 2)
             if cfg.tv_sigma or cfg.tv_sh:
                 tv_s, tv_c = _tv_crop_loss_packed(
@@ -317,13 +368,13 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
             return loss
 
-        loss, g, exposure = _split_grads(
+        loss, g, exposure, background = _split_grads(
             cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
             VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
-            opt_state, state.step + 1, exposure,
+            opt_state, state.step + 1, exposure, background,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -415,6 +466,8 @@ def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -
     extra = {}
     if state.exposure is not None:
         extra["exposure"] = np.asarray(state.exposure)
+    if state.background is not None:
+        extra["background"] = np.asarray(state.background)
     store.save(
         "dense_ckpt",
         grid=np.asarray(state.grid.grid),
@@ -445,7 +498,9 @@ def load_checkpoint(store, optimizer) -> Optional[Tuple[TrainState, int, List[fl
             restored.append(a)
     opt_state = jax.tree_util.tree_unflatten(treedef, restored)
     exposure = jnp.asarray(data["exposure"]) if "exposure" in data else None
-    state = TrainState(grid, opt_state, jnp.asarray(data["step"]), exposure)
+    background = jnp.asarray(data["background"]) if "background" in data else None
+    state = TrainState(grid, opt_state, jnp.asarray(data["step"]), exposure,
+                       background)
     return state, int(data["epoch"]), list(data["losses"])
 
 
@@ -487,8 +542,9 @@ def train_plenoxel(
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
     exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
             if cfg.exposure and dataset.cam_ids is not None else None)
+    bg0 = init_background() if cfg.sh_background else None
     state = TrainState(VoxelGrid(garr, grid.min_bound, grid.max_bound),
-                       optimizer.init(garr), jnp.asarray(0), exp0)
+                       optimizer.init(garr), jnp.asarray(0), exp0, bg0)
     losses: List[float] = list(pre_losses)
     start_epoch = 0
     if resume and checkpoint_store is not None:
@@ -580,6 +636,7 @@ def train_plenoxel(
                               f"loss {loss_j:.5f} ({rate:.0f} rays/s)", flush=True)
         if checkpoint_store is not None:
             save_checkpoint(checkpoint_store, state, epoch, losses)
+    _publish_aux(state)
     if use_packed:
         return VoxelGrid(unpack_grid(state.grid.grid, orig_shape),
                          state.grid.min_bound, state.grid.max_bound), losses
@@ -602,6 +659,7 @@ def _convert_layout(state: TrainState, use_packed: bool, orig_shape) -> TrainSta
         jax.tree_util.tree_map(conv, state.opt_state),
         state.step,
         state.exposure,
+        state.background,
     )
 
 
@@ -618,11 +676,12 @@ def make_sdf_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransf
     BIG = 1e6
 
     def step_body(state: TrainState, key, ro, rd, rgb, cid=None):
-        def loss_fn(packed, gains, key, rgb, cid):
+        def loss_fn(packed, gains, bg_sh, key, rgb, cid):
             pred = render_rays_packed_diff(
                 packed, state.grid.min_bound, state.grid.max_bound, res, key,
                 ro, rd, 0.0, BIG, cfg.num_samples, cfg.white_background,
-                clip_aabb=True, interpret=interpret)
+                clip_aabb=True, interpret=interpret,
+                bg=_ray_background(bg_sh, rd))
             pred = _exposure_apply(pred, gains, cid)
             _, _, valid = ray_aabb(ro, rd, state.grid.min_bound, state.grid.max_bound)
             w = valid.astype(pred.dtype)[:, None]
@@ -633,13 +692,13 @@ def make_sdf_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransf
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
             return loss
 
-        loss, g, exposure = _split_grads(
+        loss, g, exposure, background = _split_grads(
             cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
             VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
-            opt_state, state.step + 1, exposure,
+            opt_state, state.step + 1, exposure, background,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -655,10 +714,11 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
     from tpu3d.dense.sdf import SDFGrid
 
     def step_body(state: TrainState, key, ro, rd, rgb, cid=None):
-        def loss_fn(grid_arr, gains, key, rgb, cid):
+        def loss_fn(grid_arr, gains, bg_sh, key, rgb, cid):
             sg = SDFGrid(grid_arr, state.grid.min_bound, state.grid.max_bound)
             pred, valid = render_rays_aabb(sg, key, ro, rd, cfg.num_samples,
-                                           cfg.white_background)
+                                           cfg.white_background,
+                                           bg=_ray_background(bg_sh, rd))
             pred = _exposure_apply(pred, gains, cid)
             w = valid.astype(pred.dtype)[:, None]
             loss = jnp.sum(w * (pred - rgb) ** 2) / jnp.maximum(jnp.sum(w) * 3, 1.0)
@@ -667,13 +727,13 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
             return loss
 
-        loss, g, exposure = _split_grads(
+        loss, g, exposure, background = _split_grads(
             cfg, state, loss_fn, state.grid.grid, key, rgb, cid)
         updates, opt_state = optimizer.update(g, state.opt_state, state.grid.grid)
         new_grid = optax.apply_updates(state.grid.grid, updates)
         return TrainState(
             VoxelGrid(new_grid, state.grid.min_bound, state.grid.max_bound),
-            opt_state, state.step + 1, exposure,
+            opt_state, state.step + 1, exposure, background,
         ), loss
 
     step = functools.partial(jax.jit, donate_argnums=(0,))(step_body)
@@ -709,17 +769,19 @@ def train_sdf(
     optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
     exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
             if cfg.exposure and dataset.cam_ids is not None else None)
+    bg0 = init_background() if cfg.sh_background else None
     if use_packed:
         from tpu3d.kernels.trilinear import pack_grid
 
         garr = pack_grid(grid.grid)
         state = TrainState(VoxelGrid(garr, grid.min_bound, grid.max_bound),
-                           optimizer.init(garr), jnp.asarray(0), exp0)
+                           optimizer.init(garr), jnp.asarray(0), exp0, bg0)
         step_fn = make_sdf_train_step_packed(
             cfg, optimizer, orig_shape[:3],
             interpret=jax.default_backend() == "cpu")
     else:
-        state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0), exp0)
+        state = TrainState(grid, optimizer.init(grid.grid), jnp.asarray(0),
+                           exp0, bg0)
         step_fn = make_sdf_train_step(cfg, optimizer)
     losses: List[float] = list(pre_losses)
     chunk = max(int(cfg.scan_chunk), 1)
@@ -766,6 +828,7 @@ def train_sdf(
                         rate = (b + k_steps) * cfg.batch_size / (time.time() - t0)
                         print(f"[sdf] epoch {epoch} step {b + j}/{steps_per_epoch} "
                               f"loss {loss_j:.5f} ({rate:.0f} rays/s)", flush=True)
+    _publish_aux(state)
     if use_packed:
         from tpu3d.kernels.trilinear import unpack_grid
 
