@@ -435,6 +435,7 @@ def cmd_render(args):
     grid = VoxelGrid(jnp.asarray(d["grid"], jnp.float32),
                      jnp.asarray(d["min_bound"], jnp.float32),
                      jnp.asarray(d["max_bound"], jnp.float32))
+    bg_sh = d.get("bg_sh")  # learned SH background, when trained with it
     meta = store.load_json("dense_meta") or {}
     rmeta = store.load_json("reconstruction_meta") or {}
     fmeta = store.load_json("features_meta") or {}
@@ -474,12 +475,12 @@ def cmd_render(args):
                       file=sys.stderr)
                 continue
             img = render_view(grid, cams[v], H, W, focal, dcfg, norm,
-                              stride=args.render_stride)
+                              stride=args.render_stride, bg_sh=bg_sh)
             save(img, f"view_{v:04d}.png")
     if args.orbit > 0:
         for k, cam in enumerate(interpolate_poses(cams, args.orbit)):
             img = render_view(grid, cam, H, W, focal, dcfg, norm,
-                              stride=args.render_stride)
+                              stride=args.render_stride, bg_sh=bg_sh)
             save(img, f"orbit_{k:04d}.png")
     print(json.dumps({
         "frames": len(written), "out": out_dir, "hw": [H, W],
