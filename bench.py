@@ -87,7 +87,11 @@ def main():
         sfm=SfMConfig(
             camera=CameraConfig(focal_length=focal),
             max_tracks=300_000,
-            ransac=RansacConfig(num_hypotheses=512),
+            # 128 hypotheses: quality-flat on this dense-overlap subset
+            # (CPU A/B 512/256/128 -> 0.402/0.397/0.391 px, all 24/24) at
+            # a fraction of the gate/PnP solver work. The full-dataset
+            # default stays 512 for wide-baseline retrieval edges.
+            ransac=RansacConfig(num_hypotheses=128),
             # At 24 images the per-chunk local BA (window 25) already spans
             # the whole scene, so mid-run global BAs are pure dispatch
             # overhead: A/B'd identical quality (24/24 @ 0.404 px CPU,
