@@ -42,6 +42,8 @@ def main():
                     help="per-train-image exposure latents in the dense stage")
     ap.add_argument("--sh-background", action="store_true",
                     help="learnable SH background in the dense stage")
+    ap.add_argument("--sparsity", type=float, default=0.0,
+                    help="Cauchy density-sparsity prior weight")
     ap.add_argument("--extract-probe", action="store_true",
                     help="run benchmarks/extract_probe.py first")
     ap.add_argument("--ba-bench", action="store_true",
@@ -107,6 +109,8 @@ def main():
                 dense.append("--exposure")
             if args.sh_background:
                 dense.append("--sh-background")
+            if args.sparsity:
+                dense.extend(["--sparsity-sigma", str(args.sparsity)])
             cli.main(dense)
         if args.tv:
             tv_s, tv_c = args.tv.split(",")

@@ -205,3 +205,25 @@ def test_sh_background_off_unchanged(rng):
     via_bg = np.asarray(composite(sig, col, z, white_bg=True,
                                   bg=jnp.ones((8, 3))))
     np.testing.assert_allclose(white, via_bg, atol=1e-6)
+
+
+def test_sparsity_prior_kills_fog(rng):
+    """With the Cauchy sparsity prior, training over a non-white background
+    drives fog density down so the bg latent (not fog) explains the sky:
+    post-training, voxels far from the ball stay near-empty."""
+    bg_color = (0.3, 0.5, 0.8)
+    o, d, rgb = _ball_scene_bg(rng, bg_color, n_rays=2048)
+    cfg = DenseConfig(grid_resolution=32, num_samples=64, near=1.0, far=5.0,
+                      scene_scale=1.0, batch_size=512, epochs=10,
+                      learning_rate=1e-1, lr_milestones=(6, 8), scan_chunk=4,
+                      sh_background=True, background_lr=5e-2,
+                      sparsity_sigma=1e-3, tv_crop=16)
+    grid, losses = train_plenoxel(RayDataset(o, d, rgb), cfg, verbose=False,
+                                  log_every=4)
+    g = np.asarray(grid.grid)
+    res = g.shape[0]
+    coords = np.stack(np.meshgrid(*[np.linspace(-1, 1, res)] * 3, indexing="ij"), -1)
+    far_mask = np.linalg.norm(coords, axis=-1) > 0.8
+    fog = np.maximum(g[..., 0], 0.0)[far_mask].mean()
+    assert fog < 1.0, fog  # far voxels stay near-empty
+    assert losses[-1] < 0.02

@@ -245,7 +245,8 @@ def cmd_densify(args):
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
         tv_sigma=args.tv_sigma, tv_sh=args.tv_sh,
         coarse_epochs=args.coarse_epochs, exposure=args.exposure,
-        sh_background=args.sh_background))
+        sh_background=args.sh_background,
+        sparsity_sigma=args.sparsity_sigma))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
@@ -559,6 +560,9 @@ def main(argv=None):
                    help="occupancy-pruned marching (dense/occupancy.py)")
     p.add_argument("--iso", type=float, default=0.0,
                    help="mesh: density iso level (0 = auto from the density distribution)")
+    p.add_argument("--sparsity-sigma", type=float, default=0.0,
+                   help="Cauchy density-sparsity prior weight (Plenoxels "
+                        "sparsity loss; pairs with --sh-background)")
     p.add_argument("--sh-background", action="store_true",
                    help="learnable view-directional SH background (outdoor "
                         "sky; replaces the hard white background)")

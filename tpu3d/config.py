@@ -265,6 +265,12 @@ class DenseConfig:
     # coefficients.
     sh_background: bool = False
     background_lr: float = 1e-2
+    # Cauchy density-sparsity prior (Plenoxels paper's sparsity loss):
+    # lambda * mean(log(1 + sigma^2/0.25)) on a random crop per step.
+    # Drives unobserved/fog voxels to zero — the prior that lets the SH
+    # background (not fog) explain the sky, and the occupancy pruner
+    # actually prune. 0 disables.
+    sparsity_sigma: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

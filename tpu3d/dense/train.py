@@ -283,6 +283,36 @@ def _split_grads(cfg, state, loss_fn, grid_args, key, rgb, cid):
     return loss, g, exposure, background
 
 
+def _sparsity_crop_loss(grid_arr: jnp.ndarray, key: jax.Array, crop: int) -> jnp.ndarray:
+    """Cauchy sparsity on the density channel of a random crop^3 block
+    (Plenoxels sparsity loss): mean log(1 + relu(sigma)^2 / 0.25)."""
+    X, Y, Z, _ = grid_arr.shape
+    bx, by, bz = min(crop, X), min(crop, Y), min(crop, Z)
+    kx, ky, kz = jax.random.split(key, 3)
+    x0 = jax.random.randint(kx, (), 0, X - bx + 1)
+    y0 = jax.random.randint(ky, (), 0, Y - by + 1)
+    z0 = jax.random.randint(kz, (), 0, Z - bz + 1)
+    c = jax.lax.dynamic_slice(grid_arr, (x0, y0, z0, 0), (bx, by, bz, 1))
+    sig = jax.nn.relu(c[..., 0])
+    return jnp.mean(jnp.log1p(sig * sig / 0.25))
+
+
+def _sparsity_crop_loss_packed(packed: jnp.ndarray, key: jax.Array, crop: int) -> jnp.ndarray:
+    """_sparsity_crop_loss on the packed (X, Y, Zr+1, 2, 128) layout —
+    density is channel 0 of the first 32-lane group."""
+    X, Y, Zr1 = packed.shape[:3]
+    bz_rows = max(min(crop, (Zr1 - 1) * 8) // 8, 1)
+    bx, by = min(crop, X), min(crop, Y)
+    kx, ky, kz = jax.random.split(key, 3)
+    x0 = jax.random.randint(kx, (), 0, X - bx + 1)
+    y0 = jax.random.randint(ky, (), 0, Y - by + 1)
+    zr0 = jax.random.randint(kz, (), 0, Zr1 - 1 - bz_rows + 1)
+    c = jax.lax.dynamic_slice(packed, (x0, y0, zr0, 0, 0),
+                              (bx, by, bz_rows, 2, 128))
+    sig = jax.nn.relu(c.reshape(bx, by, bz_rows * 8, 32)[..., 0])
+    return jnp.mean(jnp.log1p(sig * sig / 0.25))
+
+
 def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
     """One jitted plenoxel training step (MSE on a ray batch)."""
 
@@ -314,6 +344,9 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
             if cfg.tv_sigma or cfg.tv_sh:
                 tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            if cfg.sparsity_sigma:
+                loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss(
+                    grid_arr, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
 
         loss, g, exposure, background = _split_grads(
@@ -366,6 +399,9 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
                 tv_s, tv_c = _tv_crop_loss_packed(
                     packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            if cfg.sparsity_sigma:
+                loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss_packed(
+                    packed, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
 
         loss, g, exposure, background = _split_grads(
@@ -690,6 +726,9 @@ def make_sdf_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransf
                 tv_s, tv_c = _tv_crop_loss_packed(
                     packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            if cfg.sparsity_sigma:
+                loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss_packed(
+                    packed, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
 
         loss, g, exposure, background = _split_grads(
@@ -725,6 +764,9 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
             if cfg.tv_sigma or cfg.tv_sh:
                 tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
+            if cfg.sparsity_sigma:
+                loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss(
+                    grid_arr, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
 
         loss, g, exposure, background = _split_grads(
