@@ -1231,34 +1231,37 @@ class IncrementalSfM:
                 print(f"[sfm] finalize dropped weak cameras: {dropped}",
                       flush=True)
             if dropped:
-                # Intermediate solves run at the mid-run budget; exactly one
-                # final full-budget polish ships, whatever path was taken.
-                needs_final = True
+                # Drop -> mid-budget BA -> fresh registration attempt ->
+                # re-gate, iterated to its (small) fixpoint: a camera
+                # dropped for thin support often re-registers cleanly once
+                # the BA has absorbed the pruning (measured: 14 finalize
+                # drops on the full dataset, all recovered -> 290/290; a
+                # single round left 4 behind on the TPU backend). Exactly
+                # one final full-budget polish ships at the end.
                 if registrations is not None:
-                    self.global_ba()
-                    # One fresh attempt against the re-refined cloud: a
-                    # camera that was dropped for thin support often
-                    # re-registers cleanly once the BA has absorbed the
-                    # pruning (measured: 14 finalize-drops on the full
-                    # dataset, all re-registered and survived the re-gate
-                    # -> 290/290).
                     by_img = {r.img: r for r in registrations}
-                    retry = [by_img[i] for i in dropped if i in by_img]
-                    if retry:
+                    pending = list(dropped)
+                    for _ in range(3):
+                        if not pending:
+                            break
+                        self.global_ba()
+                        retry = [by_img[i] for i in pending if i in by_img]
+                        if not retry:
+                            break
                         infos = self.register_batch(retry)
                         back = [i["img"] for i in infos
                                 if i.get("status") == "registered"]
-                        if back:
-                            if verbose:
-                                print(f"[sfm] finalize re-registered: {back}",
-                                      flush=True)
-                            self.global_ba()
-                            dropped2 = self.deregister_weak_cameras()
-                            if dropped2 and verbose:
-                                print("[sfm] finalize re-dropped: "
-                                      f"{dropped2}", flush=True)
-                if needs_final:
-                    self.global_ba(final=True)
+                        if not back:
+                            break
+                        if verbose:
+                            print(f"[sfm] finalize re-registered: {back}",
+                                  flush=True)
+                        self.global_ba()
+                        pending = self.deregister_weak_cameras()
+                        if pending and verbose:
+                            print(f"[sfm] finalize re-dropped: {pending}",
+                                  flush=True)
+                self.global_ba(final=True)
         mean_err, n_obs = self.mean_reprojection_error()
         track_ids = np.flatnonzero(self.point_valid)
         registered = np.flatnonzero(self.has_cam)
