@@ -344,7 +344,7 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
             if cfg.tv_sigma or cfg.tv_sh:
                 tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-            if cfg.sparsity_sigma:
+            if getattr(cfg, "sparsity_sigma", 0.0):
                 loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss(
                     grid_arr, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
@@ -399,7 +399,7 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
                 tv_s, tv_c = _tv_crop_loss_packed(
                     packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-            if cfg.sparsity_sigma:
+            if getattr(cfg, "sparsity_sigma", 0.0):
                 loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss_packed(
                     packed, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
@@ -726,7 +726,7 @@ def make_sdf_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransf
                 tv_s, tv_c = _tv_crop_loss_packed(
                     packed, res, jax.random.fold_in(key, 7), cfg.tv_crop, channels=28)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-            if cfg.sparsity_sigma:
+            if getattr(cfg, "sparsity_sigma", 0.0):
                 loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss_packed(
                     packed, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
@@ -764,7 +764,7 @@ def make_sdf_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformatio
             if cfg.tv_sigma or cfg.tv_sh:
                 tv_s, tv_c = _tv_crop_loss(grid_arr, jax.random.fold_in(key, 7), cfg.tv_crop)
                 loss = loss + cfg.tv_sigma * tv_s + cfg.tv_sh * tv_c
-            if cfg.sparsity_sigma:
+            if getattr(cfg, "sparsity_sigma", 0.0):
                 loss = loss + cfg.sparsity_sigma * _sparsity_crop_loss(
                     grid_arr, jax.random.fold_in(key, 11), cfg.tv_crop)
             return loss
