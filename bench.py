@@ -92,6 +92,10 @@ def main():
             # a fraction of the gate/PnP solver work. The full-dataset
             # default stays 512 for wide-baseline retrieval edges.
             ransac=RansacConfig(num_hypotheses=128),
+            # At this scale the final-only global BA alone reaches the same
+            # optimum: CPU A/B with/without per-chunk local BA = 0.397 vs
+            # 0.391 px, both 24/24 — local BA is pure dispatch overhead here.
+            run_pair_ba=False,
             # At 24 images the per-chunk local BA (window 25) already spans
             # the whole scene, so mid-run global BAs are pure dispatch
             # overhead: A/B'd identical quality (24/24 @ 0.404 px CPU,
