@@ -1192,6 +1192,25 @@ class IncrementalSfM:
         err = np.linalg.norm(r, axis=-1) * self.focal
         return float(err.mean()), len(err)
 
+    def _snapshot_state(self) -> dict:
+        """Copy of the mutable reconstruction state (cameras, points,
+        observation validity) — a few MB; used by finalize's gate loop."""
+        return {
+            "cams": self.cams.copy(), "has_cam": self.has_cam.copy(),
+            "points": self.points.copy(),
+            "point_valid": self.point_valid.copy(),
+            "obs_valid": self.obs_valid.copy(),
+            "num_registered": self.num_registered,
+        }
+
+    def _restore_state(self, snap: dict) -> None:
+        self.cams[:] = snap["cams"]
+        self.has_cam[:] = snap["has_cam"]
+        self.points[:] = snap["points"]
+        self.point_valid[:] = snap["point_valid"]
+        self.obs_valid[:] = snap["obs_valid"]
+        self.num_registered = snap["num_registered"]
+
     def deregister_weak_cameras(self, min_obs: int = 8, max_median_px: float = 8.0):
         """Drop cameras whose surviving observation support is too thin or
         too inconsistent. A camera placed at a wrong scale (fallback gone
@@ -1241,6 +1260,12 @@ class IncrementalSfM:
                 if registrations is not None:
                     by_img = {r.img: r for r in registrations}
                     pending = list(dropped)
+                    # Marginal cameras can thrash across the weak gate as
+                    # each BA shifts the optimum (observed: drop 7 ->
+                    # re-register 7 -> drop 14, ending WORSE than one
+                    # round) — snapshot after every re-gate and ship the
+                    # best gated state, never an oscillation's low point.
+                    best = (self.num_registered, self._snapshot_state())
                     for _ in range(3):
                         if not pending:
                             break
@@ -1261,6 +1286,13 @@ class IncrementalSfM:
                         if pending and verbose:
                             print(f"[sfm] finalize re-dropped: {pending}",
                                   flush=True)
+                        if self.num_registered > best[0]:
+                            best = (self.num_registered, self._snapshot_state())
+                    if self.num_registered < best[0]:
+                        if verbose:
+                            print(f"[sfm] finalize restoring best gated "
+                                  f"state ({best[0]} cameras)", flush=True)
+                        self._restore_state(best[1])
                 self.global_ba(final=True)
         mean_err, n_obs = self.mean_reprojection_error()
         track_ids = np.flatnonzero(self.point_valid)
