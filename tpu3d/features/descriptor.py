@@ -65,10 +65,21 @@ def _use_pallas_sampling() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx):
-    """Gradient samples at kp + offsets. dy/dx: (K, N)."""
+def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx, ymax=None, xmax=None):
+    """Gradient samples at kp + offsets. dy/dx: (K, N).
+
+    ymax/xmax: optional (K,) per-keypoint coordinate bounds — samples are
+    clamped into [0, bound] so that keypoints near their own octave's
+    border sample the border pixels instead of whatever lies beyond (zero
+    padding in the unified multi-octave stack). This is the semantics the
+    pre-unified CPU path had via index clipping, now uniform across
+    backends."""
     ys = ky[:, None] + dy
     xs = kx[:, None] + dx
+    if ymax is not None:
+        ys = jnp.clip(ys, 0.0, ymax[:, None])
+    if xmax is not None:
+        xs = jnp.clip(xs, 0.0, xmax[:, None])
     if _use_pallas_sampling():
         from tpu3d.kernels.patch_sample import NSAMP, sample_gradient_patches
 
@@ -88,6 +99,8 @@ def keypoint_orientations(
     ky: jnp.ndarray,
     lvl: jnp.ndarray,
     sigma: jnp.ndarray,
+    ymax: jnp.ndarray | None = None,
+    xmax: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Dominant gradient orientation per keypoint (radians).
 
@@ -102,7 +115,7 @@ def keypoint_orientations(
     spacing = 0.9 * sigma[:, None]  # (K, 1)
     dy = dyg[None, :] * spacing
     dx = dxg[None, :] * spacing
-    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx)
+    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx, ymax, xmax)
     mag = jnp.sqrt(gxs**2 + gys**2)
     wgt = jnp.exp(-(dyg**2 + dxg**2)[None, :] / (2 * (1.5 * R / 3.0) ** 2))
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
@@ -136,6 +149,8 @@ def sift_descriptors(
     lvl: jnp.ndarray,
     sigma: jnp.ndarray,
     theta: jnp.ndarray,
+    ymax: jnp.ndarray | None = None,
+    xmax: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """(K, 128) descriptors from one octave's gradient stack."""
     g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2.0)
@@ -148,7 +163,7 @@ def sift_descriptors(
     # rotate sample offsets by theta
     dx = (ct * dxg[None, :] - st * dyg[None, :]) * spacing
     dy = (st * dxg[None, :] + ct * dyg[None, :]) * spacing
-    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx)
+    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx, ymax, xmax)
     mag = jnp.sqrt(gxs**2 + gys**2)
     wgt = jnp.exp(-(dyg**2 + dxg**2)[None, :] / (2 * (GRID / 2.0) ** 2))
     w = mag * wgt

@@ -131,6 +131,56 @@ def _subpixel_offsets(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.n
     return jnp.clip(jnp.stack([off_s, off_y, off_x], axis=-1), -0.6, 0.6)
 
 
+def _dense_subpixel_offsets(dog: jnp.ndarray):
+    """Subpixel offsets at EVERY interior DoG voxel, as three dense maps.
+
+    dog: (B, S+2, H, W). Returns (off_s, off_y, off_x), each (B, S, H, W).
+
+    Same damped-Newton adjugate solve as :func:`_subpixel_offsets`, but
+    computed densely with rolls instead of per-keypoint 27-neighborhood
+    gathers: the arithmetic is ~60 VPU flops/voxel (about a millisecond at
+    octave-0 shape), while the gather formulation needed three Pallas
+    patch-sampling dispatches of one grid instance per keypoint — the
+    dominant cost of the detect stage. Rolls wrap at the image border, but
+    the detector's 8-px border mask discards those voxels."""
+
+    def sh(ds, dy, dx):
+        a = dog
+        for ax, d in ((1, ds), (2, dy), (3, dx)):
+            if d:
+                a = jnp.roll(a, -d, ax)
+        return a[:, 1:-1]
+
+    c = dog[:, 1:-1]
+    gs = 0.5 * (sh(1, 0, 0) - sh(-1, 0, 0))
+    gy = 0.5 * (sh(0, 1, 0) - sh(0, -1, 0))
+    gx = 0.5 * (sh(0, 0, 1) - sh(0, 0, -1))
+    hss = sh(1, 0, 0) + sh(-1, 0, 0) - 2 * c
+    hyy = sh(0, 1, 0) + sh(0, -1, 0) - 2 * c
+    hxx = sh(0, 0, 1) + sh(0, 0, -1) - 2 * c
+    hsy = 0.25 * (sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0) + sh(-1, -1, 0))
+    hsx = 0.25 * (sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1) + sh(-1, 0, -1))
+    hyx = 0.25 * (sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1) + sh(0, -1, -1))
+
+    d = 1e-6
+    a, b_, c_ = hss + d, hsy, hsx
+    e, f = hyy + d, hyx
+    i = hxx + d
+    co00 = e * i - f * f
+    co01 = c_ * f - b_ * i
+    co02 = b_ * f - c_ * e
+    co11 = a * i - c_ * c_
+    co12 = b_ * c_ - a * f
+    co22 = a * e - b_ * b_
+    det = a * co00 + b_ * co01 + c_ * co02
+    det = jnp.where(jnp.abs(det) < 1e-12, jnp.where(det < 0, -1e-12, 1e-12), det)
+    off_s = -(co00 * gs + co01 * gy + co02 * gx) / det
+    off_y = -(co01 * gs + co11 * gy + co12 * gx) / det
+    off_x = -(co02 * gs + co12 * gy + co22 * gx) / det
+    clip = lambda v: jnp.clip(v, -0.6, 0.6)
+    return clip(off_s), clip(off_y), clip(off_x)
+
+
 def _topk_threshold(flat: jnp.ndarray, k: int):
     """Exact top-k SET selection without a sort.
 
@@ -209,19 +259,15 @@ def detect_octave(
     y_idx = rem // W
     x_idx = rem % W
 
-    def per_image(d, si, yi, xi):
-        return _subpixel_offsets(d, si + 1, yi, xi)
-
-    # Static loop, not vmap: the Pallas path uses scalar prefetch, which
-    # does not batch under vmap.
-    off = jnp.stack([
-        per_image(dog[b], s_idx[b], y_idx[b], x_idx[b]) for b in range(B)
-    ])  # (B, K, 3)
+    # Dense subpixel maps + flat top-k gathers (the known-fast gather shape
+    # on TPU) — replaces three Pallas patch dispatches per image.
+    off_s, off_y, off_x = _dense_subpixel_offsets(dog)
+    take = lambda m: jnp.take_along_axis(m.reshape(B, -1), idx, axis=1)
     valid = vals > 0
     return OctaveKeypoints(
-        x=x_idx.astype(jnp.float32) + off[..., 2],
-        y=y_idx.astype(jnp.float32) + off[..., 1],
-        scale=s_idx.astype(jnp.float32) + 1.0 + off[..., 0],
+        x=x_idx.astype(jnp.float32) + take(off_x),
+        y=y_idx.astype(jnp.float32) + take(off_y),
+        scale=s_idx.astype(jnp.float32) + 1.0 + take(off_s),
         score=jnp.where(valid, vals, 0.0),
         valid=valid,
     )

@@ -75,53 +75,91 @@ def _extract(
 
 def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
                  sigma0, contrast_threshold, edge_threshold, nms_radius):
+    """Detect per octave, merge the global top-K by score FIRST, then run
+    orientation + descriptors ONCE for the K winners against a unified
+    (octave, image)-stacked gradient pyramid.
+
+    The per-keypoint Pallas sampling dispatches are the dominant extraction
+    cost, and computing descriptors for every octave's K candidates before
+    the merge did num_octaves x the necessary work (the reference pays the
+    same kind of cost inside DISK's dense CNN instead,
+    feature_extraction.py:28). Selection is identical: the merge only needs
+    detector scores, which don't depend on descriptors."""
     B, H, W = images.shape
+    O = num_octaves
     S = scales_per_octave
-    gauss, dogs = build_pyramid(images, num_octaves, S, sigma0)
+    K = max_keypoints
+    gauss, dogs = build_pyramid(images, O, S, sigma0)
 
-    xs, ys, scores, scales_abs, descs, valids = [], [], [], [], [], []
-    for o in range(num_octaves):
+    xs, ys, scores, scales_loc, valids = [], [], [], [], []
+    for o in range(O):
         kp = detect_octave(
-            dogs[o], max_keypoints, contrast_threshold, edge_threshold, nms_radius
+            dogs[o], K, contrast_threshold, edge_threshold, nms_radius
         )
-        g_o = gauss[o]  # (B, S+3, Ho, Wo)
-        lvl = jnp.clip(jnp.round(kp.scale).astype(jnp.int32), 1, S)
-        sigma_local = sigma0 * (2.0 ** (kp.scale / S))
-
-        def per_image(g_b, kx, ky, lvl_b, sig_b):
-            gx, gy = gradients(g_b)
-            theta = keypoint_orientations(gx, gy, kx, ky, lvl_b, sig_b)
-            d = sift_descriptors(gx, gy, kx, ky, lvl_b, sig_b, theta)
-            return d
-
-        # Static python loop, not vmap: the Pallas patch-sampling kernel
-        # uses scalar prefetch, which does not batch under vmap.
-        d = jnp.stack([
-            per_image(g_o[b], kp.x[b], kp.y[b], lvl[b], sigma_local[b])
-            for b in range(B)
-        ])
-        factor = float(2**o)
-        xs.append(kp.x * factor)
-        ys.append(kp.y * factor)
+        xs.append(kp.x)
+        ys.append(kp.y)
         scores.append(kp.score)
-        scales_abs.append(sigma_local * factor)
-        descs.append(d)
+        scales_loc.append(kp.scale)
         valids.append(kp.valid)
 
+    # (B, O*K) candidate pools, octave-LOCAL coordinates.
     x = jnp.concatenate(xs, axis=1)
     y = jnp.concatenate(ys, axis=1)
     score = jnp.concatenate(scores, axis=1)
-    scale = jnp.concatenate(scales_abs, axis=1)
-    desc = jnp.concatenate(descs, axis=1)
+    scale_l = jnp.concatenate(scales_loc, axis=1)
     valid = jnp.concatenate(valids, axis=1)
+    oct_id = jnp.repeat(jnp.arange(O, dtype=jnp.int32), K)  # (O*K,)
 
-    top_score, top_idx = jax.lax.top_k(jnp.where(valid, score, 0.0), max_keypoints)
+    top_score, top_idx = jax.lax.top_k(jnp.where(valid, score, 0.0), K)
     take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
     x = take(x)
     y = take(y)
-    scale = take(scale)
+    scale_l = take(scale_l)
+    oct = oct_id[top_idx]  # (B, K)
     valid = top_score > 0
-    desc = jnp.take_along_axis(desc, top_idx[..., None], axis=1)
+
+    # Unified gradient stack: gaussian levels 1..S of every (image, octave),
+    # each octave zero-padded into the octave-0 frame (padding is never
+    # sampled: bilinear weights only touch the 2x2 cell around each sample
+    # and keypoints keep an 8-px border in their own octave).
+    Hp = -(-H // 8) * 8
+    Wp = -(-W // 128) * 128
+    gx_u = jnp.zeros((B, O, S, Hp, Wp), jnp.float32)
+    gy_u = jnp.zeros((B, O, S, Hp, Wp), jnp.float32)
+    for o in range(O):
+        g = gauss[o][:, 1 : S + 1]  # (B, S, Ho, Wo)
+        gx_o, gy_o = gradients(g)
+        Ho, Wo = g.shape[-2:]
+        gx_u = gx_u.at[:, o, :, :Ho, :Wo].set(gx_o)
+        gy_u = gy_u.at[:, o, :, :Ho, :Wo].set(gy_o)
+    gx_u = gx_u.reshape(B * O * S, Hp, Wp)
+    gy_u = gy_u.reshape(B * O * S, Hp, Wp)
+
+    lvl = jnp.clip(jnp.round(scale_l).astype(jnp.int32), 1, S)
+    sigma_local = sigma0 * (2.0 ** (scale_l / S))
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    lvl_glob = ((b_idx * O + oct) * S + (lvl - 1)).reshape(-1)  # (B*K,)
+
+    kx = x.reshape(-1)
+    ky = y.reshape(-1)
+    sig = sigma_local.reshape(-1)
+    # Per-keypoint sampling bounds = the keypoint's own octave rectangle:
+    # near-border samples clamp to border pixels (not the unified frame's
+    # zero padding) on every backend.
+    hs, ws = [float(H)], [float(W)]
+    for _ in range(1, O):
+        hs.append(float(-(-hs[-1] // 2)))
+        ws.append(float(-(-ws[-1] // 2)))
+    ymax = (jnp.asarray(hs, jnp.float32)[oct] - 1.001).reshape(-1)
+    xmax = (jnp.asarray(ws, jnp.float32)[oct] - 1.001).reshape(-1)
+    theta = keypoint_orientations(gx_u, gy_u, kx, ky, lvl_glob, sig, ymax, xmax)
+    desc = sift_descriptors(gx_u, gy_u, kx, ky, lvl_glob, sig, theta, ymax, xmax)
+    desc = desc.reshape(B, K, -1)
+
+    factor = jnp.exp2(oct.astype(jnp.float32))
+    x = x * factor
+    y = y * factor
+    scale = sigma_local * factor
 
     kp_px = jnp.stack([x, y], axis=-1)
     size = jnp.broadcast_to(jnp.asarray([W, H], jnp.float32), (B, 2))
