@@ -83,7 +83,10 @@ def main():
     cfg = PipelineConfig(
         camera=CameraConfig(focal_length=focal),
         frontend=FrontendConfig(max_keypoints=2048, batch_size=4),
-        matching=MatchingConfig(min_raw_matches=100),
+        # pair_batch 32: 64 measured worse end-to-end at 159 edges (33 dead
+        # padded slots in the last block cost more than the per-block RTT
+        # the bigger batch saves).
+        matching=MatchingConfig(min_raw_matches=100, pair_batch=32),
         sfm=SfMConfig(
             camera=CameraConfig(focal_length=focal),
             max_tracks=300_000,

@@ -51,6 +51,23 @@ def probe_rtt():
     print(f"[probe] trivial execute round trip: {(time.time() - t0) / 10 * 1e3:.1f} ms",
           flush=True)
 
+    # Host<->device link bandwidth (the tunnel, not PCIe).
+    mb = 8
+    big = np.ones((mb << 20) // 4, np.float32)
+    jnp.asarray(big)[:1].block_until_ready()
+    t0 = time.time()
+    for _ in range(3):
+        np.asarray(jax.device_get(jnp.asarray(big)[:8]))  # force upload
+    up = mb * 3 / (time.time() - t0)
+    dev = f(jnp.asarray(big))
+    np.asarray(jax.device_get(dev[:8]))
+    t0 = time.time()
+    for _ in range(3):
+        np.asarray(jax.device_get(dev))
+    down = mb * 3 / (time.time() - t0)
+    print(f"[probe] link bandwidth: upload ~{up:.1f} MB/s, download ~{down:.1f} MB/s",
+          flush=True)
+
 
 def probe_match():
     import jax

@@ -51,35 +51,55 @@ def _weights(frac_pos: jnp.ndarray, width: int) -> jnp.ndarray:
 
 
 def _patch_kernel(lyx0_ref, ys_ref, xs_ref, gx_hbm, gy_hbm, out_ref, patch, sem):
+    """Grid = one instance per keypoint, DOUBLE-BUFFERED: instance k waits
+    on the patch DMA that instance k-1 issued for it (slot k%2) and starts
+    instance k+1's DMA into the other slot first, so the ~patch-sized HBM
+    fetch rides under the previous keypoint's matmuls. The serial
+    start-wait-compute form left the DMA latency exposed on every one of
+    the K grid instances — the dominant cost of the descriptor stage."""
     k = pl.program_id(0)
-    lvl = lyx0_ref[0, k]
-    y0 = pl.multiple_of(lyx0_ref[1, k], 8)
-    x0 = pl.multiple_of(lyx0_ref[2, k], 128)
-    # DMA the two gradient patches (gx, gy stacked on a leading axis) from
-    # the per-keypoint pyramid level.
-    cp = pltpu.make_async_copy(
-        gx_hbm.at[lvl, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_X)], patch.at[0], sem.at[0]
-    )
-    cp2 = pltpu.make_async_copy(
-        gy_hbm.at[lvl, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_X)], patch.at[1], sem.at[1]
-    )
-    cp.start()
-    cp2.start()
+    nk = pl.num_programs(0)
+    slot = jax.lax.rem(k, 2)
 
-    ys = ys_ref[0, 0, :] - y0.astype(jnp.float32)   # in-patch float coords (S,)
-    xs = xs_ref[0, 0, :] - x0.astype(jnp.float32)
+    def _copies(idx, sl):
+        lvl = lyx0_ref[0, idx]
+        y0 = pl.multiple_of(lyx0_ref[1, idx], 8)
+        x0 = pl.multiple_of(lyx0_ref[2, idx], 128)
+        cp = pltpu.make_async_copy(
+            gx_hbm.at[lvl, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_X)],
+            patch.at[sl, 0], sem.at[sl, 0])
+        cp2 = pltpu.make_async_copy(
+            gy_hbm.at[lvl, pl.ds(y0, PATCH_Y), pl.ds(x0, PATCH_X)],
+            patch.at[sl, 1], sem.at[sl, 1])
+        return cp, cp2
+
+    @pl.when(k == 0)
+    def _():
+        a, b = _copies(0, 0)
+        a.start()
+        b.start()
+
+    @pl.when(k + 1 < nk)
+    def _():
+        a, b = _copies(k + 1, 1 - slot)
+        a.start()
+        b.start()
+
+    ys = ys_ref[0, 0, :] - lyx0_ref[1, k].astype(jnp.float32)  # in-patch (S,)
+    xs = xs_ref[0, 0, :] - lyx0_ref[2, k].astype(jnp.float32)
     wr = _weights(jnp.clip(ys, 0.0, PATCH_Y - 2.0), PATCH_Y)   # (S, PATCH_Y)
     wc = _weights(jnp.clip(xs, 0.0, PATCH_X - 2.0), PATCH_X)
 
+    cp, cp2 = _copies(k, slot)
     cp.wait()
     cp2.wait()
 
     # sample = rowwise_dot(Wrow @ patch, Wcol): two MXU matmuls + reduce.
     # float32 precision: default bf16 MXU rounding leaks ~1e-2 absolute
     # error into the samples.
-    rgx = jnp.dot(wr, patch[0], preferred_element_type=jnp.float32,
+    rgx = jnp.dot(wr, patch[slot, 0], preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)  # (S, PATCH)
-    rgy = jnp.dot(wr, patch[1], preferred_element_type=jnp.float32,
+    rgy = jnp.dot(wr, patch[slot, 1], preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
     out_ref[0, 0, :] = jnp.sum(rgx * wc, axis=1)
     out_ref[0, 1, :] = jnp.sum(rgy * wc, axis=1)
@@ -138,8 +158,10 @@ def sample_gradient_patches(
         ],
         out_specs=pl.BlockSpec((1, 2, NSAMP), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, PATCH_Y, PATCH_X), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # (slot, gx/gy, PATCH_Y, PATCH_X): two DMA slots for the
+            # cross-instance double buffering.
+            pltpu.VMEM((2, 2, PATCH_Y, PATCH_X), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(

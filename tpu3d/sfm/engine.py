@@ -181,6 +181,15 @@ def _register_step_batch(keys, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n,
 
 
 @jax.jit
+def _prune_mask(cams, points, cam_idx, pt_idx, uv, w, focal, thr_px):
+    """BA outlier mask on device: True where a live observation reprojects
+    beyond thr_px. Returns (O,) uint8 so only O bytes cross the tunnel."""
+    r = reprojection_residuals(cams, points, cam_idx, pt_idx, uv, w)
+    err_px = jnp.linalg.norm(r, axis=-1) * focal
+    return ((err_px > thr_px) & (w > 0)).astype(jnp.uint8)
+
+
+@jax.jit
 def _triangulate_and_gate_pairs(cams_i, cams_j, uv0n, uv1n, focal, thr_px):
     """Catch-up triangulation across IMAGES: each row is an independent
     (ref_cam, new_cam, matches) edge — used once per registration chunk for
@@ -1112,6 +1121,7 @@ class IncrementalSfM:
         # across the main solve, the residual pass and the prune refit —
         # the ~5.5 MB problem costs seconds per transfer over the tunnel
         # and three jnp.asarray calls paid it three times.
+        t_up = time.time()
         ci_d, pi_d, uv_d = jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uvp)
         w_d, cf_d = jnp.asarray(w), jnp.asarray(cam_fixed)
         mi = max_iters or (self.cfg.ba.max_iters if final
@@ -1125,11 +1135,24 @@ class IncrementalSfM:
             stall_tol=1e-5 if final else 1e-4,
             pt_sorted=True,
         )
+        # Sub-phase timers (async dispatch: "dispatch" is upload+enqueue,
+        # "mask_fetch" blocks on the main solve, "commit" blocks on the
+        # refit + the final state download).
+        self.timers["gba_dispatch"] = self.timers.get("gba_dispatch", 0.0) + (
+            time.time() - t_up)
+        t_pr = time.time()
         if prune:
-            r = reprojection_residuals(st.cams, st.points, ci_d, pi_d, uv_d, w_d)
-            err_px = np.linalg.norm(np.asarray(r), axis=-1) * self.focal
+            # Outlier mask computed ON DEVICE; only the (O,) uint8 mask
+            # crosses the tunnel (the full (O, 2) f32 residual download was
+            # a visible fraction of global-BA wall-clock at ~MB/s link
+            # bandwidth).
             thr_px = 3.0 * self.cfg.ransac.threshold_px
-            bad = (err_px > thr_px) & (w > 0)
+            bad = np.asarray(_prune_mask(
+                st.cams, st.points, ci_d, pi_d, uv_d, w_d,
+                self.focal, thr_px)).astype(bool)
+            self.timers["gba_mask_fetch"] = self.timers.get(
+                "gba_mask_fetch", 0.0) + (time.time() - t_pr)
+            t_pr = time.time()
             if bad.any():
                 self.obs_valid[keys[np.nonzero(bad[:O_real])[0]]] = 0
                 w[bad] = 0.0
@@ -1157,6 +1180,8 @@ class IncrementalSfM:
         self.cams[cam_slots] = np.asarray(st.cams)[:C_real]
         keep = self.point_valid[uniq_tracks]
         self.points[uniq_tracks[keep]] = np.asarray(st.points)[:P_real][keep]
+        self.timers["gba_commit"] = self.timers.get("gba_commit", 0.0) + (
+            time.time() - t_pr)
 
     # ------------------------------------------------------------------
     def _padded_residuals(self, cam_slots, cam_idx, uniq_tracks, pt_idx, uv):
