@@ -94,7 +94,15 @@ def main():
             # (CPU A/B 512/256/128 -> 0.402/0.397/0.391 px, all 24/24) at
             # a fraction of the gate/PnP solver work. The full-dataset
             # default stays 512 for wide-baseline retrieval edges.
-            ransac=RansacConfig(num_hypotheses=128),
+            # 8-point-only gate on this subset: CPU A/B five on/off ->
+            # 0.877/0.752 px (both 24/24) at ~half the gate compute; the
+            # 5-point gate's edge pruning only pays off on wide-baseline
+            # retrieval edges of the full dataset (BASELINE.md).
+            # register_batch 16: quality-neutral here (0.896 vs 0.877),
+            # halves the frontier chunk count (each chunk costs a ~67 ms
+            # round trip + ~1 MB upload).
+            ransac=RansacConfig(num_hypotheses=128, use_five_point=False),
+            register_batch=16,
             # At this scale the final-only global BA alone reaches the same
             # optimum: CPU A/B with/without per-chunk local BA = 0.397 vs
             # 0.391 px, both 24/24 — local BA is pure dispatch overhead here.

@@ -259,10 +259,16 @@ class _ShapeLadder:
     dominated global-BA wall-clock at 13 s/call vs ~1 s of actual solving.
     Three rules collapse the ladder to ~one executable per run: PRE-SIZE
     from the known image count (solving a mostly-padding problem costs ~1 s;
-    a fresh executable costs ~25 s), grow by quadrupling when exceeded, and
-    keep a high-water mark so shapes never shrink mid-run."""
+    a fresh executable costs ~25 s), grow geometrically when exceeded, and
+    keep a high-water mark so shapes never shrink mid-run.
 
-    def __init__(self, init: Optional[Dict[str, int]] = None, factor: int = 4):
+    Growth factor 2 (was 4): LM iteration cost scales with padded O, and
+    the solve — not the compile — dominates steady-state wall-clock now
+    that the persistent XLA cache carries executables across processes
+    (cold pass 695 s -> 65 s); factor 4 averaged ~2.5x padding waste on
+    every mid-run BA."""
+
+    def __init__(self, init: Optional[Dict[str, int]] = None, factor: int = 2):
         self.factor = factor
         self.hw: Dict[str, int] = dict(init or {})
 
@@ -1152,6 +1158,8 @@ class IncrementalSfM:
                 self.focal, thr_px)).astype(bool)
             self.timers["gba_mask_fetch"] = self.timers.get(
                 "gba_mask_fetch", 0.0) + (time.time() - t_pr)
+            self.counters["gba_lm_iters_main"] = self.counters.get(
+                "gba_lm_iters_main", 0) + int(st.n_iters)
             t_pr = time.time()
             if bad.any():
                 self.obs_valid[keys[np.nonzero(bad[:O_real])[0]]] = 0
@@ -1177,9 +1185,12 @@ class IncrementalSfM:
                     stall_tol=1e-5 if final else 1e-4,
                     pt_sorted=True,
                 )
-        self.cams[cam_slots] = np.asarray(st.cams)[:C_real]
+        cams_h, pts_h, n_it = jax.device_get((st.cams, st.points, st.n_iters))
+        self.cams[cam_slots] = cams_h[:C_real]
         keep = self.point_valid[uniq_tracks]
-        self.points[uniq_tracks[keep]] = np.asarray(st.points)[:P_real][keep]
+        self.points[uniq_tracks[keep]] = pts_h[:P_real][keep]
+        self.counters["gba_lm_iters"] = self.counters.get(
+            "gba_lm_iters", 0) + int(n_it)
         self.timers["gba_commit"] = self.timers.get("gba_commit", 0.0) + (
             time.time() - t_pr)
 
