@@ -98,11 +98,10 @@ def main():
             # 0.877/0.752 px (both 24/24) at ~half the gate compute; the
             # 5-point gate's edge pruning only pays off on wide-baseline
             # retrieval edges of the full dataset (BASELINE.md).
-            # register_batch 16: quality-neutral here (0.896 vs 0.877),
-            # halves the frontier chunk count (each chunk costs a ~67 ms
-            # round trip + ~1 MB upload).
+            # register_batch stays 8: 16 was quality-neutral on CPU but
+            # TPU-measured pnp time ROSE 0.99 -> 1.56 s (chunk staleness
+            # means more fixpoint retry rounds, each a full dispatch).
             ransac=RansacConfig(num_hypotheses=128, use_five_point=False),
-            register_batch=16,
             # At this scale the final-only global BA alone reaches the same
             # optimum: CPU A/B with/without per-chunk local BA = 0.397 vs
             # 0.391 px, both 24/24 — local BA is pure dispatch overhead here.

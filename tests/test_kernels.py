@@ -64,3 +64,57 @@ def test_patch_sample_matches_reference(rng):
         jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ys), jnp.asarray(xs)))
     np.testing.assert_allclose(got[:, 0, :], ref[..., 0], atol=1e-5)
     np.testing.assert_allclose(got[:, 1, :], ref[..., 1], atol=1e-5)
+
+
+def test_orient_desc_fused_matches_split(rng):
+    """Fused orientation+descriptor kernel (interpret mode) vs the split
+    reference path (keypoint_orientations + sift_descriptors)."""
+    import jax.numpy as jnp
+
+    from tpu3d.features.descriptor import (bin_descriptor, GRID,
+                                           keypoint_orientations,
+                                           sift_descriptors)
+    from tpu3d.kernels.orient_desc import orient_desc_samples
+
+    L, H, W = 3, 160, 200
+    from scipy.ndimage import gaussian_filter
+
+    img = gaussian_filter(rng.normal(0, 1, (L, H, W)), 2.0).astype(np.float32)
+    gx = np.gradient(img, axis=2).astype(np.float32)
+    gy = np.gradient(img, axis=1).astype(np.float32)
+    K = 16
+    ky = rng.uniform(45, H - 45, K).astype(np.float32)
+    kx = rng.uniform(45, W - 45, K).astype(np.float32)
+    lvl = rng.integers(0, L, K).astype(np.int32)
+    sigma = rng.uniform(1.6, 3.5, K).astype(np.float32)
+    ymax = np.full(K, H - 1.001, np.float32)
+    xmax = np.full(K, W - 1.001, np.float32)
+
+    gxs, gys, theta = orient_desc_samples(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ky), jnp.asarray(kx),
+        jnp.asarray(lvl), jnp.asarray(sigma), jnp.asarray(ymax),
+        jnp.asarray(xmax), interpret=True)
+    g = (np.arange(GRID, dtype=np.float32) - (GRID - 1) / 2.0)
+    dyg, dxg = np.meshgrid(g, g, indexing="ij")
+    desc_fused = np.asarray(bin_descriptor(
+        gxs, gys, theta, jnp.asarray(dyg.reshape(-1)),
+        jnp.asarray(dxg.reshape(-1))))
+
+    theta_ref = keypoint_orientations(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(kx), jnp.asarray(ky),
+        jnp.asarray(lvl), jnp.asarray(sigma), jnp.asarray(ymax),
+        jnp.asarray(xmax))
+    desc_ref = np.asarray(sift_descriptors(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(kx), jnp.asarray(ky),
+        jnp.asarray(lvl), jnp.asarray(sigma), theta_ref, jnp.asarray(ymax),
+        jnp.asarray(xmax)))
+
+    # Orientation peaks can flip between near-tie bins; require most
+    # keypoints to agree tightly and all agreeing ones to match in
+    # descriptor space.
+    dtheta = np.abs(((np.asarray(theta) - np.asarray(theta_ref) + np.pi)
+                     % (2 * np.pi)) - np.pi)
+    agree = dtheta < 0.05
+    assert agree.mean() >= 0.8, f"theta agreement {agree.mean()}"
+    cos = np.sum(desc_fused * desc_ref, axis=-1)
+    assert np.all(cos[agree] > 0.98), cos[agree].min()

@@ -46,6 +46,13 @@ class FrontendConfig:
     edge_threshold: float = 10.0
     nms_radius: int = 2
     descriptor_patch_scale: float = 6.0  # descriptor support = scale * sigma
+    # Upright mode: skip the dominant-orientation estimate (theta = 0),
+    # removing one of the two per-keypoint sampling dispatches. Measured
+    # NEGATIVE on ystad_kloster (23/24 @ 0.842 px vs 24/24 @ 0.752 with
+    # orientations, 26% fewer points) — the walk-around capture has enough
+    # roll variation that canonicalization pays for itself. An option for
+    # tripod/aerial captures only.
+    upright: bool = False
     # Images per device batch. 4 is the proven-safe size for the TPU
     # backend's scalar register allocator on the descriptor gather graph;
     # the per-image cost is ~1ms so batching higher buys little.

@@ -164,6 +164,14 @@ def sift_descriptors(
     dx = (ct * dxg[None, :] - st * dyg[None, :]) * spacing
     dy = (st * dxg[None, :] + ct * dyg[None, :]) * spacing
     gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx, ymax, xmax)
+    return bin_descriptor(gxs, gys, theta, dyg, dxg)
+
+
+def bin_descriptor(gxs: jnp.ndarray, gys: jnp.ndarray, theta: jnp.ndarray,
+                   dyg: jnp.ndarray, dxg: jnp.ndarray) -> jnp.ndarray:
+    """4x4x8 gradient-histogram binning + SIFT normalization of (K, 256)
+    rotated-grid gradient samples (shared by the split path above and the
+    fused orientation+descriptor Pallas kernel)."""
     mag = jnp.sqrt(gxs**2 + gys**2)
     wgt = jnp.exp(-(dyg**2 + dxg**2)[None, :] / (2 * (GRID / 2.0) ** 2))
     w = mag * wgt
@@ -174,7 +182,7 @@ def sift_descriptors(
     oh0 = jax.nn.one_hot(b0, ORI_BINS, dtype=w.dtype)
     oh1 = jax.nn.one_hot((b0 + 1) % ORI_BINS, ORI_BINS, dtype=w.dtype)
     contrib = oh0 * (w * (1 - frac))[..., None] + oh1 * (w * frac)[..., None]  # (K, N, 8)
-    K = kx.shape[0]
+    K = gxs.shape[0]
     cells = contrib.reshape(K, CELLS, GRID // CELLS, CELLS, GRID // CELLS, ORI_BINS)
     desc = jnp.sum(cells, axis=(2, 4)).reshape(K, CELLS * CELLS * ORI_BINS)
     # SIFT normalization: L2 -> clip 0.2 -> L2.
@@ -182,3 +190,22 @@ def sift_descriptors(
     desc = jnp.minimum(desc, 0.2)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
     return desc
+
+
+def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax):
+    """Dominant orientation + descriptor for a keypoint batch.
+
+    TPU: ONE fused Pallas dispatch per batch (kernels/orient_desc.py — one
+    patch DMA + one grid instance per keypoint instead of two of each).
+    Elsewhere: the split reference path. Returns (desc, theta)."""
+    if _use_pallas_sampling():
+        from tpu3d.kernels.orient_desc import orient_desc_samples
+
+        gxs, gys, theta = orient_desc_samples(gx, gy, ky, kx, lvl, sigma,
+                                              ymax, xmax)
+        g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2.0)
+        dyg, dxg = jnp.meshgrid(g, g, indexing="ij")
+        return bin_descriptor(gxs, gys, theta,
+                              dyg.reshape(-1), dxg.reshape(-1)), theta
+    theta = keypoint_orientations(gx, gy, kx, ky, lvl, sigma, ymax, xmax)
+    return sift_descriptors(gx, gy, kx, ky, lvl, sigma, theta, ymax, xmax), theta

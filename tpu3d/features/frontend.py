@@ -24,7 +24,8 @@ from tpu3d.config import FrontendConfig
 from tpu3d.core.camera import pixel_to_centered
 from tpu3d.features.pyramid import build_pyramid
 from tpu3d.features.detector import detect_octave
-from tpu3d.features.descriptor import gradients, keypoint_orientations, sift_descriptors
+from tpu3d.features.descriptor import (gradients, orient_and_describe,
+                                        sift_descriptors)
 
 
 class FeatureSet(NamedTuple):
@@ -47,6 +48,7 @@ class FeatureSet(NamedTuple):
         "contrast_threshold",
         "edge_threshold",
         "nms_radius",
+        "upright",
     ),
 )
 def _extract(
@@ -58,6 +60,7 @@ def _extract(
     contrast_threshold: float,
     edge_threshold: float,
     nms_radius: int,
+    upright: bool = False,
 ) -> FeatureSet:
     B, H, W = images.shape
     if images.dtype == jnp.uint8:  # uint8 upload path (4x less link traffic)
@@ -70,11 +73,12 @@ def _extract(
     with jax.default_matmul_precision("float32"):
         return _extract_f32(images, max_keypoints, num_octaves,
                             scales_per_octave, sigma0, contrast_threshold,
-                            edge_threshold, nms_radius)
+                            edge_threshold, nms_radius, upright)
 
 
 def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
-                 sigma0, contrast_threshold, edge_threshold, nms_radius):
+                 sigma0, contrast_threshold, edge_threshold, nms_radius,
+                 upright=False):
     """Detect per octave, merge the global top-K by score FIRST, then run
     orientation + descriptors ONCE for the K winners against a unified
     (octave, image)-stacked gradient pyramid.
@@ -152,8 +156,13 @@ def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
         ws.append(float(-(-ws[-1] // 2)))
     ymax = (jnp.asarray(hs, jnp.float32)[oct] - 1.001).reshape(-1)
     xmax = (jnp.asarray(ws, jnp.float32)[oct] - 1.001).reshape(-1)
-    theta = keypoint_orientations(gx_u, gy_u, kx, ky, lvl_glob, sig, ymax, xmax)
-    desc = sift_descriptors(gx_u, gy_u, kx, ky, lvl_glob, sig, theta, ymax, xmax)
+    if upright:
+        theta = jnp.zeros_like(sig)
+        desc = sift_descriptors(gx_u, gy_u, kx, ky, lvl_glob, sig, theta,
+                                ymax, xmax)
+    else:
+        desc, _ = orient_and_describe(gx_u, gy_u, kx, ky, lvl_glob, sig,
+                                      ymax, xmax)
     desc = desc.reshape(B, K, -1)
 
     factor = jnp.exp2(oct.astype(jnp.float32))
@@ -187,6 +196,7 @@ def extract_features(images: jnp.ndarray, config: Optional[FrontendConfig] = Non
         cfg.contrast_threshold,
         cfg.edge_threshold,
         cfg.nms_radius,
+        cfg.upright,
     )
 
 
