@@ -81,8 +81,8 @@ def probe_match():
     v = jnp.ones((N_IMG, K), jnp.float32)
     kp = jnp.asarray(rng.uniform(-300, 300, (N_IMG, K, 2)).astype(np.float32))
     focal, thr, ratio = 1189.0, 1.0, 0.95
-    for hyp in (128, 512):
-        for B in (32, 64):
+    for hyp in (128,):
+        for B in (32,):
             ii = jnp.asarray(rng.integers(0, N_IMG, B).astype(np.int32))
             jj = jnp.asarray(rng.integers(0, N_IMG, B).astype(np.int32))
             kb = jax.random.split(jax.random.PRNGKey(0), B)
@@ -114,15 +114,16 @@ def probe():
 
     H, W = 648, 968
     rng = np.random.default_rng(0)
-    for B in (4, 8):
-        cfg = FrontendConfig(batch_size=B)
-        img = (rng.uniform(0, 1, (B, H, W)) * 255).astype(np.uint8)
+    B = 4
+    img = (rng.uniform(0, 1, (B, H, W)) * 255).astype(np.uint8)
+    for fused in (True, False):
+        cfg = FrontendConfig(batch_size=B, fused_descriptor=fused)
         try:
             t = _bench(lambda x: extract_features(x, cfg), jnp.asarray(img))
-            print(f"[probe] extract batch={B}: {t * 1e3:7.1f} ms/batch "
+            print(f"[probe] extract fused={fused}: {t * 1e3:7.1f} ms/batch "
                   f"({t / B * 1e3:.0f} ms/img)", flush=True)
-        except Exception as e:  # batch-8 register-allocator history
-            print(f"[probe] extract batch={B}: FAILED {type(e).__name__}: "
+        except Exception as e:
+            print(f"[probe] extract fused={fused}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
 
     cfg = FrontendConfig()

@@ -53,6 +53,9 @@ class FrontendConfig:
     # roll variation that canonicalization pays for itself. An option for
     # tripod/aerial captures only.
     upright: bool = False
+    # Fused orientation+descriptor Pallas kernel (kernels/orient_desc.py):
+    # None = auto (fused on TPU, split elsewhere); True/False force.
+    fused_descriptor: bool | None = None
     # Images per device batch. 4 is the proven-safe size for the TPU
     # backend's scalar register allocator on the descriptor gather graph;
     # the per-image cost is ~1ms so batching higher buys little.

@@ -192,13 +192,15 @@ def bin_descriptor(gxs: jnp.ndarray, gys: jnp.ndarray, theta: jnp.ndarray,
     return desc
 
 
-def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax):
+def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
+                        fused: bool | None = None):
     """Dominant orientation + descriptor for a keypoint batch.
 
     TPU: ONE fused Pallas dispatch per batch (kernels/orient_desc.py — one
     patch DMA + one grid instance per keypoint instead of two of each).
-    Elsewhere: the split reference path. Returns (desc, theta)."""
-    if _use_pallas_sampling():
+    Elsewhere: the split reference path. `fused` forces the choice (perf
+    A/Bs); None = auto. Returns (desc, theta)."""
+    if _use_pallas_sampling() if fused is None else fused:
         from tpu3d.kernels.orient_desc import orient_desc_samples
 
         gxs, gys, theta = orient_desc_samples(gx, gy, ky, kx, lvl, sigma,

@@ -49,6 +49,7 @@ class FeatureSet(NamedTuple):
         "edge_threshold",
         "nms_radius",
         "upright",
+        "fused",
     ),
 )
 def _extract(
@@ -61,6 +62,7 @@ def _extract(
     edge_threshold: float,
     nms_radius: int,
     upright: bool = False,
+    fused: bool | None = None,
 ) -> FeatureSet:
     B, H, W = images.shape
     if images.dtype == jnp.uint8:  # uint8 upload path (4x less link traffic)
@@ -73,12 +75,12 @@ def _extract(
     with jax.default_matmul_precision("float32"):
         return _extract_f32(images, max_keypoints, num_octaves,
                             scales_per_octave, sigma0, contrast_threshold,
-                            edge_threshold, nms_radius, upright)
+                            edge_threshold, nms_radius, upright, fused)
 
 
 def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
                  sigma0, contrast_threshold, edge_threshold, nms_radius,
-                 upright=False):
+                 upright=False, fused=None):
     """Detect per octave, merge the global top-K by score FIRST, then run
     orientation + descriptors ONCE for the K winners against a unified
     (octave, image)-stacked gradient pyramid.
@@ -162,7 +164,7 @@ def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
                                 ymax, xmax)
     else:
         desc, _ = orient_and_describe(gx_u, gy_u, kx, ky, lvl_glob, sig,
-                                      ymax, xmax)
+                                      ymax, xmax, fused=fused)
     desc = desc.reshape(B, K, -1)
 
     factor = jnp.exp2(oct.astype(jnp.float32))
@@ -197,6 +199,7 @@ def extract_features(images: jnp.ndarray, config: Optional[FrontendConfig] = Non
         cfg.edge_threshold,
         cfg.nms_radius,
         cfg.upright,
+        cfg.fused_descriptor,
     )
 
 

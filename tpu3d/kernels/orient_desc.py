@@ -43,6 +43,23 @@ DESC_N = 256      # 16x16 descriptor samples
 HIST = 36         # orientation histogram bins (padded to 128 lanes)
 
 
+def _atan2_poly(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """atan2 via a degree-9 odd minimax polynomial (|err| < 1e-5 rad) —
+    Pallas TPU has no atan2 lowering, and orientation binning only needs
+    ~1e-3 rad (bins are 10 degrees wide with linear interpolation)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    z = lo / jnp.maximum(hi, 1e-30)
+    z2 = z * z
+    a = z * (0.9998660 + z2 * (-0.3302995 + z2 * (0.1801410
+             + z2 * (-0.0851330 + z2 * 0.0208351))))
+    a = jnp.where(ay > ax, jnp.float32(np.pi / 2) - a, a)
+    a = jnp.where(x < 0, jnp.float32(np.pi) - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
 def _bilinear_weights(pos: jnp.ndarray, width: int, n: int) -> jnp.ndarray:
     """(n,) in-patch positions -> (n, width) one-hot-pair weights."""
     p0 = jnp.floor(pos)
@@ -139,7 +156,7 @@ def _kernel(lyx0_ref, par_ref, ys_o_ref, xs_o_ref, gx_hbm, gy_hbm,
         jnp.exp(-(dyg_o * dyg_o + dxg_o * dxg_o) / (2 * (1.5 * 5 / 3.0) ** 2)),
         0.0)
     mag = jnp.sqrt(gxs * gxs + gys * gys) * wgt
-    ang = jnp.arctan2(gys, gxs)
+    ang = _atan2_poly(gys, gxs)
     binf = (ang / (2 * jnp.pi) + 0.5) * HIST
     b0 = jnp.floor(binf).astype(jnp.int32) % HIST
     frac = binf - jnp.floor(binf)
@@ -160,7 +177,9 @@ def _kernel(lyx0_ref, par_ref, ys_o_ref, xs_o_ref, gx_hbm, gy_hbm,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, ORI_PAD), 1)
     live = lane < HIST
-    peak = jnp.argmax(jnp.where(live, hist, -1.0))
+    # First-max via min-lane reduction (argmax has no TC lowering either).
+    mx = jnp.max(jnp.where(live, hist, -1.0))
+    peak = jnp.min(jnp.where(live & (hist >= mx), lane, ORI_PAD))
     sel = lambda idx: jnp.sum(jnp.where(lane == idx, hist, 0.0))
     hp = sel(peak)
     hl = sel((peak - 1) % HIST)
