@@ -350,6 +350,8 @@ def render_image(
     computed once for the whole image. bg_sh: learned (3, 9) background SH
     coefficients (DenseConfig.sh_background) — residual transmittance
     composites over the view-directional sky instead of white."""
+    from tpu3d.dense.grid import eval_sh
+
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     occ = None
