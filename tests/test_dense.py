@@ -448,3 +448,29 @@ def test_marching_tetrahedra_sphere():
     assert f2.min() >= 0 and f2.max() < len(v2)
     rad2 = np.linalg.norm(v2[f2.reshape(-1)], axis=1)
     assert abs(rad2.mean() - 0.6) < 0.02
+
+
+def test_render_image_with_sh_background():
+    """render_image with learned SH background coefficients (regression:
+    the bg path referenced eval_sh without importing it and crashed on
+    first real use — only exercised when sh_background training is on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.dense.grid import create_grid
+    from tpu3d.dense.render import render_image
+
+    vg = create_grid(8, (-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+    n = 12
+    ro = np.zeros((n, 3), np.float32) + np.array([0, 0, -3], np.float32)
+    rd = np.tile(np.array([0, 0, 1], np.float32), (n, 1))
+    bg = np.zeros((3, 9), np.float32)
+    bg[:, 0] = [1.0, 0.5, 0.25] / np.float32(0.282095)  # DC-only sky color
+    img = np.asarray(render_image(vg, jax.random.PRNGKey(0),
+                                  jnp.asarray(ro), jnp.asarray(rd),
+                                  0.5, 5.0, 16, chunk=8,
+                                  bg_sh=jnp.asarray(bg)))
+    assert img.shape == (n, 3)
+    assert np.isfinite(img).all()
+    # empty grid => background dominates; channel ordering must survive
+    assert img[0, 0] > img[0, 1] > img[0, 2]
