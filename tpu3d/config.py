@@ -53,8 +53,10 @@ class FrontendConfig:
     # roll variation that canonicalization pays for itself. An option for
     # tripod/aerial captures only.
     upright: bool = False
-    # Fused orientation+descriptor Pallas kernel (kernels/orient_desc.py):
-    # None = auto (fused on TPU, split elsewhere); True/False force.
+    # Fused orientation+descriptor Pallas kernel (kernels/orient_desc.py).
+    # TPU-measured SLOWER than the split two-dispatch path at the
+    # production shape (609 vs 464 ms/batch — see orient_and_describe);
+    # None/False = split path, True opts in for perf experiments.
     fused_descriptor: bool | None = None
     # Images per device batch. 4 is the proven-safe size for the TPU
     # backend's scalar register allocator on the descriptor gather graph;

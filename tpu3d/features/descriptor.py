@@ -196,11 +196,16 @@ def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
                         fused: bool | None = None):
     """Dominant orientation + descriptor for a keypoint batch.
 
-    TPU: ONE fused Pallas dispatch per batch (kernels/orient_desc.py — one
-    patch DMA + one grid instance per keypoint instead of two of each).
-    Elsewhere: the split reference path. `fused` forces the choice (perf
-    A/Bs); None = auto. Returns (desc, theta)."""
-    if _use_pallas_sampling() if fused is None else fused:
+    fused=True: ONE Pallas dispatch per batch (kernels/orient_desc.py —
+    one patch DMA + one grid instance per keypoint instead of two of
+    each). TPU-measured SLOWER than the split path at the production
+    shape (609 vs 464 ms/batch-of-4): the fused kernel needs a 96-row
+    patch window (rotated worst case, vs 64 split) and runs the 36-bin
+    histogram/peak scalar work per instance on the VPU — the halved
+    instance count doesn't pay for it. Default (None) = the split path
+    everywhere; the kernel stays for shapes where DMA latency dominates.
+    Returns (desc, theta)."""
+    if bool(fused):
         from tpu3d.kernels.orient_desc import orient_desc_samples
 
         gxs, gys, theta = orient_desc_samples(gx, gy, ky, kx, lvl, sigma,
