@@ -1,5 +1,10 @@
-"""Split the classical extractor's 196 ms/img (TPU-measured,
-benchmarks/extract_probe.py) into its jitted sub-phases:
+"""Split the classical extractor into its jitted sub-phases.
+
+NOTE: the `descript` phase here still models the PRE-restructure
+per-octave flow (descriptors for all O*K candidates); production now
+merges the global top-K first and runs descriptors once
+(features/frontend.py). `full` measures the real path; use
+benchmarks/tpu_session.py for current numbers.
 
   pyramid    — Gaussian/DoG pyramid (XLA convs)
   detect     — per-octave extrema + NMS + top-K
