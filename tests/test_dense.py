@@ -474,3 +474,31 @@ def test_render_image_with_sh_background():
     assert np.isfinite(img).all()
     # empty grid => background dominates; channel ordering must survive
     assert img[0, 0] > img[0, 1] > img[0, 2]
+
+
+def test_scene_contraction():
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.dense.contract import contract, contract_inv
+
+    rng = np.random.default_rng(0)
+    inner = rng.uniform(-0.57, 0.57, (64, 3)).astype(np.float32)  # ||x||<1
+    np.testing.assert_allclose(np.asarray(contract(jnp.asarray(inner))),
+                               inner, atol=1e-6)
+    # far points land in the open shell 1 < ||y|| < 2, radius monotone
+    far = rng.normal(0, 1, (128, 3)).astype(np.float32)
+    far = far / np.linalg.norm(far, axis=1, keepdims=True) * \
+        rng.uniform(1.5, 500.0, (128, 1)).astype(np.float32)
+    y = np.asarray(contract(jnp.asarray(far)))
+    ry = np.linalg.norm(y, axis=1)
+    assert (ry > 1.0).all() and (ry < 2.0).all()
+    order = np.argsort(np.linalg.norm(far, axis=1))
+    assert (np.diff(ry[order]) > -1e-6).all()
+    # inverse round-trip
+    back = np.asarray(contract_inv(jnp.asarray(y)))
+    np.testing.assert_allclose(back, far, rtol=2e-3, atol=1e-4)
+    # gradients finite everywhere (training passes grad through the warp)
+    g = jax.grad(lambda p: jnp.sum(contract(p) ** 2))(
+        jnp.asarray(np.concatenate([inner, far])))
+    assert np.isfinite(np.asarray(g)).all()
