@@ -502,3 +502,38 @@ def test_scene_contraction():
     g = jax.grad(lambda p: jnp.sum(contract(p) ** 2))(
         jnp.asarray(np.concatenate([inner, far])))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_render_rays_contracted_sees_far_content():
+    """A grid spanning [-2,2]^3 queried through the contraction warp must
+    composite density placed at the CONTRACTED location of a far point —
+    and a plain query of the same grid must miss it (the camera is off the
+    grid origin, so the warped and unwarped sample tracks diverge)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.dense.contract import contract
+    from tpu3d.dense.grid import create_grid
+    from tpu3d.dense.render import render_rays
+
+    res = 32
+    vg = create_grid(res, (-2.0, -2.0, -2.0), (2.0, 2.0, 2.0), init=0.0)
+    far_pt = np.array([0.5, 0.0, 5.0], np.float32)   # far, off the origin axis
+    c = np.asarray(contract(jnp.asarray(far_pt)))
+    idx = np.clip(((c + 2.0) / 4.0 * (res - 1)).round().astype(int), 0, res - 1)
+    g = np.zeros(vg.grid.shape, np.float32)
+    g[idx[0], idx[1], idx[2], 0] = 500.0                   # density
+    g[idx[0], idx[1], idx[2], 1] = 1.0 / 0.282095          # red DC SH
+    vg = vg._replace(grid=jnp.asarray(g))
+    ro = np.array([[0.5, 0.0, 0.0]], np.float32)           # off-center camera
+    rd = np.array([[0.0, 0.0, 1.0]], np.float32)
+    img = np.asarray(render_rays(vg, jax.random.PRNGKey(0), jnp.asarray(ro),
+                                 jnp.asarray(rd), 0.1, 8.0, 256,
+                                 perturb=False, white_bg=False, contract=True))
+    assert np.isfinite(img).all()
+    assert img[0, 0] > 1e-3 and img[0, 0] > 50 * (img[0, 1] + 1e-9)
+    img2 = np.asarray(render_rays(vg, jax.random.PRNGKey(0), jnp.asarray(ro),
+                                  jnp.asarray(rd), 0.1, 8.0, 256,
+                                  perturb=False, white_bg=False,
+                                  contract=False))
+    assert img2[0, 0] < 0.1 * img[0, 0] + 1e-6

@@ -14,6 +14,7 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from tpu3d.dense.contract import contract as contract_pts
 from tpu3d.dense.grid import VoxelGrid, query
 from tpu3d.dense.sdf import SDFGrid, query_sdf_sh, ray_aabb, sample_pdf, sample_stratified
 
@@ -62,7 +63,7 @@ def _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d, t_near, t_far,
                            t_near, t_far, n_probes, n_samples, perturb)
 
 
-@functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes"))
+@functools.partial(jax.jit, static_argnames=("n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes", "contract"))
 def render_rays(
     vg: VoxelGrid,
     key: jax.Array,
@@ -77,8 +78,12 @@ def render_rays(
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
+    contract: bool = False,
 ) -> jnp.ndarray:
     """Plenoxel-style [near, far] rendering (ref plenoxel.py:71-93).
+    contract=True warps sample positions through the radius-2 radial
+    contraction (dense/contract.py) before the grid query — the grid then
+    spans [-2, 2]^3 with the scene core linear in the inner unit ball.
     clip_aabb=True additionally intersects each ray's band with the grid
     box (ref's SDF path semantics, sdf.py:154-165) — with cameras INSIDE
     the reconstructed scene a global band wastes most samples outside the
@@ -93,6 +98,8 @@ def render_rays(
     z = _sample_z(key, occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
                   t_near, t_far, n_samples, perturb, occ_probes)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    if contract:
+        pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
     return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
@@ -123,7 +130,7 @@ def render_rays_aabb(
     return out, valid
 
 
-@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "white_bg", "perturb", "clip_aabb", "occ_probes"))
+@functools.partial(jax.jit, static_argnames=("n_coarse", "n_fine", "white_bg", "perturb", "clip_aabb", "occ_probes", "contract"))
 def render_rays_hierarchical(
     vg: VoxelGrid,
     key: jax.Array,
@@ -139,6 +146,7 @@ def render_rays_hierarchical(
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
+    contract: bool = False,
 ) -> jnp.ndarray:
     """Two-pass hierarchical rendering (NeRF coarse→fine; the reference
     COMPUTES importance samples then throws them away, sdf.py:248-252 —
@@ -161,6 +169,8 @@ def render_rays_hierarchical(
     z_c = _sample_z(k1, occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
                     t_near, t_far, n_coarse, perturb, occ_probes)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
+    if contract:
+        pts_c = contract_pts(pts_c)
     from tpu3d.dense.grid import trilinear_sample
 
     dens, in_b = trilinear_sample(vg.grid[..., :1], vg.min_bound, vg.max_bound,
@@ -170,13 +180,15 @@ def render_rays_hierarchical(
     z_f = sample_pdf(k2, z_c, jax.lax.stop_gradient(w), n_fine)
     z = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    if contract:
+        pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
     sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
     S = n_coarse + n_fine
     return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg, bg)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes"))
+@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes", "contract"))
 def render_rays_packed(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -194,6 +206,7 @@ def render_rays_packed(
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
+    contract: bool = False,
 ) -> jnp.ndarray:
     """render_rays via the Pallas box-DMA sampler (kernels/trilinear.py) —
     ~5x over the XLA gather on a v5e for the full-grid access pattern.
@@ -211,6 +224,8 @@ def render_rays_packed(
     z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
                   t_near, t_far, n_samples, perturb, occ_probes)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    if contract:
+        pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     vals, in_b = sample_packed(packed, min_bound, max_bound, res, pts.reshape(-1, 3))
     sigma = jax.nn.relu(vals[:, 0]) * in_b
@@ -232,7 +247,7 @@ def _query_packed_diff(packed, min_bound, max_bound, res, pts, dirs, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg",
-                                              "perturb", "clip_aabb", "interpret", "occ_probes"))
+                                              "perturb", "clip_aabb", "interpret", "occ_probes", "contract"))
 def render_rays_packed_diff(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -251,6 +266,7 @@ def render_rays_packed_diff(
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
+    contract: bool = False,
 ) -> jnp.ndarray:
     """render_rays with BOTH passes of the Pallas kernel pair — the
     TRAINING path on the packed layout (vs render_rays_packed, which is
@@ -266,6 +282,8 @@ def render_rays_packed_diff(
     z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
                   t_near, t_far, n_samples, perturb, occ_probes)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    if contract:
+        pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
                                     pts.reshape(-1, 3), dirs, interpret)
@@ -273,7 +291,7 @@ def render_rays_packed_diff(
 
 
 @functools.partial(jax.jit, static_argnames=("res", "n_coarse", "n_fine", "white_bg",
-                                              "perturb", "clip_aabb", "interpret", "occ_probes"))
+                                              "perturb", "clip_aabb", "interpret", "occ_probes", "contract"))
 def render_rays_hierarchical_packed(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -293,6 +311,7 @@ def render_rays_hierarchical_packed(
     occ: jnp.ndarray = None,
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
+    contract: bool = False,
 ) -> jnp.ndarray:
     """Hierarchical packed-layout training render. The coarse pass feeds
     only the stop-gradiented importance weights, so it uses the
@@ -312,6 +331,8 @@ def render_rays_hierarchical_packed(
     z_c = _sample_z(k1, occ, min_bound, max_bound, rays_o, rays_d,
                     t_near, t_far, n_coarse, perturb, occ_probes)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
+    if contract:
+        pts_c = contract_pts(pts_c)
     vals_c, in_c = _sample_packed(jax.lax.stop_gradient(packed), min_bound,
                                   max_bound, res, pts_c.reshape(-1, 3), interpret)
     sigma_c = (jax.nn.relu(vals_c[:, 0]) * in_c).reshape(n, n_coarse)
@@ -319,6 +340,8 @@ def render_rays_hierarchical_packed(
     z_f = sample_pdf(k2, z_c, jax.lax.stop_gradient(w), n_fine)
     z = jnp.sort(jnp.concatenate([z_c, z_f], axis=-1), axis=-1)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    if contract:
+        pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
                                     pts.reshape(-1, 3), dirs, interpret)
@@ -341,6 +364,7 @@ def render_image(
     occ_factor: int = 4,
     occ_threshold: float = 0.5,
     bg_sh: Optional[jnp.ndarray] = None,
+    contract: bool = False,
 ) -> jnp.ndarray:
     """Chunked full-image render (ref plenoxel.py:46-61 `test`). Padding to
     a whole number of chunks keeps one compiled shape. On TPU backends the
@@ -378,12 +402,12 @@ def render_image(
             outs.append(render_rays_packed(
                 packed, vg.min_bound, vg.max_bound, res, key,
                 ro[s : s + chunk], rd_c, near, far, n_samples,
-                clip_aabb=clip_aabb, occ=occ, bg=bg,
+                clip_aabb=clip_aabb, occ=occ, bg=bg, contract=contract,
             ))
         else:
             outs.append(
                 render_rays(vg, key, ro[s : s + chunk], rd_c, near, far,
                             n_samples, perturb=False, clip_aabb=clip_aabb,
-                            occ=occ, bg=bg)
+                            occ=occ, bg=bg, contract=contract)
             )
     return jnp.concatenate(outs)[:n]
