@@ -44,6 +44,8 @@ def main():
                     help="learnable SH background in the dense stage")
     ap.add_argument("--sparsity", type=float, default=0.0,
                     help="Cauchy density-sparsity prior weight")
+    ap.add_argument("--contraction", action="store_true",
+                    help="radial scene contraction in the dense stage")
     ap.add_argument("--extract-probe", action="store_true",
                     help="run benchmarks/extract_probe.py first")
     ap.add_argument("--ba-bench", action="store_true",
@@ -111,6 +113,8 @@ def main():
                 dense.append("--sh-background")
             if args.sparsity:
                 dense.extend(["--sparsity-sigma", str(args.sparsity)])
+            if args.contraction:
+                dense.append("--contraction")
             cli.main(dense)
         if args.tv:
             tv_s, tv_c = args.tv.split(",")

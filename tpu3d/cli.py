@@ -234,13 +234,24 @@ def cmd_densify(args):
     # records the same downscale.
     ds = (fmeta or meta or {}).get("downscale", 1) * args.dense_downscale
     gray, rgb = load_images(args.images, meta["registered_names"], ds)
-    norm = normalize_scene(rec["points"])
     focal = args.focal / ds
     import dataclasses
 
     from tpu3d.dense.train import auto_near_far
 
-    near, far = auto_near_far(rec["cams"], rec["points"], norm)
+    if args.contraction:
+        from tpu3d.dense.train import normalize_scene_contracted
+
+        norm = normalize_scene_contracted(rec["points"])
+        near, far = auto_near_far(rec["cams"], rec["points"], norm)
+        # The disparity tail in the sampler reaches the shell beyond `far`;
+        # per-ray AABB clipping must be OFF (the Euclidean box exit would
+        # truncate the tail).
+        cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
+            cfg.dense, per_ray_aabb=False, contraction=True))
+    else:
+        norm = normalize_scene(rec["points"])
+        near, far = auto_near_far(rec["cams"], rec["points"], norm)
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
         tv_sigma=args.tv_sigma, tv_sh=args.tv_sh,
@@ -295,6 +306,7 @@ def cmd_densify(args):
         "model": args.model, "near": float(dcfg.near), "far": float(dcfg.far),
         "num_samples": int(dcfg.num_samples),
         "per_ray_aabb": bool(dcfg.per_ray_aabb), "downscale": int(ds),
+        "contraction": bool(getattr(dcfg, "contraction", False)),
     })
     out = {"final_loss": losses[-1] if losses else None,
            "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
@@ -556,6 +568,9 @@ def main(argv=None):
     p.add_argument("--ray-stride", type=int, default=2)
     p.add_argument("--model", choices=["plenoxel", "sdf"], default="plenoxel",
                    help="dense model: plenoxel density grid or SDF grid (ref sdf.py)")
+    p.add_argument("--contraction", action="store_true",
+                   help="radial scene contraction: core linear in the unit "
+                        "ball, far field in the outer shell (dense/contract.py)")
     p.add_argument("--occupancy", action="store_true",
                    help="occupancy-pruned marching (dense/occupancy.py)")
     p.add_argument("--iso", type=float, default=0.0,

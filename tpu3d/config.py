@@ -219,6 +219,12 @@ class DenseConfig:
     epochs: int = 1                    # ref sdf.py:411
     white_background: bool = True      # ref compositing adds (1 - acc)
     hierarchical: bool = False         # coarse->fine importance sampling
+    # Radial scene contraction (dense/contract.py): grid spans [-2,2]^3
+    # with the scene core linear in the inner unit ball and all far
+    # content representable in the outer shell; sampling adds a disparity
+    # background tail. The structural fix for the ~1-2.5% voxel
+    # utilization measured on linear normalizations (dense_norm_probe).
+    contraction: bool = False
     n_coarse: int = 64                 # density-only pass samples
     n_fine: int = 64                   # importance samples (total = sum)
     per_ray_aabb: bool = True          # clip each ray's band to the grid box

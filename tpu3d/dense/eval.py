@@ -59,7 +59,8 @@ def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
     img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro), jnp.asarray(rd),
                        cfg.near, cfg.far, cfg.num_samples, chunk=chunk,
                        clip_aabb=cfg.per_ray_aabb,
-                       bg_sh=None if bg_sh is None else jnp.asarray(bg_sh))
+                       bg_sh=None if bg_sh is None else jnp.asarray(bg_sh),
+                       contract=getattr(cfg, "contraction", False))
     h = len(range(0, H, stride))
     w = len(range(0, W, stride))
     return np.asarray(img).reshape(h, w, 3)

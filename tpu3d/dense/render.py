@@ -50,11 +50,30 @@ def composite_weights(sigma: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return trans * alpha
 
 
+# Euclidean reach of the background disparity tail under contraction: the
+# contracted shell absorbs content out to this distance (normalized units
+# where the scene core is ~1); beyond it the SH/white background takes over.
+_CONTRACT_BG_FAR = 50.0
+
+
 def _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d, t_near, t_far,
-              n_samples, perturb, n_probes):
+              n_samples, perturb, n_probes, bg_far=None):
     """Depth sampling: plain stratified, or — given a coarse occupancy
     grid — inverse-CDF over the occupancy indicator so the fixed sample
-    budget lands on occupied segments only (dense/occupancy.py)."""
+    budget lands on occupied segments only (dense/occupancy.py).
+
+    bg_far (contraction mode): reserve a quarter of the budget as a
+    background tail uniform in DISPARITY from t_far out to bg_far —
+    uniform-t over such a band would starve the scene core, and the
+    contraction warp makes equal-disparity steps roughly equal-size in
+    grid space out in the shell."""
+    if bg_far is not None:
+        n_bg = n_samples // 4
+        z_fg = sample_stratified(key, t_near, t_far, n_samples - n_bg, perturb)
+        u = jnp.linspace(0.0, 1.0, n_bg + 1)[1:]
+        inv = (1.0 / jnp.maximum(t_far, 1e-6))[:, None] * (1.0 - u)[None, :] \
+            + (1.0 / bg_far) * u[None, :]
+        return jnp.concatenate([z_fg, 1.0 / inv], axis=-1)
     if occ is None:
         return sample_stratified(key, t_near, t_far, n_samples, perturb)
     from tpu3d.dense.occupancy import sample_occupied
@@ -96,7 +115,8 @@ def render_rays(
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z = _sample_z(key, occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
-                  t_near, t_far, n_samples, perturb, occ_probes)
+                  t_near, t_far, n_samples, perturb, occ_probes,
+                  bg_far=_CONTRACT_BG_FAR if contract else None)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     if contract:
         pts = contract_pts(pts)
@@ -167,7 +187,8 @@ def render_rays_hierarchical(
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z_c = _sample_z(k1, occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
-                    t_near, t_far, n_coarse, perturb, occ_probes)
+                    t_near, t_far, n_coarse, perturb, occ_probes,
+                    bg_far=_CONTRACT_BG_FAR if contract else None)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
     if contract:
         pts_c = contract_pts(pts_c)
@@ -222,7 +243,8 @@ def render_rays_packed(
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
-                  t_near, t_far, n_samples, perturb, occ_probes)
+                  t_near, t_far, n_samples, perturb, occ_probes,
+                  bg_far=_CONTRACT_BG_FAR if contract else None)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     if contract:
         pts = contract_pts(pts)
@@ -280,7 +302,8 @@ def render_rays_packed_diff(
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
-                  t_near, t_far, n_samples, perturb, occ_probes)
+                  t_near, t_far, n_samples, perturb, occ_probes,
+                  bg_far=_CONTRACT_BG_FAR if contract else None)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     if contract:
         pts = contract_pts(pts)
@@ -329,7 +352,8 @@ def render_rays_hierarchical_packed(
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
     z_c = _sample_z(k1, occ, min_bound, max_bound, rays_o, rays_d,
-                    t_near, t_far, n_coarse, perturb, occ_probes)
+                    t_near, t_far, n_coarse, perturb, occ_probes,
+                    bg_far=_CONTRACT_BG_FAR if contract else None)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
     if contract:
         pts_c = contract_pts(pts_c)

@@ -50,6 +50,21 @@ class SceneNormalization:
         return (pts - self.center) / self.scale
 
 
+def normalize_scene_contracted(points: np.ndarray,
+                               core_q: float = 90.0,
+                               core_radius: float = 0.9) -> SceneNormalization:
+    """Gauge-invariant normalization for the contraction warp: the p`core_q`
+    radius of the median-centered cloud lands at `core_radius` (inside the
+    unit ball where the warp is identity); everything farther compresses
+    into the shell. Unlike normalize_scene's mean+300-after-x200 filter,
+    this is invariant to the arbitrary SfM gauge scale
+    (benchmarks/dense_norm_probe.py)."""
+    center = np.median(points, axis=0)
+    dist = np.linalg.norm(points - center, axis=1)
+    extent = float(np.percentile(dist, core_q)) / core_radius
+    return SceneNormalization(center.astype(np.float32), extent + 1e-9)
+
+
 def normalize_scene(points: np.ndarray, target_extent: float = 1.0) -> SceneNormalization:
     """Similarity transform putting the (outlier-filtered) cloud inside
     [-target_extent, target_extent]^3 — the role the reference's fixed
@@ -325,11 +340,13 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
                 vg, key, ro, rd, cfg.near, cfg.far, cfg.n_coarse, cfg.n_fine,
                 cfg.white_background, clip_aabb=cfg.per_ray_aabb,
                 occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
+                contract=cfg.contraction,
             )
         return render_rays(
             vg, key, ro, rd, cfg.near, cfg.far, cfg.num_samples, cfg.white_background,
             clip_aabb=cfg.per_ray_aabb,
             occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
+            contract=cfg.contraction,
         )
 
     # Donating the state is what makes a 256^3 grid fit: grid + Adam
@@ -382,12 +399,14 @@ def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransforma
                 packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
                 cfg.n_coarse, cfg.n_fine, cfg.white_background,
                 clip_aabb=cfg.per_ray_aabb, interpret=interpret,
-                occ=occ, occ_probes=cfg.occupancy_probes, bg=bg)
+                occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
+                contract=cfg.contraction)
         return render_rays_packed_diff(
             packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
             cfg.num_samples, cfg.white_background,
             clip_aabb=cfg.per_ray_aabb, interpret=interpret,
-            occ=occ, occ_probes=cfg.occupancy_probes, bg=bg)
+            occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
+            contract=cfg.contraction)
 
     def step_body(state: TrainState, key, ro, rd, rgb, occ=None, cid=None):
         def loss_fn(packed, gains, bg_sh, key, rgb, cid):
@@ -561,7 +580,9 @@ def train_plenoxel(
     n = len(dataset.origins)
     steps_per_epoch = max(n // cfg.batch_size, 1)
     if grid is None:
-        s = cfg.scene_scale
+        # Contraction maps all of space into the radius-2 ball; the grid
+        # must span exactly [-2, 2]^3 for the warp's core/shell split.
+        s = 2.0 if cfg.contraction else cfg.scene_scale
         grid = create_grid(cfg.grid_resolution, (-s, -s, -s), (s, s, s))
     pre_losses: List[float] = []
     if cfg.coarse_epochs > 0 and cfg.epochs > cfg.coarse_epochs and not resume:
@@ -800,7 +821,9 @@ def train_sdf(
     n = len(dataset.origins)
     steps_per_epoch = max(n // cfg.batch_size, 1)
     if grid is None:
-        s = cfg.scene_scale
+        # Contraction maps all of space into the radius-2 ball; the grid
+        # must span exactly [-2, 2]^3 for the warp's core/shell split.
+        s = 2.0 if cfg.contraction else cfg.scene_scale
         grid = create_grid(cfg.grid_resolution, (-s, -s, -s), (s, s, s))
     pre_losses: List[float] = []
     if cfg.coarse_epochs > 0 and cfg.epochs > cfg.coarse_epochs:
