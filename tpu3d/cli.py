@@ -452,7 +452,13 @@ def cmd_render(args):
     meta = store.load_json("dense_meta") or {}
     rmeta = store.load_json("reconstruction_meta") or {}
     fmeta = store.load_json("features_meta") or {}
-    norm = normalize_scene(rec["points"])
+    contracted = bool(meta.get("contraction", False))
+    if contracted:
+        from tpu3d.dense.train import normalize_scene_contracted
+
+        norm = normalize_scene_contracted(rec["points"])
+    else:
+        norm = normalize_scene(rec["points"])
     ds = int(meta.get("downscale") or
              (fmeta or rmeta or {}).get("downscale", 1) * args.dense_downscale)
     focal = args.focal / ds
@@ -469,7 +475,8 @@ def cmd_render(args):
     dcfg = dataclasses.replace(
         cfg.dense, near=near, far=far,
         num_samples=int(meta.get("num_samples", cfg.dense.num_samples)),
-        per_ray_aabb=bool(meta.get("per_ray_aabb", cfg.dense.per_ray_aabb)))
+        per_ray_aabb=bool(meta.get("per_ray_aabb", cfg.dense.per_ray_aabb)),
+        contraction=contracted)
     out_dir = args.out or os.path.join(args.artifacts, "renders")
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.time()
