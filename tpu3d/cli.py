@@ -239,6 +239,11 @@ def cmd_densify(args):
 
     from tpu3d.dense.train import auto_near_far
 
+    if args.contraction and args.model == "sdf":
+        print("--contraction is implemented for the plenoxel model only "
+              "(the SDF trainer's eikonal/band semantics assume an "
+              "unwarped metric)", file=sys.stderr)
+        sys.exit(2)
     if args.contraction:
         from tpu3d.dense.train import normalize_scene_contracted
 
