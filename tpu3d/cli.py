@@ -247,6 +247,15 @@ def cmd_densify(args):
     if args.contraction:
         from tpu3d.dense.train import normalize_scene_contracted
 
+        if args.occupancy:
+            # The contraction sampler's disparity tail replaces occupancy-
+            # guided sampling (_sample_z returns before the occupancy
+            # branch) — building/pruning the occupancy grid would be wasted
+            # work behind a misleading flag.
+            print("--occupancy is ignored under --contraction (the "
+                  "disparity-tail sampler overrides occupancy-guided "
+                  "sampling)", file=sys.stderr)
+            args.occupancy = False
         norm = normalize_scene_contracted(rec["points"])
         near, far = auto_near_far(rec["cams"], rec["points"], norm)
         # The disparity tail in the sampler reaches the shell beyond `far`;
@@ -302,7 +311,8 @@ def cmd_densify(args):
                     ).astype(np.float16)
     store.save("mesh_grid", grid=mg,
                min_bound=np.asarray(grid.min_bound),
-               max_bound=np.asarray(grid.max_bound))
+               max_bound=np.asarray(grid.max_bound),
+               contraction=np.asarray(bool(getattr(dcfg, "contraction", False))))
     # Render/eval provenance for `cli render`: the exact sampling band +
     # semantics this grid was evaluated with (the SDF band replace above
     # must be captured — rendering an SDF grid with the scene band measures
@@ -409,6 +419,13 @@ def cmd_mesh(args):
     verts, faces, cols = marching_tetrahedra(
         sigma, iso, d["min_bound"], d["max_bound"], rgb)
     verts, faces, cols = dedup_mesh(verts, faces, cols)
+    if bool(np.asarray(d.get("contraction", False))):
+        # Contracted grids store geometry in warped coordinates; unwarp the
+        # extracted surface back to the normalized scene frame so the mesh
+        # is metrically meaningful (dense/contract.py::contract_inv).
+        from tpu3d.dense.contract import contract_inv
+
+        verts = np.asarray(contract_inv(np.asarray(verts, np.float32)))
     out = args.out or os.path.join(args.artifacts, "mesh.ply")
     n = write_ply_mesh(out, verts, faces, cols)
     print(json.dumps({"vertices": int(len(verts)), "faces": int(n),

@@ -66,13 +66,17 @@ def _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d, t_near, t_far,
     background tail uniform in DISPARITY from t_far out to bg_far —
     uniform-t over such a band would starve the scene core, and the
     contraction warp makes equal-disparity steps roughly equal-size in
-    grid space out in the shell."""
+    grid space out in the shell. The tail end is clamped per ray to
+    max(bg_far, 1.05*t_far): auto_near_far's far is scene-derived and
+    unclamped, and a tail that ENDED before t_far would emit decreasing
+    depths, violating composite()'s sorted-z assumption."""
     if bg_far is not None:
         n_bg = n_samples // 4
         z_fg = sample_stratified(key, t_near, t_far, n_samples - n_bg, perturb)
         u = jnp.linspace(0.0, 1.0, n_bg + 1)[1:]
+        bg_end = jnp.maximum(bg_far, t_far * 1.05)
         inv = (1.0 / jnp.maximum(t_far, 1e-6))[:, None] * (1.0 - u)[None, :] \
-            + (1.0 / bg_far) * u[None, :]
+            + (1.0 / bg_end)[:, None] * u[None, :]
         return jnp.concatenate([z_fg, 1.0 / inv], axis=-1)
     if occ is None:
         return sample_stratified(key, t_near, t_far, n_samples, perturb)

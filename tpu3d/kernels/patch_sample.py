@@ -33,7 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 # to the (8, 128) float32 tiling, so corners are rounded down to those
 # multiples and the window is widened to keep the sample cloud covered:
 # max supported sample spread is PATCH_Y-8-2 rows / PATCH_X-128-2 cols.
-PATCH_Y = 64
+# PATCH_Y=80 covers the worst-case rotated max-sigma descriptor grid
+# (~58-row span + 8 alignment + 2 margin + 1 bilinear neighbor = 69 < 70
+# usable) — 64 silently clamped outer-ring samples (see the bound analysis
+# in kernels/orient_desc.py, which uses 96 for the same reason). Staying
+# <= 128 keeps the per-sample MXU tile count unchanged.
+PATCH_Y = 80
 PATCH_X = 256
 NSAMP = 256     # samples per keypoint (16x16 descriptor grid)
 
