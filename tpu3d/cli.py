@@ -256,15 +256,23 @@ def cmd_densify(args):
                   "disparity-tail sampler overrides occupancy-guided "
                   "sampling)", file=sys.stderr)
             args.occupancy = False
-        norm = normalize_scene_contracted(rec["points"])
+        norm = normalize_scene_contracted(rec["points"],
+                                          core_q=args.norm_core_q,
+                                          core_radius=args.norm_core_radius)
         near, far = auto_near_far(rec["cams"], rec["points"], norm)
         # The disparity tail in the sampler reaches the shell beyond `far`;
         # per-ray AABB clipping must be OFF (the Euclidean box exit would
         # truncate the tail).
         cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
             cfg.dense, per_ray_aabb=False, contraction=True))
+    elif args.norm == "legacy":
+        from tpu3d.dense.train import normalize_scene_legacy
+
+        norm = normalize_scene_legacy(rec["points"])
+        near, far = auto_near_far(rec["cams"], rec["points"], norm)
     else:
-        norm = normalize_scene(rec["points"])
+        norm = normalize_scene(rec["points"], core_q=args.norm_core_q,
+                               margin=args.norm_margin)
         near, far = auto_near_far(rec["cams"], rec["points"], norm)
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
@@ -322,6 +330,11 @@ def cmd_densify(args):
         "num_samples": int(dcfg.num_samples),
         "per_ray_aabb": bool(dcfg.per_ray_aabb), "downscale": int(ds),
         "contraction": bool(getattr(dcfg, "contraction", False)),
+        # The exact normalization this grid was trained under: render/eval
+        # must reuse it verbatim — recomputing from the cloud breaks the
+        # moment normalization defaults change.
+        "norm_center": np.asarray(norm.center, np.float64).tolist(),
+        "norm_scale": float(norm.scale),
     })
     out = {"final_loss": losses[-1] if losses else None,
            "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
@@ -444,7 +457,7 @@ def cmd_render(args):
 
     from tpu3d.dense.eval import interpolate_poses, render_view
     from tpu3d.dense.grid import VoxelGrid
-    from tpu3d.dense.train import auto_near_far, normalize_scene
+    from tpu3d.dense.train import SceneNormalization, auto_near_far
     from tpu3d.io.artifacts import ArtifactStore
 
     cfg = _build_config(args)
@@ -475,12 +488,21 @@ def cmd_render(args):
     rmeta = store.load_json("reconstruction_meta") or {}
     fmeta = store.load_json("features_meta") or {}
     contracted = bool(meta.get("contraction", False))
-    if contracted:
+    if "norm_center" in meta:
+        # The normalization the grid was actually trained under (recorded
+        # by densify) — never recompute from the cloud here.
+        norm = SceneNormalization(np.asarray(meta["norm_center"], np.float32),
+                                  float(meta["norm_scale"]))
+    elif contracted:
         from tpu3d.dense.train import normalize_scene_contracted
 
         norm = normalize_scene_contracted(rec["points"])
     else:
-        norm = normalize_scene(rec["points"])
+        # Grids predating the recorded-norm field were trained under the
+        # legacy normalization.
+        from tpu3d.dense.train import normalize_scene_legacy
+
+        norm = normalize_scene_legacy(rec["points"])
     ds = int(meta.get("downscale") or
              (fmeta or rmeta or {}).get("downscale", 1) * args.dense_downscale)
     focal = args.focal / ds
@@ -600,6 +622,17 @@ def main(argv=None):
     p.add_argument("--contraction", action="store_true",
                    help="radial scene contraction: core linear in the unit "
                         "ball, far field in the outer shell (dense/contract.py)")
+    p.add_argument("--norm", choices=["core", "legacy"], default="core",
+                   help="scene normalization: gauge-invariant percentile "
+                        "core (default) or the legacy mean+300 filter")
+    p.add_argument("--norm-core-q", type=float, default=92.0,
+                   help="core percentile of the radial distance "
+                        "distribution mapped to the grid")
+    p.add_argument("--norm-margin", type=float, default=1.15,
+                   help="extent margin over the core percentile radius")
+    p.add_argument("--norm-core-radius", type=float, default=0.9,
+                   help="contraction: normalized radius the core "
+                        "percentile lands at (inside the unit ball)")
     p.add_argument("--occupancy", action="store_true",
                    help="occupancy-pruned marching (dense/occupancy.py)")
     p.add_argument("--iso", type=float, default=0.0,

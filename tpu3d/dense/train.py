@@ -65,15 +65,43 @@ def normalize_scene_contracted(points: np.ndarray,
     return SceneNormalization(center.astype(np.float32), extent + 1e-9)
 
 
-def normalize_scene(points: np.ndarray, target_extent: float = 1.0) -> SceneNormalization:
-    """Similarity transform putting the (outlier-filtered) cloud inside
-    [-target_extent, target_extent]^3 — the role the reference's fixed
-    hn/hf + scale constants play for its externally-normalized dataset."""
+def normalize_scene(points: np.ndarray, target_extent: float = 1.0,
+                    core_q: float = 92.0, margin: float = 1.15) -> SceneNormalization:
+    """GAUGE-INVARIANT similarity transform into [-target_extent,
+    target_extent]^3: median center, extent = margin x p`core_q` of the
+    radial distance distribution. An SfM gauge is arbitrary, so the
+    transform must commute with rescaling the reconstruction — the legacy
+    mean+300-after-x200 filter (normalize_scene_legacy) keyed off ABSOLUTE
+    thresholds and collapsed 18.2 -> 14.9 dB when the CPU backend produced
+    a larger gauge for the same matches (BASELINE.md, dense_norm_probe).
+    Content beyond the core percentile falls outside the grid; the learned
+    SH background / white background absorbs it."""
+    center = np.median(points, axis=0)
+    dist = np.linalg.norm(points - center, axis=1)
+    extent = margin * float(np.percentile(dist, core_q))
+    return SceneNormalization(center.astype(np.float32),
+                              float(extent / target_extent + 1e-9))
+
+
+def normalize_scene_legacy(points: np.ndarray, target_extent: float = 1.0) -> SceneNormalization:
+    """Round-1/2 normalization (outlier filter + per-axis max extent) —
+    kept for A/B and for rendering grids trained before the gauge-invariant
+    default landed (dense_meta without a recorded norm implies this)."""
     keep = filter_point_cloud(points)
     p = points[keep] if keep.any() else points
     center = p.mean(axis=0)
     extent = np.abs(p - center).max()
     return SceneNormalization(center.astype(np.float32), float(extent / target_extent + 1e-9))
+
+
+def core_points(points: np.ndarray, q: float = 90.0, k: float = 4.0) -> np.ndarray:
+    """Gauge-invariant outlier trim: keep points within k x p`q` radial
+    distance of the median center (replaces io.ply.filter_point_cloud's
+    absolute thresholds inside band/normalization math; the PLY export
+    keeps the reference-exact filter)."""
+    center = np.median(points, axis=0)
+    dist = np.linalg.norm(points - center, axis=1)
+    return points[dist <= k * np.percentile(dist, q)]
 
 
 def rays_from_cameras(
@@ -122,11 +150,12 @@ def auto_near_far(cams: np.ndarray, points: np.ndarray,
     (plenoxel.py:133) was tuned for ITS externally-normalized dataset; on
     our normalized reconstructions cameras sit INSIDE the scene (~0.2 from
     center with content at depth 0.02-1.1), so a fixed band can miss the
-    scene entirely — observed as all-white renders."""
-    from tpu3d.io.ply import filter_point_cloud
-
-    keep = filter_point_cloud(points)
-    pts = points[keep] if keep.any() else points
+    scene entirely — observed as all-white renders. Outlier trim is the
+    gauge-invariant core_points (the absolute filter made the band itself
+    gauge-dependent)."""
+    pts = core_points(points)
+    if not len(pts):
+        pts = points
     if norm is not None:
         pts = norm.apply(pts)
     depths = []

@@ -1247,12 +1247,19 @@ class IncrementalSfM:
         self.obs_valid[:] = snap["obs_valid"]
         self.num_registered = snap["num_registered"]
 
-    def deregister_weak_cameras(self, min_obs: int = 8, max_median_px: float = 8.0):
+    def deregister_weak_cameras(self, min_obs: int = 8, max_median_px: float = 8.0,
+                                lenient: Optional[set] = None):
         """Drop cameras whose surviving observation support is too thin or
         too inconsistent. A camera placed at a wrong scale (fallback gone
         bad) ends up with its anchor observations pruned — internally
         consistent but teleported relative to the main component. Better to
         report it unregistered than to ship a wrong pose.
+
+        lenient: image ids judged at a RELAXED gate (min_obs//2, 1.5x
+        max_median_px) — finalize's re-registered cameras, so a camera
+        sitting at the threshold doesn't oscillate across the gate as each
+        BA nudges the optimum (hysteresis; the observed failure mode was
+        "re-register 7 -> drop 14, ending WORSE than one pass").
         Returns the list of dropped image ids (empty list = none)."""
         prob = self._gather_global_problem()
         if prob is None:
@@ -1264,7 +1271,10 @@ class IncrementalSfM:
         for ci, img in enumerate(cam_slots):
             sel = cam_idx == ci
             n = int(sel.sum())
-            if n < min_obs or (n and float(np.median(err[sel])) > max_median_px):
+            lo, hi = min_obs, max_median_px
+            if lenient and int(img) in lenient:
+                lo, hi = max(2, min_obs // 2), 1.5 * max_median_px
+            if n < lo or (n and float(np.median(err[sel])) > hi):
                 self.has_cam[img] = False
                 self.num_registered -= 1
                 dropped.append(int(img))
@@ -1299,16 +1309,25 @@ class IncrementalSfM:
                     # Marginal cameras can thrash across the weak gate as
                     # each BA shifts the optimum (observed: drop 7 ->
                     # re-register 7 -> drop 14, ending WORSE than one
-                    # round) — snapshot after every re-gate and ship the
-                    # best gated state, never an oscillation's low point.
+                    # round). Two hysteresis rules kill the oscillation:
+                    # (a) once re-registered, a camera is re-gated at the
+                    # RELAXED thresholds (deregister_weak_cameras lenient=),
+                    # so the gate has a dead band; (b) each dropped camera
+                    # gets exactly ONE retry (monotone) — fail the lenient
+                    # gate after re-entry and it stays out. The best-state
+                    # snapshot remains as a backstop.
                     best = (self.num_registered, self._snapshot_state())
+                    reentered: set = set()
+                    attempted: set = set()
                     for _ in range(3):
                         if not pending:
                             break
                         self.global_ba()
-                        retry = [by_img[i] for i in pending if i in by_img]
+                        retry = [by_img[i] for i in pending
+                                 if i in by_img and i not in attempted]
                         if not retry:
                             break
+                        attempted.update(r.img for r in retry)
                         infos = self.register_batch(retry)
                         back = [i["img"] for i in infos
                                 if i.get("status") == "registered"]
@@ -1317,8 +1336,9 @@ class IncrementalSfM:
                         if verbose:
                             print(f"[sfm] finalize re-registered: {back}",
                                   flush=True)
+                        reentered.update(back)
                         self.global_ba()
-                        pending = self.deregister_weak_cameras()
+                        pending = self.deregister_weak_cameras(lenient=reentered)
                         if pending and verbose:
                             print(f"[sfm] finalize re-dropped: {pending}",
                                   flush=True)
