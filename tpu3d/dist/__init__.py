@@ -3,6 +3,7 @@ from tpu3d.dist.runtime import maybe_initialize_distributed
 from tpu3d.dist.sharding import (
     make_sharded_dense_step,
     make_sharded_match_block,
+    make_sharded_register_step,
     sharded_bundle_adjust,
 )
 
@@ -13,6 +14,7 @@ __all__ = [
     "replicated",
     "make_sharded_dense_step",
     "make_sharded_match_block",
+    "make_sharded_register_step",
     "sharded_bundle_adjust",
     "maybe_initialize_distributed",
 ]

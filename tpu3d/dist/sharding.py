@@ -92,6 +92,26 @@ def make_sharded_match_block(mesh: Mesh, focal: float, threshold_px: float,
     return run
 
 
+def make_sharded_register_step(mesh: Mesh, focal: float, tri_thr_px: float,
+                               num_hypotheses: int):
+    """Frontier registration chunk with the IMAGE axis sharded over `data`:
+    each device runs the fused PnP-RANSAC + edge-triangulation step
+    (engine._register_step_batch) for its image shard. Images inside one
+    BFS frontier round are independent — the chunk staleness this
+    introduces is what the engine's fixpoint retry loop already absorbs —
+    so the per-image hot path scales out with zero collectives."""
+    from tpu3d.sfm.engine import _register_step_batch
+
+    def run(keys, Xk, uvk, wk, pnp_thr, cams_i, uv_r, uv_n):
+        put = lambda a: jax.device_put(a, data_sharding(mesh, ndim=a.ndim))
+        return _register_step_batch(
+            put(keys), put(Xk), put(uvk), put(wk), pnp_thr,
+            put(cams_i), put(uv_r), put(uv_n), focal, tri_thr_px,
+            num_hypotheses)
+
+    return run
+
+
 def sharded_bundle_adjust(
     mesh: Mesh,
     cams0,
