@@ -563,6 +563,44 @@ def cmd_export(args):
     print(json.dumps({"out": out, "written": written}))
 
 
+def cmd_ingest(args):
+    """One-command learned-weights ingest: convert a torch checkpoint
+    (.pth/.pt) into the flat .npz param store the pipeline loads WITHOUT
+    torch at runtime. The reference's production front-end is DISK +
+    LightGlue (feature_extraction.py:28, matching.py:122) whose published
+    checkpoints download at import time — here the drop-in path is:
+
+      tpu3d ingest --frontend disk --frontend-weights disk.pth --out disk.npz
+      tpu3d ingest --matcher lightglue --matcher-weights lg.pth --out lg.npz
+      tpu3d extract ... --frontend disk --frontend-weights disk.npz
+    """
+    from tpu3d.features.learned import (
+        load_frontend_params, load_matcher_params, save_params_npz,
+    )
+
+    if args.matcher_weights and args.frontend_weights:
+        print("ingest converts ONE checkpoint: give either "
+              "--frontend-weights or --matcher-weights", file=sys.stderr)
+        sys.exit(2)
+    if args.matcher_weights:
+        params = load_matcher_params(args.matcher_weights)
+        kind, src = "lightglue", args.matcher_weights
+    elif args.frontend_weights:
+        params = load_frontend_params(args.frontend, args.frontend_weights)
+        kind, src = args.frontend, args.frontend_weights
+    else:
+        print("ingest needs --frontend-weights CKPT or --matcher-weights "
+              "CKPT", file=sys.stderr)
+        sys.exit(2)
+    out = args.out or (os.path.splitext(src)[0] + ".npz")
+    save_params_npz(out, params)
+    import jax
+
+    n_arrays = len(jax.tree_util.tree_leaves(params))
+    print(json.dumps({"model": kind, "source": src, "out": out,
+                      "arrays": n_arrays}))
+
+
 def cmd_full(args):
     from tpu3d.io.ply import write_ply
     from tpu3d.sfm.pipeline import reconstruct
@@ -586,8 +624,10 @@ def cmd_full(args):
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpu3d", description="TPU-native incremental SfM + dense reconstruction")
-    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full", "export", "mesh", "render"])
-    p.add_argument("--images", required=True)
+    p.add_argument("command", choices=["extract", "match", "reconstruct", "densify", "full", "export", "mesh", "render", "ingest"])
+    p.add_argument("--images", default="",
+                   help="image directory (required for all commands except "
+                        "ingest)")
     p.add_argument("--artifacts", default="artifacts")
     p.add_argument("--downscale", type=int, default=1)
     p.add_argument("--dense-downscale", type=int, default=4)
@@ -714,6 +754,8 @@ def main(argv=None):
                         "TPU3D_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID env "
                         "vars work too (tpu3d/dist/runtime.py).")
     args = p.parse_args(argv)
+    if args.command != "ingest" and not args.images:
+        p.error("--images is required")
     if args.cpu:
         import jax
 
@@ -751,6 +793,7 @@ def main(argv=None):
         "export": cmd_export,
         "mesh": cmd_mesh,
         "render": cmd_render,
+        "ingest": cmd_ingest,
     }[args.command]
     if args.xprof:
         import jax
