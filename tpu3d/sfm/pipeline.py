@@ -80,7 +80,16 @@ def run_extraction(
     names: Optional[List[str]] = None,
     downscale: int = 1,
     verbose: bool = True,
+    prematch_memo: Optional[Dict] = None,
+    prematch_offsets: Tuple[int, ...] = (1, 2, 3),
 ) -> ExtractedFeatures:
+    """prematch_memo: when given (reconstruct's e2e path), sequential-prior
+    candidate edges (g-off, g) are matched + E-gated DURING the extraction
+    loop, filling the memo _batch_match_pairs consumes — the match blocks
+    ride in the device gaps the per-batch keypoint download leaves, so on a
+    sequential capture most of the match stage's device time is hidden
+    behind extraction. Fixed-shape (N, K, D) buffers keep every block on
+    the same executable as the post-retrieval blocks."""
     names = names if names is not None else list_images(img_dir)
     B = cfg.frontend.batch_size
 
@@ -131,6 +140,53 @@ def run_extraction(
     n_done = 0
     pending = deque()
 
+    # --- sequential-prior prematch state (see docstring) ---
+    N = len(names)
+    prematch = (prematch_memo is not None and cfg.matching.pair_batch > 1
+                and cfg.matching.matcher == "mnn" and N > 1)
+    pm_state = {"d": None, "v": None, "kp": None, "avail": 0,
+                "edges": [], "pending": []}
+    pm_key = jax.random.PRNGKey(17)
+
+    def pm_keys(blk):
+        # Per-edge keys by edge id, independent of dispatch grouping.
+        ids = jnp.asarray([e[0] * N + e[1] for e in blk], jnp.uint32)
+        return jax.vmap(lambda e: jax.random.fold_in(pm_key, e))(ids)
+
+    def pm_dispatch(final=False):
+        Bm = max(int(cfg.matching.pair_batch), 1)
+        while len(pm_state["edges"]) >= Bm or (final and pm_state["edges"]):
+            blk = pm_state["edges"][:Bm]
+            pm_state["edges"] = pm_state["edges"][Bm:]
+            pad = Bm - len(blk)
+            ii = np.array([e[0] for e in blk] + [blk[-1][0]] * pad, np.int32)
+            jj = np.array([e[1] for e in blk] + [blk[-1][1]] * pad, np.int32)
+            kb = pm_keys(blk + [blk[-1]] * pad)
+            pm_state["pending"].append((blk, _match_and_gate_block(
+                pm_state["d"], pm_state["v"], pm_state["kp"],
+                jnp.asarray(ii), jnp.asarray(jj), kb,
+                cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
+                cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
+                five_point=cfg.sfm.ransac.use_five_point,
+            )))
+
+    def pm_add_batch(fs, start, n):
+        n = min(n, N - start)
+        if pm_state["d"] is None:
+            K, D = fs.descriptors.shape[1:]
+            pm_state["d"] = jnp.zeros((N, K, D), fs.descriptors.dtype)
+            pm_state["v"] = jnp.zeros((N, K), jnp.float32)
+            pm_state["kp"] = jnp.zeros((N, K, 2), fs.keypoints.dtype)
+        upd = jax.lax.dynamic_update_slice
+        pm_state["d"] = upd(pm_state["d"], fs.descriptors[:n], (start, 0, 0))
+        pm_state["v"] = upd(pm_state["v"], fs.valid[:n].astype(jnp.float32), (start, 0))
+        pm_state["kp"] = upd(pm_state["kp"], fs.keypoints[:n], (start, 0, 0))
+        for g in range(start, start + n):
+            for off in prematch_offsets:
+                if g - off >= 0:
+                    pm_state["edges"].append((g - off, g))
+        pm_dispatch()
+
     def drain_one():
         nonlocal n_done
         chunk, rgb, fs = pending.popleft()
@@ -159,11 +215,19 @@ def run_extraction(
             fs = extract_learned(fe_params, cfg.frontend.model, gray_u8,
                                  rgb, cfg.frontend)
         pending.append((chunk, rgb, fs))
+        if prematch:
+            pm_add_batch(fs, s, len(chunk))
         if len(pending) >= 2:
             drain_one()
     while pending:
         drain_one()
     pool.shutdown(wait=False)
+    if prematch:
+        pm_dispatch(final=True)
+        for blk, flat_dev in pm_state["pending"]:
+            flat = np.asarray(flat_dev)
+            for b, e in enumerate(blk):
+                prematch_memo[e] = flat[b]
     valid_dev = jnp.concatenate(valids_dev)
     keypoints_dev = jnp.concatenate(kps_dev)
     return ExtractedFeatures(
@@ -382,10 +446,14 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
     return memo
 
 
-def _precompute_pair_cache(feats, adj, cfg, key, verbose=True):
-    """Match + E-gate every candidate view-graph edge in vmapped blocks."""
+def _precompute_pair_cache(feats, adj, cfg, key, verbose=True, memo=None):
+    """Match + E-gate every candidate view-graph edge in vmapped blocks.
+    memo: pre-filled results (run_extraction's sequential prematch) — those
+    edges are skipped here."""
     pairs = [(i, j) for i in adj for j in adj.get(i, []) if i != j]
-    return _batch_match_pairs(feats, pairs, cfg, key, {}, verbose=verbose)
+    return _batch_match_pairs(feats, pairs, cfg, key,
+                              memo if memo is not None else {},
+                              verbose=verbose)
 
 
 def _decode_pair(feats, flat, i, j, reverse, cfg):
@@ -475,6 +543,7 @@ def run_matching(
     cfg: PipelineConfig,
     seed: int = 1,
     verbose: bool = True,
+    memo: Optional[Dict] = None,
 ) -> Tuple[List[ImageRegistration], TrackStore]:
     """BFS matching with interleaved acceptance and MULTI-REFERENCE edges.
 
@@ -493,7 +562,8 @@ def run_matching(
         adj = {i: ([i - 1] if i else []) + ([i + 1] if i + 1 < n_img else []) for i in range(n_img)}
     key, ckey = jax.random.split(key)
     _t0 = time.time()
-    cache = (_precompute_pair_cache(feats, adj, cfg, ckey, verbose=verbose)
+    cache = (_precompute_pair_cache(feats, adj, cfg, ckey, verbose=verbose,
+                                    memo=memo)
              if cfg.matching.pair_batch > 1 else None)
     LAST_MATCH_TIMERS.clear()
     LAST_MATCH_TIMERS["gate_blocks"] = round(time.time() - _t0, 2)
@@ -1045,8 +1115,10 @@ def reconstruct(
     cfg = cfg or PipelineConfig()
     timings: Dict[str, float] = {}
     t0 = time.time()
+    memo: Dict = {}
     with trace_span("extract", sync=True, images=len(names) if names else -1):
-        feats = run_extraction(img_dir, cfg, names, downscale, verbose)
+        feats = run_extraction(img_dir, cfg, names, downscale, verbose,
+                               prematch_memo=memo)
     timings["extract"] = time.time() - t0
     t0 = time.time()
     with trace_span("retrieve", sync=True):
@@ -1054,7 +1126,7 @@ def reconstruct(
     timings["retrieve"] = time.time() - t0
     t0 = time.time()
     with trace_span("match", sync=True):
-        pairs, ts = run_matching(feats, adj, cfg, verbose=verbose)
+        pairs, ts = run_matching(feats, adj, cfg, verbose=verbose, memo=memo)
     timings["match"] = time.time() - t0
     t0 = time.time()
     with trace_span("reconstruct", sync=True, mode=mode):
