@@ -62,6 +62,19 @@ class FrontendConfig:
     # backend's scalar register allocator on the descriptor gather graph;
     # the per-image cost is ~1ms so batching higher buys little.
     batch_size: int = 4
+    # Detector top-k selection: 0.0 = exact lax.top_k (a full TPU sort over
+    # the ~2M-element octave score map); in (0, 1] = lax.approx_max_k with
+    # this recall target — the TPU-native partial-reduction selector. NMS'd
+    # score maps are ~99.9% zeros, so sub-1.0 recall loses only threshold-
+    # adjacent keypoints; quality must be A/B'd per dataset.
+    approx_topk_recall: float = 0.0
+    # MXU precision for the per-keypoint patch-sampling matmuls
+    # (kernels/patch_sample.py): "highest" = 6-pass bf16 (exact f32),
+    # "default" = single-pass bf16 (Mosaic has no 3-pass HIGH; "high" maps
+    # to highest). The descriptor stage is compute-bound on these matmuls;
+    # bf16 perturbs descriptor samples ~1e-2 absolute (quality A/B
+    # required — f32 scoping elsewhere was load-bearing, BASELINE.md).
+    patch_precision: str = "highest"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,7 +65,8 @@ def _use_pallas_sampling() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx, ymax=None, xmax=None):
+def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx, ymax=None, xmax=None,
+                      precision="highest"):
     """Gradient samples at kp + offsets. dy/dx: (K, N).
 
     ymax/xmax: optional (K,) per-keypoint coordinate bounds — samples are
@@ -87,7 +88,8 @@ def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx, ymax=None, xmax=None):
         if n < NSAMP:  # pad sample axis to the kernel's static width
             ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:, :1], (ys.shape[0], NSAMP - n))], axis=1)
             xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:, :1], (xs.shape[0], NSAMP - n))], axis=1)
-        out = sample_gradient_patches(gx, gy, ys, xs, lvl[:, 0])
+        out = sample_gradient_patches(gx, gy, ys, xs, lvl[:, 0],
+                                      precision=precision)
         return out[:, 0, :n], out[:, 1, :n]
     return _bilinear(gx, lvl, ys, xs), _bilinear(gy, lvl, ys, xs)
 
@@ -101,6 +103,7 @@ def keypoint_orientations(
     sigma: jnp.ndarray,
     ymax: jnp.ndarray | None = None,
     xmax: jnp.ndarray | None = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Dominant gradient orientation per keypoint (radians).
 
@@ -115,7 +118,8 @@ def keypoint_orientations(
     spacing = 0.9 * sigma[:, None]  # (K, 1)
     dy = dyg[None, :] * spacing
     dx = dxg[None, :] * spacing
-    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx, ymax, xmax)
+    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx, ymax,
+                                 xmax, precision)
     mag = jnp.sqrt(gxs**2 + gys**2)
     wgt = jnp.exp(-(dyg**2 + dxg**2)[None, :] / (2 * (1.5 * R / 3.0) ** 2))
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
@@ -151,6 +155,7 @@ def sift_descriptors(
     theta: jnp.ndarray,
     ymax: jnp.ndarray | None = None,
     xmax: jnp.ndarray | None = None,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """(K, 128) descriptors from one octave's gradient stack."""
     g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2.0)
@@ -163,7 +168,8 @@ def sift_descriptors(
     # rotate sample offsets by theta
     dx = (ct * dxg[None, :] - st * dyg[None, :]) * spacing
     dy = (st * dxg[None, :] + ct * dyg[None, :]) * spacing
-    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx, ymax, xmax)
+    gxs, gys = _sample_gradients(gx, gy, lvl[:, None], ky, kx, dy, dx, ymax,
+                                 xmax, precision)
     return bin_descriptor(gxs, gys, theta, dyg, dxg)
 
 
@@ -193,7 +199,8 @@ def bin_descriptor(gxs: jnp.ndarray, gys: jnp.ndarray, theta: jnp.ndarray,
 
 
 def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
-                        fused: bool | None = None):
+                        fused: bool | None = None,
+                        precision: str = "highest"):
     """Dominant orientation + descriptor for a keypoint batch.
 
     fused=True: ONE Pallas dispatch per batch (kernels/orient_desc.py —
@@ -214,5 +221,7 @@ def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
         dyg, dxg = jnp.meshgrid(g, g, indexing="ij")
         return bin_descriptor(gxs, gys, theta,
                               dyg.reshape(-1), dxg.reshape(-1)), theta
-    theta = keypoint_orientations(gx, gy, kx, ky, lvl, sigma, ymax, xmax)
-    return sift_descriptors(gx, gy, kx, ky, lvl, sigma, theta, ymax, xmax), theta
+    theta = keypoint_orientations(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
+                                  precision)
+    return sift_descriptors(gx, gy, kx, ky, lvl, sigma, theta, ymax, xmax,
+                            precision), theta

@@ -214,13 +214,14 @@ def _topk_threshold(flat: jnp.ndarray, k: int):
     return jnp.where(slot_valid, vals, 0.0), idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "contrast_threshold", "edge_threshold", "nms_radius"))
+@functools.partial(jax.jit, static_argnames=("k", "contrast_threshold", "edge_threshold", "nms_radius", "approx_recall"))
 def detect_octave(
     dog: jnp.ndarray,
     k: int,
     contrast_threshold: float = 0.015,
     edge_threshold: float = 10.0,
     nms_radius: int = 2,
+    approx_recall: float = 0.0,
 ) -> OctaveKeypoints:
     """Top-k DoG extrema of one octave. dog: (B, S+2, H, W)."""
     B, Sp2, H, W = dog.shape
@@ -253,7 +254,14 @@ def detect_octave(
     # was TPU-measured SLOWER than lax.top_k here (419 vs 345 ms/batch for
     # the whole detect stage) — the sort is not the dominant cost of this
     # stage. Kept available for shapes where it wins.
-    vals, idx = jax.lax.top_k(flat, k)
+    # approx_recall > 0 switches to lax.approx_max_k, the TPU-native
+    # partial-reduction selector (FrontendConfig.approx_topk_recall):
+    # sub-1.0 recall drops only threshold-adjacent keypoints of a ~99.9%-
+    # zero NMS'd map, and the cross-octave merge re-selects anyway.
+    if approx_recall > 0.0:
+        vals, idx = jax.lax.approx_max_k(flat, k, recall_target=approx_recall)
+    else:
+        vals, idx = jax.lax.top_k(flat, k)
     s_idx = idx // (H * W)
     rem = idx % (H * W)
     y_idx = rem // W

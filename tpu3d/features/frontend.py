@@ -50,6 +50,8 @@ class FeatureSet(NamedTuple):
         "nms_radius",
         "upright",
         "fused",
+        "approx_topk_recall",
+        "patch_precision",
     ),
 )
 def _extract(
@@ -63,6 +65,8 @@ def _extract(
     nms_radius: int,
     upright: bool = False,
     fused: bool | None = None,
+    approx_topk_recall: float = 0.0,
+    patch_precision: str = "highest",
 ) -> FeatureSet:
     B, H, W = images.shape
     if images.dtype == jnp.uint8:  # uint8 upload path (4x less link traffic)
@@ -75,12 +79,14 @@ def _extract(
     with jax.default_matmul_precision("float32"):
         return _extract_f32(images, max_keypoints, num_octaves,
                             scales_per_octave, sigma0, contrast_threshold,
-                            edge_threshold, nms_radius, upright, fused)
+                            edge_threshold, nms_radius, upright, fused,
+                            approx_topk_recall, patch_precision)
 
 
 def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
                  sigma0, contrast_threshold, edge_threshold, nms_radius,
-                 upright=False, fused=None):
+                 upright=False, fused=None, approx_topk_recall=0.0,
+                 patch_precision="highest"):
     """Detect per octave, merge the global top-K by score FIRST, then run
     orientation + descriptors ONCE for the K winners against a unified
     (octave, image)-stacked gradient pyramid.
@@ -100,7 +106,8 @@ def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
     xs, ys, scores, scales_loc, valids = [], [], [], [], []
     for o in range(O):
         kp = detect_octave(
-            dogs[o], K, contrast_threshold, edge_threshold, nms_radius
+            dogs[o], K, contrast_threshold, edge_threshold, nms_radius,
+            approx_topk_recall,
         )
         xs.append(kp.x)
         ys.append(kp.y)
@@ -161,10 +168,11 @@ def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
     if upright:
         theta = jnp.zeros_like(sig)
         desc = sift_descriptors(gx_u, gy_u, kx, ky, lvl_glob, sig, theta,
-                                ymax, xmax)
+                                ymax, xmax, patch_precision)
     else:
         desc, _ = orient_and_describe(gx_u, gy_u, kx, ky, lvl_glob, sig,
-                                      ymax, xmax, fused=fused)
+                                      ymax, xmax, fused=fused,
+                                      precision=patch_precision)
     desc = desc.reshape(B, K, -1)
 
     factor = jnp.exp2(oct.astype(jnp.float32))
@@ -200,6 +208,8 @@ def extract_features(images: jnp.ndarray, config: Optional[FrontendConfig] = Non
         cfg.nms_radius,
         cfg.upright,
         cfg.fused_descriptor,
+        cfg.approx_topk_recall,
+        cfg.patch_precision,
     )
 
 

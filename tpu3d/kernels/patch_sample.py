@@ -55,7 +55,8 @@ def _weights(frac_pos: jnp.ndarray, width: int) -> jnp.ndarray:
     return w0 + w1
 
 
-def _patch_kernel(lyx0_ref, ys_ref, xs_ref, gx_hbm, gy_hbm, out_ref, patch, sem):
+def _patch_kernel(lyx0_ref, ys_ref, xs_ref, gx_hbm, gy_hbm, out_ref, patch, sem,
+                  *, precision=None):
     """Grid = one instance per keypoint, DOUBLE-BUFFERED: instance k waits
     on the patch DMA that instance k-1 issued for it (slot k%2) and starts
     instance k+1's DMA into the other slot first, so the ~patch-sized HBM
@@ -100,17 +101,20 @@ def _patch_kernel(lyx0_ref, ys_ref, xs_ref, gx_hbm, gy_hbm, out_ref, patch, sem)
     cp2.wait()
 
     # sample = rowwise_dot(Wrow @ patch, Wcol): two MXU matmuls + reduce.
-    # float32 precision: default bf16 MXU rounding leaks ~1e-2 absolute
-    # error into the samples.
+    # Precision is configurable (FrontendConfig.patch_precision): HIGHEST
+    # (6-pass bf16, exact f32) is the proven-safe default; HIGH/DEFAULT
+    # trade ~1e-2 absolute sample error for 2-6x fewer MXU passes on the
+    # compute-bound descriptor stage.
+    prec = jax.lax.Precision.HIGHEST if precision is None else precision
     rgx = jnp.dot(wr, patch[slot, 0], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)  # (S, PATCH)
+                  precision=prec)  # (S, PATCH)
     rgy = jnp.dot(wr, patch[slot, 1], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
+                  precision=prec)
     out_ref[0, 0, :] = jnp.sum(rgx * wc, axis=1)
     out_ref[0, 1, :] = jnp.sum(rgy * wc, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def sample_gradient_patches(
     gx: jnp.ndarray,
     gy: jnp.ndarray,
@@ -118,6 +122,7 @@ def sample_gradient_patches(
     xs: jnp.ndarray,
     lvl: jnp.ndarray | None = None,
     interpret: bool = False,
+    precision: str = "highest",
 ) -> jnp.ndarray:
     """Bilinear samples of (gx, gy) at per-keypoint coordinate grids.
 
@@ -169,8 +174,13 @@ def sample_gradient_patches(
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    # Mosaic's dot lowering supports only DEFAULT (1-pass bf16) and
+    # HIGHEST (6-pass f32) — there is no 3-pass HIGH on this path.
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[precision]
     return pl.pallas_call(
-        _patch_kernel,
+        functools.partial(_patch_kernel, precision=prec),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, 2, NSAMP), jnp.float32),
         interpret=interpret,
