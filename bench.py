@@ -155,16 +155,16 @@ def measure_mfu(cfg, H, W):
     return report
 
 
-def main():
+def bench_config():
+    """The benchmark PipelineConfig (also consumed by
+    benchmarks/r3_perf_probe.py for knob variants)."""
     from tpu3d.config import (
         CameraConfig, FrontendConfig, MatchingConfig, PipelineConfig,
         RansacConfig, SfMConfig,
     )
-    from tpu3d.io.images import list_images, load_images
-    from tpu3d.sfm import pipeline as P
 
     focal = 2378.98305085 / DOWNSCALE
-    cfg = PipelineConfig(
+    return PipelineConfig(
         camera=CameraConfig(focal_length=focal),
         frontend=FrontendConfig(max_keypoints=2048, batch_size=4),
         # pair_batch 32: 64 measured worse end-to-end at 159 edges (33 dead
@@ -197,6 +197,13 @@ def main():
             global_ba_every=1_000_000,
         ),
     )
+
+
+def main():
+    from tpu3d.io.images import list_images, load_images
+    from tpu3d.sfm import pipeline as P
+
+    cfg = bench_config()
     names = list_images(DATASET)[:N_IMAGES]
     g0, _ = load_images(DATASET, names[:1], DOWNSCALE)
     H, W = g0.shape[1:]

@@ -46,6 +46,20 @@ def main():
                     help="Cauchy density-sparsity prior weight")
     ap.add_argument("--contraction", action="store_true",
                     help="radial scene contraction in the dense stage")
+    ap.add_argument("--r3-probe", action="store_true",
+                    help="run benchmarks/r3_perf_probe.py (bench knob A/B)")
+    ap.add_argument("--aux-profile", action="store_true",
+                    help="run benchmarks/aux_profile.py (dense aux slowdown)")
+    ap.add_argument("--learned-bench", action="store_true",
+                    help="run benchmarks/learned_bench.py (DISK/LightGlue throughput)")
+    ap.add_argument("--norm", default="core", choices=["core", "legacy"],
+                    help="dense scene normalization for densify")
+    ap.add_argument("--norm-core-q", type=float, default=92.0)
+    ap.add_argument("--norm-margin", type=float, default=1.15)
+    ap.add_argument("--grid-resolution", type=int, default=256)
+    ap.add_argument("--num-samples", type=int, default=192)
+    ap.add_argument("--global-ba-every", type=int, default=8)
+    ap.add_argument("--global-ba-growth", type=float, default=1.12)
     ap.add_argument("--extract-probe", action="store_true",
                     help="run benchmarks/extract_probe.py first")
     ap.add_argument("--ba-bench", action="store_true",
@@ -82,6 +96,24 @@ def main():
         stamp("extract_phase_probe")
         sys.argv = ["extract_phase_probe"]
         importlib.import_module("benchmarks.extract_phase_probe").main()
+    if args.r3_probe:
+        stamp("r3_perf_probe")
+        import importlib
+
+        sys.argv = ["r3_perf_probe"]
+        importlib.import_module("benchmarks.r3_perf_probe").main()
+    if args.aux_profile:
+        stamp("aux_profile")
+        import importlib
+
+        sys.argv = ["aux_profile"]
+        importlib.import_module("benchmarks.aux_profile").main()
+    if args.learned_bench:
+        stamp("learned_bench")
+        import importlib
+
+        sys.argv = ["learned_bench"]
+        importlib.import_module("benchmarks.learned_bench").main()
     if args.bench:
         stamp("bench.py")
         import bench
@@ -94,7 +126,9 @@ def main():
         cli.main(["match", *base])
     if not args.skip_reconstruct:
         stamp("reconstruct")
-        cli.main(["reconstruct", *base, "--from-matches", "--mode", args.mode])
+        cli.main(["reconstruct", *base, "--from-matches", "--mode", args.mode,
+                  "--global-ba-every", str(args.global_ba_every),
+                  "--global-ba-growth", str(args.global_ba_growth)])
     if not args.skip_dense:
         models = ["plenoxel", "sdf"] if args.model == "both" else [args.model]
         for model in models:
@@ -102,7 +136,12 @@ def main():
             dense = ["densify", *base, "--epochs", str(args.epochs),
                      "--ray-stride", str(args.ray_stride), "--no-checkpoint",
                      "--model", model,
-                     "--coarse-epochs", str(args.coarse_epochs)]
+                     "--coarse-epochs", str(args.coarse_epochs),
+                     "--norm", args.norm,
+                     "--norm-core-q", str(args.norm_core_q),
+                     "--norm-margin", str(args.norm_margin),
+                     "--grid-resolution", str(args.grid_resolution),
+                     "--num-samples", str(args.num_samples)]
             if args.occupancy:
                 dense.append("--occupancy")
             if args.hierarchical:
