@@ -31,12 +31,32 @@ def timeit(fn, n=20):
 
 
 def _block(out):
+    # Real barrier through device_get: block_until_ready returns EARLY on
+    # the axon remote backend (BASELINE.md link facts).
     import jax
 
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+            np.asarray(jax.device_get(leaf))
             break
+
+
+# v5e peak: 197 TFLOP/s bf16 MXU (f32-scoped work runs as multi-pass bf16).
+_V5E_PEAK_BF16 = 197e12
+
+
+def flops_pct(jitted, *args, seconds=None, **kwargs):
+    """XLA-cost-analysis FLOPs of one call + achieved %-of-bf16-peak (None
+    for Pallas-dominated programs, which report 0 FLOPs)."""
+    try:
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        fl = float(ca.get("flops", 0.0))
+        if not fl:
+            return None
+        return {"gflops": round(fl / 1e9, 2),
+                "pct_v5e_bf16_peak": round(100 * fl / seconds / _V5E_PEAK_BF16, 2)}
+    except Exception:
+        return None
 
 
 def main():
@@ -76,12 +96,17 @@ def main():
     key = jax.random.PRNGKey(0)
     dt = timeit(lambda: find_essential_ransac(key, uv, uv, v, 1189.0, num_hypotheses=512), n=20)
     report["essential_ransac_per_s"] = round(1.0 / dt, 1)
+    report["essential_ransac_mfu"] = flops_pct(
+        find_essential_ransac, key, uv, uv, v, 1189.0, num_hypotheses=512,
+        seconds=dt)
 
     # PnP-RANSAC
     X = jnp.asarray(np.concatenate([rng.uniform(-2, 2, (K, 2)), rng.uniform(4, 8, (K, 1))], -1).astype(np.float32))
     x = X[:, :2] / X[:, 2:3]
     dt = timeit(lambda: pnp_ransac(key, X, x, v, 1e-5, num_hypotheses=256), n=20)
     report["pnp_ransac_per_s"] = round(1.0 / dt, 1)
+    report["pnp_ransac_mfu"] = flops_pct(
+        pnp_ransac, key, X, x, v, 1e-5, num_hypotheses=256, seconds=dt)
 
     # triangulation (2048 points)
     eye = jnp.eye(3)
@@ -102,6 +127,8 @@ def main():
     dt = timeit(lambda: bundle_adjust(cams, pts, ci, pi, uvb, wb, cf, max_iters=5, cg_iters=16), n=5)
     report["ba_lm_iters_per_s"] = round(5.0 / dt, 1)
     report["ba_obs"] = O
+    report["ba_mfu"] = flops_pct(bundle_adjust, cams, pts, ci, pi, uvb, wb,
+                                 cf, max_iters=5, cg_iters=16, seconds=dt)
 
     # dense render (plenoxel fwd, 8192 rays x 128 samples, 192^3 grid)
     vg = create_grid(192, (-1, -1, -1), (1, 1, 1))

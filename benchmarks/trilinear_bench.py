@@ -13,6 +13,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# v5e HBM peak ~819 GB/s: the trilinear kernels are memory-bound, so the
+# speed-of-light metric is achieved bytes/s of the minimum gather/scatter
+# traffic, not FLOPs (VERDICT r2 #6).
+_V5E_HBM_GBPS = 819.0
+
+
+def _bar(x):
+    """Real barrier: block_until_ready returns EARLY on the axon remote
+    backend (BASELINE.md link facts)."""
+    import jax
+
+    np.asarray(jax.device_get(x))
+    return x
+
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -41,20 +55,20 @@ def main():
     fwdbwd = jax.jit(jax.grad(loss))
 
     out = fwd(grid, pts)
-    out.block_until_ready()
+    _bar(out)
     t0 = time.time()
     reps = 10
     for _ in range(reps):
         out = fwd(grid, pts)
-    out.block_until_ready()
+    _bar(out)
     t_fwd = (time.time() - t0) / reps
 
     g = fwdbwd(grid, pts)
-    g.block_until_ready()
+    _bar(g)
     t0 = time.time()
     for _ in range(reps):
         g = fwdbwd(grid, pts)
-    g.block_until_ready()
+    _bar(g)
     t_bwd = (time.time() - t0) / reps
 
     bytes_gather = n * 8 * 28 * 4
@@ -80,39 +94,46 @@ def main():
     pfwdbwd = jax.jit(jax.grad(ploss))
 
     o = pfwd(packed, pts)
-    o.block_until_ready()
+    _bar(o)
     # spot-check vs XLA forward
     np.testing.assert_allclose(np.asarray(o[:, :28]), np.asarray(out),
                                rtol=1e-5, atol=1e-5)
     t0 = time.time()
     for _ in range(reps):
         o = pfwd(packed, pts)
-    o.block_until_ready()
+    _bar(o)
     t_pf = (time.time() - t0) / reps
 
     gp = pfwdbwd(packed, pts)
-    gp.block_until_ready()
+    _bar(gp)
     t0 = time.time()
     for _ in range(reps):
         gp = pfwdbwd(packed, pts)
-    gp.block_until_ready()
+    _bar(gp)
     t_pb = (time.time() - t0) / reps
 
     # backward alone (scatter kernel + on-device binning)
     ct = jnp.asarray(rng.normal(0, 1, (n, CPAD)).astype(np.float32))
     psc = jax.jit(lambda c, q: scatter_grad(c, lo, hi, resT, q, interp))
     gs = psc(ct, pts)
-    gs.block_until_ready()
+    _bar(gs)
     t0 = time.time()
     for _ in range(reps):
         gs = psc(ct, pts)
-    gs.block_until_ready()
+    _bar(gs)
     t_sc = (time.time() - t0) / reps
 
-    print(f"Pallas forward       {t_pf*1000:8.2f} ms  ({t_fwd/t_pf:5.2f}x vs XLA)")
+    print(f"Pallas forward       {t_pf*1000:8.2f} ms  ({t_fwd/t_pf:5.2f}x vs XLA; "
+          f"{bytes_gather/t_pf/1e9:6.1f} GB/s = "
+          f"{100*bytes_gather/t_pf/1e9/_V5E_HBM_GBPS:4.1f}% of v5e HBM peak)")
     print(f"Pallas fwd+backward  {t_pb*1000:8.2f} ms  ({t_bwd/t_pb:5.2f}x vs XLA; "
-          f"equiv {n/192/t_pb:8.0f} rays/s)")
-    print(f"Pallas scatter alone {t_sc*1000:8.2f} ms")
+          f"equiv {n/192/t_pb:8.0f} rays/s; "
+          f"{3*bytes_gather/t_pb/1e9:6.1f} GB/s = "
+          f"{100*3*bytes_gather/t_pb/1e9/_V5E_HBM_GBPS:4.1f}% of peak at "
+          f"fwd+scatter-read+scatter-write traffic)")
+    print(f"Pallas scatter alone {t_sc*1000:8.2f} ms  "
+          f"({2*bytes_gather/t_sc/1e9:6.1f} GB/s = "
+          f"{100*2*bytes_gather/t_sc/1e9/_V5E_HBM_GBPS:4.1f}% of peak)")
 
 
 if __name__ == "__main__":
