@@ -25,6 +25,12 @@ def variant_cfg(cfg, name):
     elif name == "both":
         fe = dataclasses.replace(fe, patch_precision="default",
                                  approx_topk_recall=0.95)
+    elif name == "sfmcpu":
+        return dataclasses.replace(
+            cfg, sfm=dataclasses.replace(cfg.sfm, backend="cpu"))
+    elif name == "prematch":
+        return dataclasses.replace(
+            cfg, matching=dataclasses.replace(cfg.matching, prematch=True))
     return dataclasses.replace(cfg, frontend=fe)
 
 

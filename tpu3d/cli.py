@@ -47,6 +47,7 @@ def _build_config(args):
             global_ba_growth=getattr(args, "global_ba_growth", 1.12),
             local_window=getattr(args, "local_window", 25),
             register_batch=getattr(args, "register_batch", 8),
+            backend=getattr(args, "sfm_backend", "default"),
         ),
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
@@ -55,6 +56,38 @@ def _build_config(args):
         image_dir=args.images,
         artifact_dir=args.artifacts,
     )
+
+
+def _save_prematch(artifacts, memo):
+    if not memo:
+        return
+    import numpy as np
+
+    edges = np.array(sorted(memo), np.int32)
+    flat = np.stack([memo[tuple(e)] for e in edges])
+    np.savez_compressed(os.path.join(artifacts, "prematch.npz"),
+                        edges=edges, flat=flat)
+
+
+def _load_prematch(artifacts):
+    """Prematched edge results published by a stage-overlap extract run.
+    Only valid for the features they were computed from — every extract
+    run clears any stale file first."""
+    import numpy as np
+
+    p = os.path.join(artifacts, "prematch.npz")
+    if not os.path.exists(p):
+        return None
+    with np.load(p) as z:
+        memo = {tuple(e): f for e, f in zip(z["edges"], z["flat"])}
+    return memo
+
+
+def _clear_prematch(artifacts):
+    try:
+        os.remove(os.path.join(artifacts, "prematch.npz"))
+    except OSError:
+        pass
 
 
 def cmd_extract(args):
@@ -67,8 +100,26 @@ def cmd_extract(args):
     if args.limit:
         names = names[: args.limit]
     t0 = time.time()
+    _clear_prematch(args.artifacts)
     import jax
 
+    if jax.process_count() > 1 and args.overlap:
+        # Cross-host STAGE overlap: workers publish extraction batches as
+        # they complete; process 0 prematches sequential edges while the
+        # front-end is still running pod-wide (dist/overlap.py). The memo
+        # is persisted for the match/reconstruct commands.
+        from tpu3d.dist.overlap import run_overlapped_extraction
+
+        memo = {}
+        feats = run_overlapped_extraction(args.images, cfg, names,
+                                          args.downscale, verbose=not args.quiet,
+                                          prematch_memo=memo)
+        if feats is not None:  # process 0
+            _save_prematch(args.artifacts, memo)
+            print(f"extracted {len(names)} images (stage-overlap, "
+                  f"{jax.process_count()} processes) + prematched "
+                  f"{len(memo)} edges in {time.time() - t0:.1f}s")
+        return
     if jax.process_count() > 1:
         # Multi-host data parallelism for stage 1: each process extracts a
         # contiguous image shard on its local devices; process 0 merges the
@@ -135,7 +186,9 @@ def cmd_match(args):
     cfg = _rescale_cfg(cfg, meta, args)
     t0 = time.time()
     adj = run_retrieval(feats, cfg)
-    regs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
+    memo = _load_prematch(args.artifacts)
+    regs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet,
+                            memo=memo)
     save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
     n_edges = sum(len(r.edges) for r in regs)
     print(f"matched {len(regs)} images / {n_edges} edges in {time.time() - t0:.1f}s")
@@ -182,7 +235,9 @@ def cmd_reconstruct(args):
         pairs, ts, adj = loaded
     else:
         adj = run_retrieval(feats, cfg)
-        pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet)
+        memo = _load_prematch(args.artifacts)
+        pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet,
+                                 memo=memo)
         save_matches(args.artifacts, pairs, ts, adj, time.time() - t0)
     if args.mode == "global":
         rec = run_global_reconstruction(feats, pairs, ts, cfg, verbose=not args.quiet, adj=adj)
@@ -653,6 +708,11 @@ def main(argv=None):
                    help="min problem growth between global BAs (1 = every-N)")
     p.add_argument("--register-batch", type=int, default=8,
                    help="images per fused registration dispatch")
+    p.add_argument("--sfm-backend", choices=["default", "cpu"],
+                   default="default",
+                   help="pin the registration/BA kernels to the host CPU "
+                        "backend (latency-bound small dispatches) while "
+                        "extract/match stay on the accelerator")
     p.add_argument("--local-window", type=int, default=25,
                    help="windowed-BA camera count between global BAs")
     p.add_argument("--epochs", type=int, default=1)
@@ -735,6 +795,10 @@ def main(argv=None):
                    help="cheaper 8-point E solver instead of the 5-point default")
     p.add_argument("--from-matches", action="store_true",
                    help="reconstruct from the saved matching artifacts (no re-matching)")
+    p.add_argument("--overlap", action="store_true",
+                   help="extract (multi-process): cross-host stage overlap "
+                        "— workers publish batches, process 0 prematches "
+                        "sequential edges during extraction (dist/overlap.py)")
     p.add_argument("--trace", default="",
                    help="write a Chrome-trace JSON of host-side stage/kernel "
                         "spans (load in chrome://tracing or Perfetto) and "

@@ -127,6 +127,15 @@ class MatchingConfig:
     # block size is purely a dispatch-count knob, so go big. 32 blocks of
     # 2048-kpt pairs peak ~270 MB of bf16 distance matrices.
     pair_batch: int = 32
+    # Prematch sequential-prior edges during the extraction loop. OFF for
+    # single-process runs: TPU-measured, extraction is device-bound, so
+    # interleaving match blocks just serializes the same work and the
+    # offsets-(1,2,3) edge set adds ~10% edges the retrieval graph never
+    # asks for (bench extract 2.97 -> 3.4 s, match 0.47 -> 0.44: net
+    # NEGATIVE). The cross-host stage-overlap path (dist/overlap.py)
+    # always prematches — there the match work runs on process 0 while
+    # OTHER hosts extract, a genuine overlap.
+    prematch: bool = False
     # Last-chance pass for images the BFS + retry never reached: gate up to
     # this many visited 2-hop view-graph neighbors per missing image
     # (one extra batched dispatch). 0 disables.
@@ -192,6 +201,12 @@ class SfMConfig:
     register_batch: int = 8
     max_tracks: int = 400_000          # preallocated global track capacity
     match_capacity: int = 2048         # per-pair padded match capacity
+    # Engine dispatch backend: "default" = the session backend; "cpu" pins
+    # the registration/BA kernels to the host CPU while extract/match stay
+    # on the accelerator — on a remote-TPU tunnel the engine's many small
+    # dispatches are round-trip-bound, and the CPU backend is also the one
+    # with the best-measured registration recall (pipeline._sfm_device_ctx).
+    backend: str = "default"
     min_new_points: int = 1            # triangulate if any new points (sfm.py:130)
     run_pair_ba: bool = True
     run_global_ba: bool = True         # new capability (reference has none)

@@ -74,6 +74,87 @@ class ExtractedFeatures:
         return np.asarray(self.descriptors_dev)
 
 
+class SequentialPrematcher:
+    """Incremental sequential-prior matching alongside extraction.
+
+    Features stream in (from the local extract loop, or from other hosts'
+    published batch shards in the stage-overlap path, dist/overlap.py);
+    as soon as BOTH endpoints of a (g-off, g) candidate edge are resident,
+    the edge joins the next vmapped match+gate block. Fixed-shape (N, K, D)
+    update-slice buffers keep every block on the same executable as the
+    post-retrieval matching path."""
+
+    def __init__(self, n_images: int, cfg: PipelineConfig,
+                 offsets: Tuple[int, ...] = (1, 2, 3)):
+        self.N = n_images
+        self.cfg = cfg
+        self.offsets = offsets
+        self.key = jax.random.PRNGKey(17)
+        self.d = self.v = self.kp = None
+        self.have = np.zeros(n_images, bool)
+        self.edges: List[Tuple[int, int]] = []
+        self.queued: set = set()
+        self.pending: List[Tuple[List[Tuple[int, int]], object]] = []
+
+    def _keys(self, blk):
+        # Per-edge keys by edge id, independent of dispatch grouping.
+        ids = jnp.asarray([e[0] * self.N + e[1] for e in blk], jnp.uint32)
+        return jax.vmap(lambda e: jax.random.fold_in(self.key, e))(ids)
+
+    def _dispatch(self, final=False):
+        cfg = self.cfg
+        Bm = max(int(cfg.matching.pair_batch), 1)
+        while len(self.edges) >= Bm or (final and self.edges):
+            blk = self.edges[:Bm]
+            self.edges = self.edges[Bm:]
+            pad = Bm - len(blk)
+            ii = np.array([e[0] for e in blk] + [blk[-1][0]] * pad, np.int32)
+            jj = np.array([e[1] for e in blk] + [blk[-1][1]] * pad, np.int32)
+            kb = self._keys(blk + [blk[-1]] * pad)
+            self.pending.append((blk, _match_and_gate_block(
+                self.d, self.v, self.kp,
+                jnp.asarray(ii), jnp.asarray(jj), kb,
+                cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
+                cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
+                five_point=cfg.sfm.ransac.use_five_point,
+            )))
+
+    def add_features(self, start, descriptors, valid, keypoints, n):
+        """Register n images' features beginning at global index `start`
+        (device or host arrays, leading dim >= n) and dispatch any match
+        blocks that became ready."""
+        n = min(n, self.N - start)
+        if self.d is None:
+            K, D = descriptors.shape[1:]
+            self.d = jnp.zeros((self.N, K, D), jnp.float32)
+            self.v = jnp.zeros((self.N, K), jnp.float32)
+            self.kp = jnp.zeros((self.N, K, 2), jnp.float32)
+        upd = jax.lax.dynamic_update_slice
+        self.d = upd(self.d, jnp.asarray(descriptors[:n], jnp.float32), (start, 0, 0))
+        self.v = upd(self.v, jnp.asarray(valid[:n]).astype(jnp.float32), (start, 0))
+        self.kp = upd(self.kp, jnp.asarray(keypoints[:n], jnp.float32), (start, 0, 0))
+        self.have[start : start + n] = True
+        for g in range(start, start + n):
+            for off in self.offsets:
+                for a, b in ((g - off, g), (g, g + off)):
+                    if (0 <= a and b < self.N and self.have[a]
+                            and self.have[b] and (a, b) not in self.queued):
+                        self.queued.add((a, b))
+                        self.edges.append((a, b))
+        self._dispatch()
+
+    def finish(self, memo: Dict) -> Dict:
+        """Dispatch the tail block and fetch every pending result into
+        `memo` {(i, j): packed flat row}."""
+        self._dispatch(final=True)
+        for blk, flat_dev in self.pending:
+            flat = np.asarray(flat_dev)
+            for b, e in enumerate(blk):
+                memo[e] = flat[b]
+        self.pending = []
+        return memo
+
+
 def run_extraction(
     img_dir: str,
     cfg: PipelineConfig,
@@ -82,8 +163,16 @@ def run_extraction(
     verbose: bool = True,
     prematch_memo: Optional[Dict] = None,
     prematch_offsets: Tuple[int, ...] = (1, 2, 3),
+    batch_callback=None,
+    batch_offset: int = 0,
 ) -> ExtractedFeatures:
-    """prematch_memo: when given (reconstruct's e2e path), sequential-prior
+    """batch_callback(fs, global_start, n): invoked as each batch's
+    features become device-resident (still async) — the stage-overlap
+    path's hook for publishing/consuming cross-host batches
+    (dist/overlap.py). batch_offset shifts this run's image indices into
+    the global numbering when extracting a shard.
+
+    prematch_memo: when given (reconstruct's e2e path), sequential-prior
     candidate edges (g-off, g) are matched + E-gated DURING the extraction
     loop, filling the memo _batch_match_pairs consumes — the match blocks
     ride in the device gaps the per-batch keypoint download leaves, so on a
@@ -144,48 +233,7 @@ def run_extraction(
     N = len(names)
     prematch = (prematch_memo is not None and cfg.matching.pair_batch > 1
                 and cfg.matching.matcher == "mnn" and N > 1)
-    pm_state = {"d": None, "v": None, "kp": None, "avail": 0,
-                "edges": [], "pending": []}
-    pm_key = jax.random.PRNGKey(17)
-
-    def pm_keys(blk):
-        # Per-edge keys by edge id, independent of dispatch grouping.
-        ids = jnp.asarray([e[0] * N + e[1] for e in blk], jnp.uint32)
-        return jax.vmap(lambda e: jax.random.fold_in(pm_key, e))(ids)
-
-    def pm_dispatch(final=False):
-        Bm = max(int(cfg.matching.pair_batch), 1)
-        while len(pm_state["edges"]) >= Bm or (final and pm_state["edges"]):
-            blk = pm_state["edges"][:Bm]
-            pm_state["edges"] = pm_state["edges"][Bm:]
-            pad = Bm - len(blk)
-            ii = np.array([e[0] for e in blk] + [blk[-1][0]] * pad, np.int32)
-            jj = np.array([e[1] for e in blk] + [blk[-1][1]] * pad, np.int32)
-            kb = pm_keys(blk + [blk[-1]] * pad)
-            pm_state["pending"].append((blk, _match_and_gate_block(
-                pm_state["d"], pm_state["v"], pm_state["kp"],
-                jnp.asarray(ii), jnp.asarray(jj), kb,
-                cfg.camera.focal_length, cfg.matching.ransac_threshold_px,
-                cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
-                five_point=cfg.sfm.ransac.use_five_point,
-            )))
-
-    def pm_add_batch(fs, start, n):
-        n = min(n, N - start)
-        if pm_state["d"] is None:
-            K, D = fs.descriptors.shape[1:]
-            pm_state["d"] = jnp.zeros((N, K, D), fs.descriptors.dtype)
-            pm_state["v"] = jnp.zeros((N, K), jnp.float32)
-            pm_state["kp"] = jnp.zeros((N, K, 2), fs.keypoints.dtype)
-        upd = jax.lax.dynamic_update_slice
-        pm_state["d"] = upd(pm_state["d"], fs.descriptors[:n], (start, 0, 0))
-        pm_state["v"] = upd(pm_state["v"], fs.valid[:n].astype(jnp.float32), (start, 0))
-        pm_state["kp"] = upd(pm_state["kp"], fs.keypoints[:n], (start, 0, 0))
-        for g in range(start, start + n):
-            for off in prematch_offsets:
-                if g - off >= 0:
-                    pm_state["edges"].append((g - off, g))
-        pm_dispatch()
+    pm = SequentialPrematcher(N, cfg, prematch_offsets) if prematch else None
 
     def drain_one():
         nonlocal n_done
@@ -215,19 +263,18 @@ def run_extraction(
             fs = extract_learned(fe_params, cfg.frontend.model, gray_u8,
                                  rgb, cfg.frontend)
         pending.append((chunk, rgb, fs))
-        if prematch:
-            pm_add_batch(fs, s, len(chunk))
+        if pm is not None:
+            pm.add_features(s, fs.descriptors, fs.valid, fs.keypoints,
+                            len(chunk))
+        if batch_callback is not None:
+            batch_callback(fs, batch_offset + s, len(chunk))
         if len(pending) >= 2:
             drain_one()
     while pending:
         drain_one()
     pool.shutdown(wait=False)
-    if prematch:
-        pm_dispatch(final=True)
-        for blk, flat_dev in pm_state["pending"]:
-            flat = np.asarray(flat_dev)
-            for b, e in enumerate(blk):
-                prematch_memo[e] = flat[b]
+    if pm is not None:
+        pm.finish(prematch_memo)
     valid_dev = jnp.concatenate(valids_dev)
     keypoints_dev = jnp.concatenate(kps_dev)
     return ExtractedFeatures(
@@ -718,7 +765,40 @@ def run_matching(
 LAST_SFM_TIMERS: Dict[str, object] = {}
 
 
+def _sfm_device_ctx(sfm_cfg):
+    """Placement context for the incremental engine's dispatches.
+
+    SfMConfig.backend == "cpu" pins the registration/BA kernels to the
+    HOST CPU backend while extraction/matching stay on the accelerator:
+    the engine's per-step problems are small (~10 ms of compute) but each
+    dispatch over the remote-TPU tunnel pays a ~67 ms round trip — at
+    24-image scale the reconstruct stage is RTT-bound, not compute-bound
+    (BENCH r3: pnp 0.95 s + host 0.67 s of mostly-latency). Latency-bound
+    kernels belong on the host; throughput kernels on the TPU."""
+    import contextlib
+
+    if getattr(sfm_cfg, "backend", "default") == "cpu":
+        import jax
+
+        return jax.default_device(jax.devices("cpu")[0])
+    return contextlib.nullcontext()
+
+
 def run_reconstruction(
+    feats: ExtractedFeatures,
+    registrations: List[ImageRegistration],
+    ts: TrackStore,
+    cfg: PipelineConfig,
+    verbose: bool = True,
+    adj: Optional[Dict[int, List[int]]] = None,
+    seed: int = 3,
+) -> Reconstruction:
+    with _sfm_device_ctx(cfg.sfm):
+        return _run_reconstruction_impl(feats, registrations, ts, cfg,
+                                        verbose, adj, seed)
+
+
+def _run_reconstruction_impl(
     feats: ExtractedFeatures,
     registrations: List[ImageRegistration],
     ts: TrackStore,
@@ -1021,6 +1101,13 @@ def run_global_reconstruction(
     combining global coherence with incremental recall."""
     from tpu3d.sfm.posegraph import pose_graph_init
 
+    with _sfm_device_ctx(cfg.sfm):
+        return _run_global_impl(feats, registrations, ts, cfg, verbose, adj,
+                                seed, pose_graph_init)
+
+
+def _run_global_impl(feats, registrations, ts, cfg, verbose, adj, seed,
+                     pose_graph_init):
     n = len(feats.names)
     edges, rel_R, rel_t = [], [], []
     for reg in registrations:
@@ -1117,8 +1204,9 @@ def reconstruct(
     t0 = time.time()
     memo: Dict = {}
     with trace_span("extract", sync=True, images=len(names) if names else -1):
-        feats = run_extraction(img_dir, cfg, names, downscale, verbose,
-                               prematch_memo=memo)
+        feats = run_extraction(
+            img_dir, cfg, names, downscale, verbose,
+            prematch_memo=memo if cfg.matching.prematch else None)
     timings["extract"] = time.time() - t0
     t0 = time.time()
     with trace_span("retrieve", sync=True):
