@@ -66,6 +66,33 @@ def test_patch_sample_matches_reference(rng):
     np.testing.assert_allclose(got[:, 1, :], ref[..., 1], atol=1e-5)
 
 
+def test_patch_sample_narrow_width(rng):
+    """Width-128 sample axis (the orientation pass's shape — the kernel's
+    sample dim follows the caller instead of always padding to 256)."""
+    from tpu3d.kernels.patch_sample import (
+        sample_gradient_patches, sample_gradient_patches_reference,
+    )
+    import jax.numpy as jnp
+
+    H, W = 128, 160
+    gx = rng.normal(0, 1, (H, W)).astype(np.float32)
+    gy = rng.normal(0, 1, (H, W)).astype(np.float32)
+    K, S = 4, 128
+    cy = rng.uniform(40, H - 40, (K, 1))
+    cx = rng.uniform(40, W - 40, (K, 1))
+    ys = (cy + rng.uniform(-12, 12, (K, S))).astype(np.float32)
+    xs = (cx + rng.uniform(-12, 12, (K, S))).astype(np.float32)
+    got = np.asarray(sample_gradient_patches(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ys), jnp.asarray(xs),
+        interpret=True,
+    ))
+    assert got.shape == (K, 2, S)
+    ref = np.asarray(sample_gradient_patches_reference(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_allclose(got[:, 0, :], ref[..., 0], atol=1e-5)
+    np.testing.assert_allclose(got[:, 1, :], ref[..., 1], atol=1e-5)
+
+
 def test_orient_desc_fused_matches_split(rng):
     """Fused orientation+descriptor kernel (interpret mode) vs the split
     reference path (keypoint_orientations + sift_descriptors)."""

@@ -82,12 +82,16 @@ def _sample_gradients(gx, gy, lvl, ky, kx, dy, dx, ymax=None, xmax=None,
     if xmax is not None:
         xs = jnp.clip(xs, 0.0, xmax[:, None])
     if _use_pallas_sampling():
-        from tpu3d.kernels.patch_sample import NSAMP, sample_gradient_patches
+        from tpu3d.kernels.patch_sample import sample_gradient_patches
 
         n = ys.shape[1]
-        if n < NSAMP:  # pad sample axis to the kernel's static width
-            ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:, :1], (ys.shape[0], NSAMP - n))], axis=1)
-            xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:, :1], (xs.shape[0], NSAMP - n))], axis=1)
+        # Pad the sample axis to the next 128-lane multiple only: the
+        # orientation pass's 121-sample grid runs at width 128 — padding
+        # it to the descriptor pass's 256 doubled its in-kernel matmuls.
+        sp = max(128, -(-n // 128) * 128)
+        if n < sp:
+            ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:, :1], (ys.shape[0], sp - n))], axis=1)
+            xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:, :1], (xs.shape[0], sp - n))], axis=1)
         out = sample_gradient_patches(gx, gy, ys, xs, lvl[:, 0],
                                       precision=precision)
         return out[:, 0, :n], out[:, 1, :n]

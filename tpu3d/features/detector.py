@@ -72,14 +72,14 @@ def _neighbors27(dog: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarra
 
     out = {}
     if _jax.default_backend() == "tpu":
-        from tpu3d.kernels.patch_sample import NSAMP, sample_gradient_patches
+        from tpu3d.kernels.patch_sample import sample_gradient_patches
 
         K = s.shape[0]
         offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
         ys = jnp.stack([y.astype(jnp.float32) + dy for dy, _ in offs], axis=1)
         xs = jnp.stack([x.astype(jnp.float32) + dx for _, dx in offs], axis=1)
-        ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:, :1], (K, NSAMP - 9))], axis=1)
-        xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:, :1], (K, NSAMP - 9))], axis=1)
+        ys = jnp.concatenate([ys, jnp.broadcast_to(ys[:, :1], (K, 128 - 9))], axis=1)
+        xs = jnp.concatenate([xs, jnp.broadcast_to(xs[:, :1], (K, 128 - 9))], axis=1)
         for ds in (-1, 0, 1):
             lv = jnp.clip(s + ds, 0, dog.shape[0] - 1)
             vals = sample_gradient_patches(dog, dog, ys, xs, lv)[:, 0, :9]

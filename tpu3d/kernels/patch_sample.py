@@ -40,7 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 # <= 128 keeps the per-sample MXU tile count unchanged.
 PATCH_Y = 80
 PATCH_X = 256
-NSAMP = 256     # samples per keypoint (16x16 descriptor grid)
+# Max samples per keypoint (16x16 descriptor grid). The kernel's sample
+# axis is whatever width the caller's ys/xs carry (a multiple of 128 —
+# the orientation pass runs at 128, the descriptor pass at 256: padding
+# the 121-sample orientation grid to 256 doubled its matmul work).
+NSAMP = 256
 
 
 def _weights(frac_pos: jnp.ndarray, width: int) -> jnp.ndarray:
@@ -49,7 +53,7 @@ def _weights(frac_pos: jnp.ndarray, width: int) -> jnp.ndarray:
     p0 = jnp.floor(frac_pos)
     f = frac_pos - p0
     p0i = p0.astype(jnp.int32)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (NSAMP, width), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (frac_pos.shape[0], width), 1)
     w0 = jnp.where(iota == p0i[:, None], 1.0 - f[:, None], 0.0)
     w1 = jnp.where(iota == p0i[:, None] + 1, f[:, None], 0.0)
     return w0 + w1
@@ -128,11 +132,12 @@ def sample_gradient_patches(
 
     gx, gy: (H, W) or (L, H, W) float32 gradient images; with a level
     stack, `lvl` gives each keypoint's (int32) level.
-    ys, xs: (K, NSAMP) float sample coordinates (image frame).
-    Returns (K, 2, NSAMP) = (gx, gy) samples. Coordinates must fit a
+    ys, xs: (K, S) float sample coordinates (image frame), S a multiple
+    of 128 (<= NSAMP).
+    Returns (K, 2, S) = (gx, gy) samples. Coordinates must fit a
     PATCH-sized window per keypoint; callers keep keypoints away from the
     border (the detector's border margin already does)."""
-    K = ys.shape[0]
+    K, S = ys.shape
     if gx.ndim == 2:
         gx = gx[None]
         gy = gy[None]
@@ -161,12 +166,12 @@ def sample_gradient_patches(
             # (K, 1, S) with block (1, 1, S): Mosaic requires the trailing
             # two block dims divisible by (8, 128) OR equal to the array
             # dims — the singleton middle axis satisfies that.
-            pl.BlockSpec((1, 1, NSAMP), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, NSAMP), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # gx stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # gy stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 2, NSAMP), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 2, S), lambda k, yx0: (k, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
             # (slot, gx/gy, PATCH_Y, PATCH_X): two DMA slots for the
             # cross-instance double buffering.
@@ -182,7 +187,7 @@ def sample_gradient_patches(
     return pl.pallas_call(
         functools.partial(_patch_kernel, precision=prec),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((K, 2, NSAMP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((K, 2, S), jnp.float32),
         interpret=interpret,
     )(yx0, ys[:, None, :], xs[:, None, :], gx, gy)
 
