@@ -28,6 +28,11 @@ def variant_cfg(cfg, name):
     elif name == "sfmcpu":
         return dataclasses.replace(
             cfg, sfm=dataclasses.replace(cfg.sfm, backend="cpu"))
+    elif name == "batch8":
+        # The old batch-8 blocker (TPU scalar register allocator on the
+        # descriptor gather graph) predates the dense-subpixel/Pallas
+        # restructure — retest at the new graph.
+        fe = dataclasses.replace(fe, batch_size=8)
     elif name == "prematch":
         return dataclasses.replace(
             cfg, matching=dataclasses.replace(cfg.matching, prematch=True))

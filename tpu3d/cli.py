@@ -399,7 +399,10 @@ def cmd_densify(args):
                             bg_sh=bg_sh)
         out.update(test_psnr=ev["mean_psnr"],
                    test_psnr_per_view=[round(p, 2) for p in ev["per_view"]],
-                   test_psnr_calibrated=ev["mean_psnr_calibrated"])
+                   test_psnr_calibrated=ev["mean_psnr_calibrated"],
+                   test_psnr_core=round(ev["psnr_core"], 2),
+                   test_psnr_background=round(ev["psnr_background"], 2),
+                   core_pixel_fraction=round(ev["core_pixel_fraction"], 3))
         try:
             from PIL import Image
 

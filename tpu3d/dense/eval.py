@@ -92,6 +92,8 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
     n = len(cams) if not max_views else min(len(cams), max_views)
     per_view: List[float] = []
     per_view_cal: List[float] = []
+    core_err, bg_err = [], []  # squared-error sums for the core/bg split
+    core_n = bg_n = 0
     renders = []
     H, W = images_rgb.shape[1:3]
     for m in range(n):
@@ -105,12 +107,29 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
         per_view_cal.append(psnr(np.clip(pred[:, half:] * gains, 0.0, 1.0),
                                  gt[:, half:]))
         renders.append(pred)
+        # Core-vs-background error split (the contraction retune signal:
+        # where does resolution actually pay?). A ray is "core" if its
+        # line passes within the unit ball of the normalized frame —
+        # ||o x d_hat|| < 1 — else it only ever sees shell/background.
+        ro, rd = view_rays(cams[m], H, W, focal, norm, stride)
+        perp = np.linalg.norm(np.cross(ro, rd), axis=-1)
+        core = (perp < 1.0).reshape(pred.shape[:2])
+        se = np.sum((pred - gt) ** 2, axis=-1) / 3.0
+        core_err.append(float(se[core].sum()))
+        bg_err.append(float(se[~core].sum()))
+        core_n += int(core.sum())
+        bg_n += int((~core).sum())
+    mse_to_psnr = lambda s, c: (float(-10 * np.log10(max(s / c, 1e-12)))
+                                if c else float("nan"))
     return {
         "per_view": per_view,
         "mean_psnr": float(np.mean(per_view)) if per_view else float("nan"),
         "per_view_calibrated": per_view_cal,
         "mean_psnr_calibrated": (float(np.mean(per_view_cal))
                                  if per_view_cal else float("nan")),
+        "psnr_core": mse_to_psnr(sum(core_err), core_n),
+        "psnr_background": mse_to_psnr(sum(bg_err), bg_n),
+        "core_pixel_fraction": (core_n / max(core_n + bg_n, 1)),
         "renders": renders,
     }
 
