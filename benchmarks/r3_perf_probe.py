@@ -28,6 +28,9 @@ def variant_cfg(cfg, name):
     elif name == "sfmcpu":
         return dataclasses.replace(
             cfg, sfm=dataclasses.replace(cfg.sfm, backend="cpu"))
+    elif name == "hybrid":
+        return dataclasses.replace(
+            cfg, sfm=dataclasses.replace(cfg.sfm, backend="hybrid"))
     elif name == "batch8":
         # The old batch-8 blocker (TPU scalar register allocator on the
         # descriptor gather graph) predates the dense-subpixel/Pallas

@@ -711,11 +711,12 @@ def main(argv=None):
                    help="min problem growth between global BAs (1 = every-N)")
     p.add_argument("--register-batch", type=int, default=8,
                    help="images per fused registration dispatch")
-    p.add_argument("--sfm-backend", choices=["default", "cpu"],
+    p.add_argument("--sfm-backend", choices=["default", "cpu", "hybrid"],
                    default="default",
-                   help="pin the registration/BA kernels to the host CPU "
-                        "backend (latency-bound small dispatches) while "
-                        "extract/match stay on the accelerator")
+                   help="engine placement: cpu pins registration+BA to the "
+                        "host (latency-bound small dispatches); hybrid "
+                        "keeps registration on the host but runs the "
+                        "windowed/global BA solves on the accelerator")
     p.add_argument("--local-window", type=int, default=25,
                    help="windowed-BA camera count between global BAs")
     p.add_argument("--epochs", type=int, default=1)

@@ -206,6 +206,8 @@ class SfMConfig:
     # on the accelerator — on a remote-TPU tunnel the engine's many small
     # dispatches are round-trip-bound, and the CPU backend is also the one
     # with the best-measured registration recall (pipeline._sfm_device_ctx).
+    # "hybrid" = CPU registration + accelerator windowed/global BA (the
+    # solves are throughput work the TPU wins; engine._ba_device_ctx).
     backend: str = "default"
     min_new_points: int = 1            # triangulate if any new points (sfm.py:130)
     run_pair_ba: bool = True

@@ -333,6 +333,25 @@ class IncrementalSfM:
             "C": cexp, "P": 16384, "O": 65536} if n_images > 32 else None)
 
     # ------------------------------------------------------------------
+    def _ba_device_ctx(self):
+        """BA dispatch placement. SfMConfig.backend == "hybrid" runs the
+        registration path on the host CPU (pipeline._sfm_device_ctx wraps
+        the whole engine) but lifts the windowed/global BA solves back
+        onto the accelerator: the per-step register problems are tunnel-
+        RTT-bound, while the Schur-CG LM is real throughput work the TPU
+        wins (24-image A/B: global_ba 0.64 s TPU vs 0.89 s CPU; full-run
+        BA is ~200 s of LM iterations)."""
+        if getattr(self.cfg, "backend", "default") == "hybrid":
+            import contextlib
+
+            devs = jax.devices()
+            if devs and devs[0].platform != "cpu":
+                return jax.default_device(devs[0])
+            return contextlib.nullcontext()
+        import contextlib
+
+        return contextlib.nullcontext()
+
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
         return sub
@@ -1001,7 +1020,8 @@ class IncrementalSfM:
         t0 = time.time()
         self.counters["windowed_ba"] += 1
         try:
-            return self._windowed_ba(window, max_iters)
+            with self._ba_device_ctx():
+                return self._windowed_ba(window, max_iters)
         finally:
             self.timers["windowed_ba"] += time.time() - t0
 
@@ -1081,7 +1101,8 @@ class IncrementalSfM:
         t0 = time.time()
         self.counters["global_ba"] += 1
         try:
-            return self._global_ba(max_iters, prune, final)
+            with self._ba_device_ctx():
+                return self._global_ba(max_iters, prune, final)
         finally:
             self.timers["global_ba"] += time.time() - t0
 

@@ -774,10 +774,12 @@ def _sfm_device_ctx(sfm_cfg):
     dispatch over the remote-TPU tunnel pays a ~67 ms round trip — at
     24-image scale the reconstruct stage is RTT-bound, not compute-bound
     (BENCH r3: pnp 0.95 s + host 0.67 s of mostly-latency). Latency-bound
-    kernels belong on the host; throughput kernels on the TPU."""
+    kernels belong on the host; throughput kernels on the TPU.
+    "hybrid" = CPU registration with the windowed/global BA solves lifted
+    back to the accelerator (engine._ba_device_ctx)."""
     import contextlib
 
-    if getattr(sfm_cfg, "backend", "default") == "cpu":
+    if getattr(sfm_cfg, "backend", "default") in ("cpu", "hybrid"):
         import jax
 
         return jax.default_device(jax.devices("cpu")[0])
