@@ -40,6 +40,12 @@ RUNS = [
                             "--norm-core-q", "90"]),
     ("r3dense_c_320", ["--epochs", "8", "--coarse-epochs", "2",
                        "--grid-resolution", "320"]),
+    # aux A/B at the full training config (same rec + recipe as c_core):
+    # VERDICT r2 #5 acceptance = >= 0.8x plain throughput AND >= +0.3 dB,
+    # else defaults stay off with the measurement recorded. aux_profile
+    # showed no step-level gap — this isolates the loop-level one.
+    ("r3dense_c_aux", ["--epochs", "6", "--coarse-epochs", "2",
+                       "--exposure", "--sh-background"]),
 ]
 
 
