@@ -31,6 +31,13 @@ def variant_cfg(cfg, name):
     elif name == "hybrid":
         return dataclasses.replace(
             cfg, sfm=dataclasses.replace(cfg.sfm, backend="hybrid"))
+    elif name.startswith("rb"):
+        # register_batch sweep under hybrid placement: CPU-side retries
+        # are cheap (no tunnel RTT), so bigger chunks may now win where
+        # they lost on the TPU backend.
+        return dataclasses.replace(
+            cfg, sfm=dataclasses.replace(cfg.sfm, backend="hybrid",
+                                         register_batch=int(name[2:])))
     elif name == "batch8":
         # The old batch-8 blocker (TPU scalar register allocator on the
         # descriptor gather graph) predates the dense-subpixel/Pallas
