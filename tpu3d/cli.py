@@ -47,7 +47,7 @@ def _build_config(args):
             global_ba_growth=getattr(args, "global_ba_growth", 1.12),
             local_window=getattr(args, "local_window", 25),
             register_batch=getattr(args, "register_batch", 8),
-            backend=getattr(args, "sfm_backend", "default"),
+            backend=getattr(args, "sfm_backend", "auto"),
         ),
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
@@ -711,8 +711,9 @@ def main(argv=None):
                    help="min problem growth between global BAs (1 = every-N)")
     p.add_argument("--register-batch", type=int, default=8,
                    help="images per fused registration dispatch")
-    p.add_argument("--sfm-backend", choices=["default", "cpu", "hybrid"],
-                   default="default",
+    p.add_argument("--sfm-backend",
+                   choices=["auto", "default", "cpu", "hybrid"],
+                   default="auto",
                    help="engine placement: cpu pins registration+BA to the "
                         "host (latency-bound small dispatches); hybrid "
                         "keeps registration on the host but runs the "

@@ -201,14 +201,17 @@ class SfMConfig:
     register_batch: int = 8
     max_tracks: int = 400_000          # preallocated global track capacity
     match_capacity: int = 2048         # per-pair padded match capacity
-    # Engine dispatch backend: "default" = the session backend; "cpu" pins
-    # the registration/BA kernels to the host CPU while extract/match stay
-    # on the accelerator — on a remote-TPU tunnel the engine's many small
-    # dispatches are round-trip-bound, and the CPU backend is also the one
-    # with the best-measured registration recall (pipeline._sfm_device_ctx).
-    # "hybrid" = CPU registration + accelerator windowed/global BA (the
-    # solves are throughput work the TPU wins; engine._ba_device_ctx).
-    backend: str = "default"
+    # Engine dispatch backend. "cpu" pins the registration/BA kernels to
+    # the host CPU while extract/match stay on the accelerator — on a
+    # remote-TPU tunnel the engine's many small dispatches are round-trip-
+    # bound, and the CPU backend is also the one with the best-measured
+    # registration recall (pipeline._sfm_device_ctx). "hybrid" = CPU
+    # registration + accelerator windowed/global BA (the solves are
+    # throughput work the TPU wins; engine._ba_device_ctx). "auto"
+    # (default) resolves to hybrid on accelerator sessions and plain
+    # default on CPU sessions — measured 6.98 -> 5.0 s on the 24-image
+    # bench and 277 -> 288/290 recall on the full dataset.
+    backend: str = "auto"
     min_new_points: int = 1            # triangulate if any new points (sfm.py:130)
     run_pair_ba: bool = True
     run_global_ba: bool = True         # new capability (reference has none)

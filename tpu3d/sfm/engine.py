@@ -341,15 +341,15 @@ class IncrementalSfM:
         RTT-bound, while the Schur-CG LM is real throughput work the TPU
         wins (24-image A/B: global_ba 0.64 s TPU vs 0.89 s CPU; full-run
         BA is ~200 s of LM iterations)."""
-        if getattr(self.cfg, "backend", "default") == "hybrid":
-            import contextlib
+        import contextlib
 
+        backend = getattr(self.cfg, "backend", "default")
+        if backend == "auto":
+            backend = "hybrid" if jax.default_backend() != "cpu" else "default"
+        if backend == "hybrid":
             devs = jax.devices()
             if devs and devs[0].platform != "cpu":
                 return jax.default_device(devs[0])
-            return contextlib.nullcontext()
-        import contextlib
-
         return contextlib.nullcontext()
 
     def _next_key(self) -> jax.Array:

@@ -776,12 +776,16 @@ def _sfm_device_ctx(sfm_cfg):
     (BENCH r3: pnp 0.95 s + host 0.67 s of mostly-latency). Latency-bound
     kernels belong on the host; throughput kernels on the TPU.
     "hybrid" = CPU registration with the windowed/global BA solves lifted
-    back to the accelerator (engine._ba_device_ctx)."""
+    back to the accelerator (engine._ba_device_ctx); "auto" = hybrid on
+    accelerator sessions, default otherwise."""
     import contextlib
 
-    if getattr(sfm_cfg, "backend", "default") in ("cpu", "hybrid"):
-        import jax
+    import jax
 
+    backend = getattr(sfm_cfg, "backend", "default")
+    if backend == "auto":
+        backend = "hybrid" if jax.default_backend() != "cpu" else "default"
+    if backend in ("cpu", "hybrid"):
         return jax.default_device(jax.devices("cpu")[0])
     return contextlib.nullcontext()
 
