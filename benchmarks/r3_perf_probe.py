@@ -31,6 +31,13 @@ def variant_cfg(cfg, name):
     elif name == "hybrid":
         return dataclasses.replace(
             cfg, sfm=dataclasses.replace(cfg.sfm, backend="hybrid"))
+    elif name == "oprec":
+        # Orientation-pass-only bf16: the histogram peak tolerates ~1e-2
+        # sample noise; descriptor values keep f32.
+        fe = dataclasses.replace(fe, orient_precision="default")
+        return dataclasses.replace(
+            cfg, frontend=fe,
+            sfm=dataclasses.replace(cfg.sfm, backend="hybrid"))
     elif name.startswith("rb"):
         # register_batch sweep under hybrid placement: CPU-side retries
         # are cheap (no tunnel RTT), so bigger chunks may now win where

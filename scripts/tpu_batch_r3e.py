@@ -16,7 +16,7 @@ def run_mod(name, argv):
 def main():
     run_mod("extract_phase_probe2", [])
     run_mod("extract_phase_probe2", ["--batch=8"])
-    run_mod("r3_perf_probe", ["--variants=rb12,rb16,batch8"])
+    run_mod("r3_perf_probe", ["--variants=rb12,rb16,batch8,oprec"])
     stamp("bench.py")
     import bench
     bench.main()

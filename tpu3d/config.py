@@ -75,6 +75,11 @@ class FrontendConfig:
     # bf16 perturbs descriptor samples ~1e-2 absolute (quality A/B
     # required — f32 scoping elsewhere was load-bearing, BASELINE.md).
     patch_precision: str = "highest"
+    # Separate precision for the ORIENTATION pass only (None = follow
+    # patch_precision): the 36-bin histogram argmax is far more tolerant
+    # of sample noise than the descriptor values, and the orientation
+    # matmuls are ~40% of the per-keypoint sampling compute.
+    orient_precision: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -204,7 +204,8 @@ def bin_descriptor(gxs: jnp.ndarray, gys: jnp.ndarray, theta: jnp.ndarray,
 
 def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
                         fused: bool | None = None,
-                        precision: str = "highest"):
+                        precision: str = "highest",
+                        orient_precision: str | None = None):
     """Dominant orientation + descriptor for a keypoint batch.
 
     fused=True: ONE Pallas dispatch per batch (kernels/orient_desc.py —
@@ -226,6 +227,6 @@ def orient_and_describe(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
         return bin_descriptor(gxs, gys, theta,
                               dyg.reshape(-1), dxg.reshape(-1)), theta
     theta = keypoint_orientations(gx, gy, kx, ky, lvl, sigma, ymax, xmax,
-                                  precision)
+                                  orient_precision or precision)
     return sift_descriptors(gx, gy, kx, ky, lvl, sigma, theta, ymax, xmax,
                             precision), theta

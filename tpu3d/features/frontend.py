@@ -52,6 +52,7 @@ class FeatureSet(NamedTuple):
         "fused",
         "approx_topk_recall",
         "patch_precision",
+        "orient_precision",
     ),
 )
 def _extract(
@@ -67,6 +68,7 @@ def _extract(
     fused: bool | None = None,
     approx_topk_recall: float = 0.0,
     patch_precision: str = "highest",
+    orient_precision: str | None = None,
 ) -> FeatureSet:
     B, H, W = images.shape
     if images.dtype == jnp.uint8:  # uint8 upload path (4x less link traffic)
@@ -80,13 +82,14 @@ def _extract(
         return _extract_f32(images, max_keypoints, num_octaves,
                             scales_per_octave, sigma0, contrast_threshold,
                             edge_threshold, nms_radius, upright, fused,
-                            approx_topk_recall, patch_precision)
+                            approx_topk_recall, patch_precision,
+                            orient_precision)
 
 
 def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
                  sigma0, contrast_threshold, edge_threshold, nms_radius,
                  upright=False, fused=None, approx_topk_recall=0.0,
-                 patch_precision="highest"):
+                 patch_precision="highest", orient_precision=None):
     """Detect per octave, merge the global top-K by score FIRST, then run
     orientation + descriptors ONCE for the K winners against a unified
     (octave, image)-stacked gradient pyramid.
@@ -172,7 +175,8 @@ def _extract_f32(images, max_keypoints, num_octaves, scales_per_octave,
     else:
         desc, _ = orient_and_describe(gx_u, gy_u, kx, ky, lvl_glob, sig,
                                       ymax, xmax, fused=fused,
-                                      precision=patch_precision)
+                                      precision=patch_precision,
+                                      orient_precision=orient_precision)
     desc = desc.reshape(B, K, -1)
 
     factor = jnp.exp2(oct.astype(jnp.float32))
@@ -210,6 +214,7 @@ def extract_features(images: jnp.ndarray, config: Optional[FrontendConfig] = Non
         cfg.fused_descriptor,
         cfg.approx_topk_recall,
         cfg.patch_precision,
+        cfg.orient_precision,
     )
 
 
