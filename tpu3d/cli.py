@@ -250,6 +250,8 @@ def cmd_reconstruct(args):
         colors_bgr=rec.colors_bgr, track_ids=rec.track_ids,
         extrinsics=rec.extrinsics(),
     )
+    from tpu3d.sfm.pipeline import LAST_SFM_TIMERS
+
     store.save_json("reconstruction_meta", {
         "registered_names": rec.registered_names(),
         "mean_reproj_px": rec.mean_reproj_px,
@@ -257,6 +259,8 @@ def cmd_reconstruct(args):
         "mode": args.mode,
         "downscale": (meta or {}).get("downscale", args.downscale),
         "seconds": time.time() - t0,
+        "sfm_phase_seconds": LAST_SFM_TIMERS,
+        "sfm_backend": cfg.sfm.backend,
     })
     if args.ply:
         n = write_ply(args.ply, rec.points, rec.colors_bgr)
