@@ -52,7 +52,8 @@ def _build_config(args):
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
                           num_samples=getattr(args, "num_samples", 192),
-                          hierarchical=getattr(args, "hierarchical", False)),
+                          hierarchical=getattr(args, "hierarchical", False),
+                          scene_scale=getattr(args, "scene_scale", 1.5)),
         image_dir=args.images,
         artifact_dir=args.artifacts,
     )
@@ -770,6 +771,11 @@ def main(argv=None):
                    help="stochastic TV weight on the SH color channels")
     p.add_argument("--grid-resolution", type=int, default=256,
                    help="dense voxel grid resolution per axis")
+    p.add_argument("--scene-scale", type=float, default=1.5,
+                   help="dense grid half-extent in normalized units (ref "
+                        "plenoxel.py:21 uses 1.5; with the gauge-invariant "
+                        "core normalization content fits in ~1.0, so 1.5 "
+                        "wastes ~1/3 of linear voxel resolution)")
     p.add_argument("--num-samples", type=int, default=192,
                    help="ray-march samples per ray")
     p.add_argument("--rays-pkl", default="",
