@@ -52,7 +52,7 @@ def main():
                     help="run benchmarks/aux_profile.py (dense aux slowdown)")
     ap.add_argument("--learned-bench", action="store_true",
                     help="run benchmarks/learned_bench.py (DISK/LightGlue throughput)")
-    ap.add_argument("--norm", default="core", choices=["core", "legacy"],
+    ap.add_argument("--norm", default="coremax", choices=["coremax", "core", "legacy"],
                     help="dense scene normalization for densify")
     ap.add_argument("--norm-core-q", type=float, default=92.0)
     ap.add_argument("--norm-margin", type=float, default=1.15)

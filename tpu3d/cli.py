@@ -330,9 +330,14 @@ def cmd_densify(args):
 
         norm = normalize_scene_legacy(rec["points"])
         near, far = auto_near_far(rec["cams"], rec["points"], norm)
-    else:
+    elif args.norm == "core":
         norm = normalize_scene(rec["points"], core_q=args.norm_core_q,
                                margin=args.norm_margin)
+        near, far = auto_near_far(rec["cams"], rec["points"], norm)
+    else:  # coremax (default)
+        from tpu3d.dense.train import normalize_scene_coremax
+
+        norm = normalize_scene_coremax(rec["points"])
         near, far = auto_near_far(rec["cams"], rec["points"], norm)
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
@@ -732,9 +737,12 @@ def main(argv=None):
     p.add_argument("--contraction", action="store_true",
                    help="radial scene contraction: core linear in the unit "
                         "ball, far field in the outer shell (dense/contract.py)")
-    p.add_argument("--norm", choices=["core", "legacy"], default="core",
-                   help="scene normalization: gauge-invariant percentile "
-                        "core (default) or the legacy mean+300 filter")
+    p.add_argument("--norm", choices=["coremax", "core", "legacy"],
+                   default="coremax",
+                   help="scene normalization: coremax (gauge-invariant "
+                        "relative filter + max extent, default), core "
+                        "(percentile-radius crop; needs --sh-background), "
+                        "or the legacy mean+300 filter")
     p.add_argument("--norm-core-q", type=float, default=92.0,
                    help="core percentile of the radial distance "
                         "distribution mapped to the grid")

@@ -83,6 +83,24 @@ def normalize_scene(points: np.ndarray, target_extent: float = 1.0,
                               float(extent / target_extent + 1e-9))
 
 
+def normalize_scene_coremax(points: np.ndarray, target_extent: float = 1.0,
+                            q: float = 90.0, k: float = 4.0) -> SceneNormalization:
+    """Gauge-invariant version of the legacy normalization: trim outliers
+    RELATIVELY (core_points: keep within k x p`q` radial distance), then
+    max-abs extent of the kept cloud — every non-outlier point stays
+    inside the grid. Measured motivation (r3 batch C): the percentile-
+    radius crop (normalize_scene) lost 1.5 dB to legacy on the same rec —
+    content beyond the crop is unexplainable by the grid and breeds fog —
+    while legacy's only actual defect was the gauge-DEPENDENT mean+300
+    filter. This keeps legacy's framing with a scale-free filter."""
+    keep = core_points(points, q, k)
+    p = keep if len(keep) else points
+    center = p.mean(axis=0)
+    extent = np.abs(p - center).max()
+    return SceneNormalization(center.astype(np.float32),
+                              float(extent / target_extent + 1e-9))
+
+
 def normalize_scene_legacy(points: np.ndarray, target_extent: float = 1.0) -> SceneNormalization:
     """Round-1/2 normalization (outlier filter + per-axis max extent) —
     kept for A/B and for rendering grids trained before the gauge-invariant
