@@ -537,3 +537,23 @@ def test_render_rays_contracted_sees_far_content():
                                   perturb=False, white_bg=False,
                                   contract=False))
     assert img2[0, 0] < 0.1 * img[0, 0] + 1e-6
+
+
+def test_normalizations_gauge_equivariant(rng):
+    """An SfM gauge is an arbitrary similarity transform; the default
+    (coremax) and core normalizations must map a rescaled/shifted cloud to
+    the SAME normalized points (the legacy mean+300 filter was absolute-
+    threshold and collapsed 18.2 -> 14.9 dB across gauges, BASELINE.md)."""
+    from tpu3d.dense.train import (normalize_scene, normalize_scene_contracted,
+                                   normalize_scene_coremax)
+
+    pts = rng.normal(0, 1.0, (500, 3)).astype(np.float64)
+    pts[:20] *= 40.0  # outlier shell
+    for fn in (normalize_scene_coremax, normalize_scene,
+               normalize_scene_contracted):
+        base = fn(pts)
+        for scale, shift in ((0.2, 3.0), (5.0, -11.0), (217.0, 0.4)):
+            n2 = fn(pts * scale + shift)
+            np.testing.assert_allclose(n2.apply(pts * scale + shift),
+                                       base.apply(pts), atol=1e-6,
+                                       err_msg=f"{fn.__name__} @ {scale}")
