@@ -53,7 +53,8 @@ def _build_config(args):
                           grid_resolution=getattr(args, "grid_resolution", 256),
                           num_samples=getattr(args, "num_samples", 192),
                           hierarchical=getattr(args, "hierarchical", False),
-                          scene_scale=getattr(args, "scene_scale", 1.5)),
+                          scene_scale=getattr(args, "scene_scale", 1.5),
+                          optimizer=getattr(args, "dense_optimizer", "adam")),
         image_dir=args.images,
         artifact_dir=args.artifacts,
     )
@@ -779,6 +780,10 @@ def main(argv=None):
                    help="stochastic TV weight on the SH color channels")
     p.add_argument("--grid-resolution", type=int, default=256,
                    help="dense voxel grid resolution per axis")
+    p.add_argument("--dense-optimizer", choices=["adam", "rmsprop"],
+                   default="adam",
+                   help="grid optimizer (rmsprop keeps one moment buffer: "
+                        "fits 320-352^3 where adam caps at 288^3)")
     p.add_argument("--scene-scale", type=float, default=1.5,
                    help="dense grid half-extent in normalized units (ref "
                         "plenoxel.py:21 uses 1.5; with the gauge-invariant "

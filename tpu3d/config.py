@@ -252,6 +252,10 @@ class DenseConfig:
     scene_scale: float = 1.5           # ref plenoxel.py:21 scale=1.5 / sdf.py:63
     batch_size: int = 2048             # ref sdf.py:421 / plenoxel.py:104
     learning_rate: float = 1e-2        # ref sdf.py:417 / plenoxel.py:129
+    # Grid optimizer: "adam" (ref choice; TWO moment buffers -> 4 grid-
+    # sized arrays live, caps a 16 GB chip at 288^3) or "rmsprop" (the
+    # Plenoxels paper's optimizer; ONE moment -> 320-352^3 fit).
+    optimizer: str = "adam"
     lr_milestones: Tuple[int, ...] = (2, 4, 8)  # ref MultiStepLR milestones
     lr_gamma: float = 0.5
     epochs: int = 1                    # ref sdf.py:411

@@ -211,6 +211,18 @@ def _lr_schedule(cfg: DenseConfig, steps_per_epoch: int) -> optax.Schedule:
     return optax.piecewise_constant_schedule(cfg.learning_rate, boundaries)
 
 
+def make_optimizer(cfg: DenseConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Grid optimizer. adam (ref sdf.py:417/plenoxel.py:129) keeps TWO
+    moment buffers — 4 grid-sized arrays live per step, capping a 16 GB
+    chip at 288^3. rmsprop (the actual Plenoxels-paper choice) keeps ONE,
+    unlocking 320-352^3 (DenseConfig.optimizer)."""
+    sched = _lr_schedule(cfg, steps_per_epoch)
+    kind = getattr(cfg, "optimizer", "adam")
+    if kind == "rmsprop":
+        return optax.rmsprop(sched, decay=0.95, eps=1e-8)
+    return optax.adam(sched)
+
+
 class TrainState(NamedTuple):
     grid: VoxelGrid
     opt_state: optax.OptState
@@ -643,7 +655,7 @@ def train_plenoxel(
         garr = pack_grid(grid.grid)
     else:
         garr = grid.grid
-    optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
+    optimizer = make_optimizer(cfg, steps_per_epoch)
     exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
             if cfg.exposure and dataset.cam_ids is not None else None)
     bg0 = init_background() if cfg.sh_background else None
@@ -878,7 +890,7 @@ def train_sdf(
             train_sdf, dataset, cfg, seed, grid, verbose, log_every, packed)
     use_packed = packed if packed is not None else (jax.default_backend() != "cpu")
     orig_shape = tuple(grid.grid.shape)
-    optimizer = optax.adam(_lr_schedule(cfg, steps_per_epoch))
+    optimizer = make_optimizer(cfg, steps_per_epoch)
     exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
             if cfg.exposure and dataset.cam_ids is not None else None)
     bg0 = init_background() if cfg.sh_background else None
