@@ -31,6 +31,13 @@ def variant_cfg(cfg, name):
     elif name == "hybrid":
         return dataclasses.replace(
             cfg, sfm=dataclasses.replace(cfg.sfm, backend="hybrid"))
+    elif name == "split2":
+        # 2-pass hi/lo bf16 patch sampling (kernels/patch_sample.py):
+        # ~1/3 the MXU work of HIGHEST at ~2^-9 weight quantization.
+        fe = dataclasses.replace(fe, patch_precision="split2")
+        return dataclasses.replace(
+            cfg, frontend=fe,
+            sfm=dataclasses.replace(cfg.sfm, backend="hybrid"))
     elif name == "oprec":
         # Orientation-pass-only bf16: the histogram peak tolerates ~1e-2
         # sample noise; descriptor values keep f32.

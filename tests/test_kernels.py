@@ -93,6 +93,34 @@ def test_patch_sample_narrow_width(rng):
     np.testing.assert_allclose(got[:, 1, :], ref[..., 1], atol=1e-5)
 
 
+def test_patch_sample_split2_close_to_reference(rng):
+    """split2 (bf16-exact weights x hi/lo patch split, 2 MXU passes) must
+    track the exact bilinear reference to ~2^-9-weight-quantization error."""
+    from tpu3d.kernels.patch_sample import (
+        sample_gradient_patches, sample_gradient_patches_reference,
+    )
+    import jax.numpy as jnp
+
+    H, W = 128, 160
+    gx = rng.normal(0, 1, (H, W)).astype(np.float32)
+    gy = rng.normal(0, 1, (H, W)).astype(np.float32)
+    K, S = 6, 128
+    cy = rng.uniform(40, H - 40, (K, 1))
+    cx = rng.uniform(40, W - 40, (K, 1))
+    ys = (cy + rng.uniform(-15, 15, (K, S))).astype(np.float32)
+    xs = (cx + rng.uniform(-15, 15, (K, S))).astype(np.float32)
+    got = np.asarray(sample_gradient_patches(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ys), jnp.asarray(xs),
+        interpret=True, precision="split2",
+    ))
+    ref = np.asarray(sample_gradient_patches_reference(
+        jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_allclose(got[:, 0, :], ref[..., 0], atol=1.5e-2)
+    np.testing.assert_allclose(got[:, 1, :], ref[..., 1], atol=1.5e-2)
+    # and much closer than plain bf16 everywhere on average
+    assert np.mean(np.abs(got[:, 0, :] - ref[..., 0])) < 3e-3
+
+
 def test_orient_desc_fused_matches_split(rng):
     """Fused orientation+descriptor kernel (interpret mode) vs the split
     reference path (keypoint_orientations + sift_descriptors)."""

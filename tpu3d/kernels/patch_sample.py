@@ -47,11 +47,19 @@ PATCH_X = 256
 NSAMP = 256
 
 
-def _weights(frac_pos: jnp.ndarray, width: int) -> jnp.ndarray:
+def _weights(frac_pos: jnp.ndarray, width: int,
+             quantize_bf16: bool = False) -> jnp.ndarray:
     """(S,) continuous in-patch positions -> (S, width) bilinear one-hot
-    pair weights via iota comparisons."""
+    pair weights via iota comparisons.
+
+    quantize_bf16 (the split2 path): round the FRACTION to bf16 before
+    building the pair — the weights then carry at most a 2^-9 positional
+    perturbation (far below subpixel-refinement noise) instead of a VALUE
+    rounding error inside the matmul."""
     p0 = jnp.floor(frac_pos)
     f = frac_pos - p0
+    if quantize_bf16:
+        f = f.astype(jnp.bfloat16).astype(jnp.float32)
     p0i = p0.astype(jnp.int32)
     iota = jax.lax.broadcasted_iota(jnp.int32, (frac_pos.shape[0], width), 1)
     w0 = jnp.where(iota == p0i[:, None], 1.0 - f[:, None], 0.0)
@@ -97,23 +105,39 @@ def _patch_kernel(lyx0_ref, ys_ref, xs_ref, gx_hbm, gy_hbm, out_ref, patch, sem,
 
     ys = ys_ref[0, 0, :] - lyx0_ref[1, k].astype(jnp.float32)  # in-patch (S,)
     xs = xs_ref[0, 0, :] - lyx0_ref[2, k].astype(jnp.float32)
-    wr = _weights(jnp.clip(ys, 0.0, PATCH_Y - 2.0), PATCH_Y)   # (S, PATCH_Y)
-    wc = _weights(jnp.clip(xs, 0.0, PATCH_X - 2.0), PATCH_X)
+    split2 = precision == "split2"
+    wr = _weights(jnp.clip(ys, 0.0, PATCH_Y - 2.0), PATCH_Y,
+                  quantize_bf16=split2)                        # (S, PATCH_Y)
+    wc = _weights(jnp.clip(xs, 0.0, PATCH_X - 2.0), PATCH_X,
+                  quantize_bf16=split2)
 
     cp, cp2 = _copies(k, slot)
     cp.wait()
     cp2.wait()
 
     # sample = rowwise_dot(Wrow @ patch, Wcol): two MXU matmuls + reduce.
-    # Precision is configurable (FrontendConfig.patch_precision): HIGHEST
-    # (6-pass bf16, exact f32) is the proven-safe default; HIGH/DEFAULT
-    # trade ~1e-2 absolute sample error for 2-6x fewer MXU passes on the
-    # compute-bound descriptor stage.
-    prec = jax.lax.Precision.HIGHEST if precision is None else precision
-    rgx = jnp.dot(wr, patch[slot, 0], preferred_element_type=jnp.float32,
-                  precision=prec)  # (S, PATCH)
-    rgy = jnp.dot(wr, patch[slot, 1], preferred_element_type=jnp.float32,
-                  precision=prec)
+    # Precision (FrontendConfig.patch_precision): "highest" = 6-pass bf16
+    # (exact f32, the proven-safe default); "default" = 1-pass bf16
+    # (~1e-2 sample error, measured quality loss); "split2" = bf16-exact
+    # one-hot weights (fraction quantized, see _weights) x a hi/lo bf16
+    # SPLIT of the patch values -> TWO DEFAULT-precision passes recover
+    # ~f32 accuracy at 1/3 the MXU work of HIGHEST.
+    if split2:
+        def mm2(w, v):
+            v_hi = v.astype(jnp.bfloat16)
+            v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            wb = w.astype(jnp.bfloat16)
+            return (jnp.dot(wb, v_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(wb, v_lo, preferred_element_type=jnp.float32))
+
+        rgx = mm2(wr, patch[slot, 0])
+        rgy = mm2(wr, patch[slot, 1])
+    else:
+        prec = jax.lax.Precision.HIGHEST if precision is None else precision
+        rgx = jnp.dot(wr, patch[slot, 0], preferred_element_type=jnp.float32,
+                      precision=prec)  # (S, PATCH)
+        rgy = jnp.dot(wr, patch[slot, 1], preferred_element_type=jnp.float32,
+                      precision=prec)
     out_ref[0, 0, :] = jnp.sum(rgx * wc, axis=1)
     out_ref[0, 1, :] = jnp.sum(rgy * wc, axis=1)
 
@@ -180,10 +204,12 @@ def sample_gradient_patches(
         ],
     )
     # Mosaic's dot lowering supports only DEFAULT (1-pass bf16) and
-    # HIGHEST (6-pass f32) — there is no 3-pass HIGH on this path.
+    # HIGHEST (6-pass f32) — there is no 3-pass HIGH; "split2" is our own
+    # 2-pass hi/lo decomposition (see _patch_kernel).
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGHEST,
-            "default": jax.lax.Precision.DEFAULT}[precision]
+            "default": jax.lax.Precision.DEFAULT,
+            "split2": "split2"}[precision]
     return pl.pallas_call(
         functools.partial(_patch_kernel, precision=prec),
         grid_spec=grid_spec,
