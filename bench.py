@@ -85,7 +85,8 @@ def _barrier(tree):
     import jax
 
     return jax.tree_util.tree_map(
-        lambda a: np.asarray(jax.device_get(a)) if hasattr(a, "shape") else a, tree)
+        lambda a: (np.asarray(jax.device_get(a.ravel()[:1]))
+                   if hasattr(a, "shape") else a), tree)
 
 
 def _mfu_entry(fn, args, kwargs=None, reps: int = 3, calls: int = 2):

@@ -21,7 +21,7 @@ def bar(tree):
 
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "shape"):
-            np.asarray(jax.device_get(leaf))
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
             break
 
 

@@ -37,7 +37,7 @@ def _block(out):
 
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "block_until_ready"):
-            np.asarray(jax.device_get(leaf))
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
             break
 
 

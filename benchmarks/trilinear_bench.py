@@ -21,10 +21,12 @@ _V5E_HBM_GBPS = 819.0
 
 def _bar(x):
     """Real barrier: block_until_ready returns EARLY on the axon remote
-    backend (BASELINE.md link facts)."""
+    backend (BASELINE.md link facts). Fetch ONE element, not the array —
+    a full device_get of a GB-scale output measures the tunnel, not the
+    kernel (the r3e run's 12 s 'scatter' was mostly download)."""
     import jax
 
-    np.asarray(jax.device_get(x))
+    np.asarray(jax.device_get(x.ravel()[:1]))
     return x
 
 
