@@ -1,7 +1,16 @@
-"""Round-3 TPU batch G: final perf sweep + the coremax/scene-scale-1 dense
-combo (under coremax ALL kept content lies within L-inf radius 1.0, so
-the inherited scene_scale=1.5 wastes 1/3 of linear voxel resolution for
-nothing — this is the crop win WITHOUT the crop fog)."""
+"""Round-3 TPU batch G: final perf sweep + the calibrated dense configs.
+
+Radial-structure finding (r3f forensics): the ystad clouds are a tiny
+core (p50 ~ 7 units) plus a massive drift shell (p90 ~ 330, max ~ 16k on
+the 287-cam rec); the legacy filter acted as a ~p80 radial crop, and
+every normalization question is really "how much shell to crop vs fog".
+coremax is now calibrated to q80/k1. Runs:
+  perf: split2 + hybrid probe, bench x2, phase probe, kernel benches
+  c_cm_s1 / b_cm_s1      coremax(q80) + scene_scale 1.0, 256^3
+  c_cm_s1_288            the capacity combo, 288^3, 8 epochs
+  c_contract70_288       contraction with core_q 70 (r2's q90 put the
+                         p50-core at radius 0.02 - useless by construction)
+"""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tpu3d import cli
@@ -30,15 +39,15 @@ def _recover_device():
 
 BASE = ["--images", "/root/reference/ystad_kloster", "--no-checkpoint",
         "--ray-stride", "2", "--hierarchical", "--quiet",
-        "--norm", "coremax", "--scene-scale", "1.0",
         "--epochs", "6", "--coarse-epochs", "2"]
+CM = ["--norm", "coremax", "--scene-scale", "1.0"]
 
 DENSE = [
-    ("r3dense_b_cm_s1", []),
-    ("r3dense_c_cm_s1", []),
-    ("r3dense_c_cm_s1_288", ["--grid-resolution", "288", "--epochs", "8"]),
-    ("r3dense_c_cm_s1_352r", ["--grid-resolution", "352", "--epochs", "8",
-                              "--dense-optimizer", "rmsprop"]),
+    ("r3dense_c_cm_s1", CM),
+    ("r3dense_b_cm_s1", CM),
+    ("r3dense_c_cm_s1_288", CM + ["--grid-resolution", "288", "--epochs", "8"]),
+    ("r3dense_c_contract70_288", ["--contraction", "--norm-core-q", "70",
+                                  "--grid-resolution", "288"]),
 ]
 
 def main():

@@ -84,15 +84,20 @@ def normalize_scene(points: np.ndarray, target_extent: float = 1.0,
 
 
 def normalize_scene_coremax(points: np.ndarray, target_extent: float = 1.0,
-                            q: float = 90.0, k: float = 4.0) -> SceneNormalization:
-    """Gauge-invariant version of the legacy normalization: trim outliers
-    RELATIVELY (core_points: keep within k x p`q` radial distance), then
-    max-abs extent of the kept cloud — every non-outlier point stays
-    inside the grid. Measured motivation (r3 batch C): the percentile-
-    radius crop (normalize_scene) lost 1.5 dB to legacy on the same rec —
-    content beyond the crop is unexplainable by the grid and breeds fog —
-    while legacy's only actual defect was the gauge-DEPENDENT mean+300
-    filter. This keeps legacy's framing with a scale-free filter."""
+                            q: float = 80.0, k: float = 1.0) -> SceneNormalization:
+    """Gauge-invariant reformulation of the legacy normalization: keep
+    points within k x p`q` radial distance of the median, max-abs extent
+    of the kept cloud.
+
+    q=80/k=1 calibrated against the legacy mean+300 filter on the real
+    reconstructions: ystad clouds are EXTREMELY heavy-tailed (p50 ~ 7,
+    p90 ~ 330, max ~ 16k radial units on the 287-cam rec), and the legacy
+    filter — the framing every good PSNR number was measured under —
+    turns out to keep only ~78-83% of points, i.e. it IS a ~p80 radial
+    crop. A "lenient outlier trim" (the first coremax, 4 x p90) kept
+    99.8% and inflated the extent 6-7x, collapsing core resolution to
+    12.4 dB. Scale-free by construction
+    (tests/test_dense.py::test_normalizations_gauge_equivariant)."""
     keep = core_points(points, q, k)
     p = keep if len(keep) else points
     center = p.mean(axis=0)
