@@ -51,7 +51,6 @@ DENSE = [
 ]
 
 def main():
-    run_mod("r3_perf_probe", ["--variants=split2,hybrid"])
     stamp("bench.py x2")
     import bench
     bench.main()

@@ -124,11 +124,18 @@ def _patch_kernel(lyx0_ref, ys_ref, xs_ref, gx_hbm, gy_hbm, out_ref, patch, sem,
     # ~f32 accuracy at 1/3 the MXU work of HIGHEST.
     if split2:
         def mm2(w, v):
+            # Explicit DEFAULT precision: the frontend traces under a
+            # default_matmul_precision("float32") scope, and a bf16 dot
+            # inheriting HIGHEST is unlowerable by Mosaic (observed as a
+            # tpu_compile_helper crash).
             v_hi = v.astype(jnp.bfloat16)
             v_lo = (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             wb = w.astype(jnp.bfloat16)
-            return (jnp.dot(wb, v_hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(wb, v_lo, preferred_element_type=jnp.float32))
+            prec = jax.lax.Precision.DEFAULT
+            return (jnp.dot(wb, v_hi, preferred_element_type=jnp.float32,
+                            precision=prec)
+                    + jnp.dot(wb, v_lo, preferred_element_type=jnp.float32,
+                              precision=prec))
 
         rgx = mm2(wr, patch[slot, 0])
         rgy = mm2(wr, patch[slot, 1])
