@@ -110,3 +110,20 @@ def test_topk_threshold_matches_topk_set(rng):
     v, i = np.asarray(v), np.asarray(i)
     assert set(i[0][v[0] > 0].tolist()) == {5, 77, 1234}
     assert (v[0] > 0).sum() == 3
+
+
+def test_topk_segmented_matches_plain(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from tpu3d.features.detector import _topk_segmented
+
+    B, N, K = 3, 1 << 18, 512
+    flat = rng.uniform(0, 1, (B, N)).astype(np.float32)
+    flat *= (rng.uniform(0, 1, (B, N)) < 0.002)  # NMS-like sparsity
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(flat), K)
+    v, i = _topk_segmented(jnp.asarray(flat), K)
+    # same VALUE multiset and the indices address those values
+    np.testing.assert_allclose(np.sort(np.asarray(v)), np.sort(np.asarray(v_ref)))
+    np.testing.assert_allclose(
+        np.take_along_axis(flat, np.asarray(i), axis=1), np.asarray(v))

@@ -181,6 +181,32 @@ def _dense_subpixel_offsets(dog: jnp.ndarray):
     return clip(off_s), clip(off_y), clip(off_x)
 
 
+def _topk_segmented(flat: jnp.ndarray, k: int, nseg: int = 16):
+    """EXACT top-k via segment-local top-k + a merge top-k.
+
+    Round-3 TPU forensics: `lax.top_k` over the (B, ~1.9M) octave score
+    map costs ~290 ms per batch when compiled INSIDE the extract program
+    (vs 12 ms as a standalone program on identical data — a pathological
+    lowering interaction, reproduced minimally and immune to
+    optimization_barrier / while_loop materialization). Splitting into
+    nseg segment sorts of the SAME total length compiles to the fast
+    path: 43 ms in-program. Exactness: every global top-k element is in
+    its own segment's top-k (segments are padded with -1.0, which never
+    beats the >= 0 NMS scores).
+    Returns (vals, idx) with idx into the UNPADDED flat array."""
+    B, N = flat.shape
+    pad = (-N) % nseg
+    xp = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=-1.0)
+    L = xp.shape[1] // nseg
+    seg = xp.reshape(B, nseg, L)
+    v, i = jax.lax.top_k(seg, k)                        # (B, nseg, k)
+    base = (jnp.arange(nseg, dtype=i.dtype) * L)[None, :, None]
+    fi = (i + base).reshape(B, nseg * k)
+    fv = v.reshape(B, nseg * k)
+    v2, i2 = jax.lax.top_k(fv, k)
+    return v2, jnp.take_along_axis(fi, i2, axis=1)
+
+
 def _topk_threshold(flat: jnp.ndarray, k: int):
     """Exact top-k SET selection without a sort.
 
@@ -250,16 +276,15 @@ def detect_octave(
     score = score * bm[None, None]
 
     flat = score.reshape(B, -1)
-    # NOTE: a sort-free threshold+compaction selection (_topk_threshold)
-    # was TPU-measured SLOWER than lax.top_k here (419 vs 345 ms/batch for
-    # the whole detect stage) — the sort is not the dominant cost of this
-    # stage. Kept available for shapes where it wins.
-    # approx_recall > 0 switches to lax.approx_max_k, the TPU-native
-    # partial-reduction selector (FrontendConfig.approx_topk_recall):
-    # sub-1.0 recall drops only threshold-adjacent keypoints of a ~99.9%-
-    # zero NMS'd map, and the cross-octave merge re-selects anyway.
+    # approx_recall > 0 switches to lax.approx_max_k (sub-1.0 recall drops
+    # threshold-adjacent keypoints); the EXACT default is the segmented
+    # top-k — see _topk_segmented for the in-program lax.top_k pathology
+    # it works around (290 -> 43 ms/batch on octave 0). Small maps (tests,
+    # high octaves of tiny images) keep the plain op.
     if approx_recall > 0.0:
         vals, idx = jax.lax.approx_max_k(flat, k, recall_target=approx_recall)
+    elif flat.shape[1] >= max(1 << 17, 16 * k):  # each segment needs >= k
+        vals, idx = _topk_segmented(flat, k)
     else:
         vals, idx = jax.lax.top_k(flat, k)
     s_idx = idx // (H * W)

@@ -24,18 +24,35 @@ def gaussian_kernel1d(sigma: float, radius: int | None = None) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
+def _host_kernel1d(sigma: float) -> list:
+    import numpy as np
+
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return list((k / k.sum()).astype(float))
+
+
 def blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur of (B, H, W) images (reflect padding)."""
-    k = gaussian_kernel1d(sigma)
-    r = (k.shape[0] - 1) // 2
-    x = img[:, None, :, :]  # (B, 1, H, W)
-    kh = k.reshape(1, 1, -1, 1)
-    kw = k.reshape(1, 1, 1, -1)
-    x = jnp.pad(x, ((0, 0), (0, 0), (r, r), (0, 0)), mode="reflect")
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="reflect")
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[:, 0]
+    """Separable Gaussian blur of (B, H, W) images (reflect padding).
+
+    Implemented as PAD + static-slice weighted sums (one fused VPU
+    elementwise op per axis), NOT conv_general_dilated: round-3 device
+    traces showed XLA's single-channel NCHW conv emitter running the
+    octave-0 blur chain at ~0.5-1.5 GB/s under a T(1,128) layout — the
+    pyramid cost ~270 ms/batch inside the full extract program, ~60% of
+    the whole extractor. The shift-sum form is numerically identical
+    (same taps, Python-scalar weights) and bandwidth-bound."""
+    w = _host_kernel1d(sigma)
+    r = (len(w) - 1) // 2
+    B, H, W = img.shape
+    xp = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="reflect")
+    x = sum(wi * jax.lax.slice_in_dim(xp, i, i + H, axis=1)
+            for i, wi in enumerate(w))
+    xp = jnp.pad(x, ((0, 0), (0, 0), (r, r)), mode="reflect")
+    x = sum(wi * jax.lax.slice_in_dim(xp, i, i + W, axis=2)
+            for i, wi in enumerate(w))
+    return x
 
 
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:
