@@ -175,9 +175,11 @@ def bench_config():
         sfm=SfMConfig(
             camera=CameraConfig(focal_length=focal),
             max_tracks=300_000,
-            # 128 hypotheses: quality-flat on this dense-overlap subset
-            # (CPU A/B 512/256/128 -> 0.402/0.397/0.391 px, all 24/24) at
-            # a fraction of the gate/PnP solver work. The full-dataset
+            # 256 hypotheses: at 128, one marginal edge ((3,22): 9/298
+            # E-inliers, one below the gate) deterministically failed on
+            # TPU-extracted features after the r3 blur change, costing a
+            # camera AND ~2.5 s of fixpoint retries; 256 restores
+            # 24/24 @ 0.402 px for ~0.1 s of gate work. The full-dataset
             # default stays 512 for wide-baseline retrieval edges.
             # 8-point-only gate on this subset: CPU A/B five on/off ->
             # 0.877/0.752 px (both 24/24) at ~half the gate compute; the
@@ -186,7 +188,7 @@ def bench_config():
             # register_batch stays 8: 16 was quality-neutral on CPU but
             # TPU-measured pnp time ROSE 0.99 -> 1.56 s (chunk staleness
             # means more fixpoint retry rounds, each a full dispatch).
-            ransac=RansacConfig(num_hypotheses=128, use_five_point=False),
+            ransac=RansacConfig(num_hypotheses=256, use_five_point=False),
             # At this scale the final-only global BA alone reaches the same
             # optimum: CPU A/B with/without per-chunk local BA = 0.397 vs
             # 0.391 px, both 24/24 — local BA is pure dispatch overhead here.
