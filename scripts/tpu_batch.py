@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--norm-core-q", type=float, default=92.0)
     ap.add_argument("--norm-margin", type=float, default=1.15)
     ap.add_argument("--grid-resolution", type=int, default=256)
-    ap.add_argument("--scene-scale", type=float, default=1.5)
+    ap.add_argument("--scene-scale", type=float, default=0.0)
     ap.add_argument("--num-samples", type=int, default=192)
     ap.add_argument("--global-ba-every", type=int, default=8)
     ap.add_argument("--global-ba-growth", type=float, default=1.12)

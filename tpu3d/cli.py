@@ -53,11 +53,25 @@ def _build_config(args):
                           grid_resolution=getattr(args, "grid_resolution", 256),
                           num_samples=getattr(args, "num_samples", 192),
                           hierarchical=getattr(args, "hierarchical", False),
-                          scene_scale=getattr(args, "scene_scale", 1.5),
+                          scene_scale=_resolve_scene_scale(args),
                           optimizer=getattr(args, "dense_optimizer", "adam")),
         image_dir=args.images,
         artifact_dir=args.artifacts,
     )
+
+
+def _resolve_scene_scale(args) -> float:
+    """0 = auto: 1.0 under the gauge-invariant coremax/core normalizations
+    (their extents put all kept content inside the unit box — the
+    reference's 1.5 margin then wastes 1/3 of linear voxel resolution,
+    measured as ~3 dB); 1.5 for legacy/rays-pkl (reference semantics)."""
+    s = getattr(args, "scene_scale", 0.0)
+    if s and s > 0:
+        return s
+    if getattr(args, "norm", "coremax") in ("coremax", "core") and \
+            not getattr(args, "rays_pkl", ""):
+        return 1.0
+    return 1.5
 
 
 def _save_prematch(artifacts, memo):
@@ -784,11 +798,12 @@ def main(argv=None):
                    default="adam",
                    help="grid optimizer (rmsprop keeps one moment buffer: "
                         "fits 320-352^3 where adam caps at 288^3)")
-    p.add_argument("--scene-scale", type=float, default=1.5,
-                   help="dense grid half-extent in normalized units (ref "
-                        "plenoxel.py:21 uses 1.5; with the gauge-invariant "
-                        "core normalization content fits in ~1.0, so 1.5 "
-                        "wastes ~1/3 of linear voxel resolution)")
+    p.add_argument("--scene-scale", type=float, default=0.0,
+                   help="dense grid half-extent in normalized units. 0 = "
+                        "auto: 1.0 under the gauge-invariant coremax/core "
+                        "normalizations (all kept content fits the unit "
+                        "box; measured +3 dB over 1.5), the reference's "
+                        "1.5 (plenoxel.py:21) otherwise")
     p.add_argument("--num-samples", type=int, default=192,
                    help="ray-march samples per ray")
     p.add_argument("--rays-pkl", default="",
