@@ -74,7 +74,20 @@ def _resolve_scene_scale(args) -> float:
     return 1.5
 
 
-def _save_prematch(artifacts, memo):
+def _gate_fingerprint(cfg):
+    """The knobs the match+gate block's packed rows depend on. Prematch
+    results are only reusable under the SAME gating config — silently
+    mixing e.g. extract-time 128-hypothesis rows with a 512-hypothesis
+    match run would gate sequential edges differently from retrieval
+    edges."""
+    return [float(cfg.camera.focal_length),
+            float(cfg.matching.ransac_threshold_px),
+            float(cfg.matching.ratio_threshold),
+            float(cfg.sfm.ransac.num_hypotheses),
+            1.0 if cfg.sfm.ransac.use_five_point else 0.0]
+
+
+def _save_prematch(artifacts, memo, cfg):
     if not memo:
         return
     import numpy as np
@@ -82,20 +95,28 @@ def _save_prematch(artifacts, memo):
     edges = np.array(sorted(memo), np.int32)
     flat = np.stack([memo[tuple(e)] for e in edges])
     np.savez_compressed(os.path.join(artifacts, "prematch.npz"),
-                        edges=edges, flat=flat)
+                        edges=edges, flat=flat,
+                        gate=np.asarray(_gate_fingerprint(cfg), np.float64))
 
 
-def _load_prematch(artifacts):
+def _load_prematch(artifacts, cfg):
     """Prematched edge results published by a stage-overlap extract run.
-    Only valid for the features they were computed from — every extract
-    run clears any stale file first."""
+    Only valid for the features AND gating config they were computed
+    under — every extract run clears any stale file, and a config
+    mismatch drops the memo with a warning."""
     import numpy as np
 
     p = os.path.join(artifacts, "prematch.npz")
     if not os.path.exists(p):
         return None
     with np.load(p) as z:
+        gate = z["gate"] if "gate" in z.files else None
         memo = {tuple(e): f for e, f in zip(z["edges"], z["flat"])}
+    want = np.asarray(_gate_fingerprint(cfg), np.float64)
+    if gate is None or len(gate) != len(want) or not np.allclose(gate, want):
+        print("prematch.npz was computed under a different gating config "
+              "— ignoring it (edges will be re-gated)", file=sys.stderr)
+        return None
     return memo
 
 
@@ -131,7 +152,7 @@ def cmd_extract(args):
                                           args.downscale, verbose=not args.quiet,
                                           prematch_memo=memo)
         if feats is not None:  # process 0
-            _save_prematch(args.artifacts, memo)
+            _save_prematch(args.artifacts, memo, cfg)
             print(f"extracted {len(names)} images (stage-overlap, "
                   f"{jax.process_count()} processes) + prematched "
                   f"{len(memo)} edges in {time.time() - t0:.1f}s")
@@ -141,11 +162,14 @@ def cmd_extract(args):
         # contiguous image shard on its local devices; process 0 merges the
         # shards through the shared artifact store (the reference is
         # single-device — SURVEY §2.2 parallelism table, DP row).
+        from tpu3d.dist.overlap import _shard_ranges
         from tpu3d.io.artifacts import merge_feature_shards, save_feature_shard
 
         pid, nproc = jax.process_index(), jax.process_count()
-        per = -(-len(names) // nproc)
-        shard_names = names[pid * per : (pid + 1) * per]
+        # Balanced split: the naive ceil split can hand a trailing
+        # process an EMPTY shard (N=9, nproc=4) that crashes extraction.
+        lo, hi = _shard_ranges(len(names), nproc)[pid]
+        shard_names = names[lo:hi]
         feats = run_extraction(args.images, cfg, shard_names, args.downscale,
                                verbose=not args.quiet)
         save_feature_shard(args.artifacts, pid, feats)
@@ -202,7 +226,7 @@ def cmd_match(args):
     cfg = _rescale_cfg(cfg, meta, args)
     t0 = time.time()
     adj = run_retrieval(feats, cfg)
-    memo = _load_prematch(args.artifacts)
+    memo = _load_prematch(args.artifacts, cfg)
     regs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet,
                             memo=memo)
     save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
@@ -251,7 +275,7 @@ def cmd_reconstruct(args):
         pairs, ts, adj = loaded
     else:
         adj = run_retrieval(feats, cfg)
-        memo = _load_prematch(args.artifacts)
+        memo = _load_prematch(args.artifacts, cfg)
         pairs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet,
                                  memo=memo)
         save_matches(args.artifacts, pairs, ts, adj, time.time() - t0)

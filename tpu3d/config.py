@@ -13,6 +13,18 @@ import dataclasses
 from typing import Optional, Tuple
 
 
+def resolve_sfm_backend(backend: str) -> str:
+    """Single source of truth for SfMConfig.backend resolution: "auto" ->
+    "hybrid" on accelerator sessions, plain "default" on CPU sessions.
+    Shared by pipeline._sfm_device_ctx (outer placement) and
+    engine._ba_device_ctx (BA lift) so the two can never drift apart."""
+    if backend == "auto":
+        import jax
+
+        return "hybrid" if jax.default_backend() != "cpu" else "default"
+    return backend
+
+
 @dataclasses.dataclass(frozen=True)
 class CameraConfig:
     """Pinhole intrinsics. The reference uses K = diag(f, f, 1) with a zero

@@ -53,9 +53,12 @@ def view_rays(cam: np.ndarray, H: int, W: int, focal: float,
 def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
                 cfg: DenseConfig, norm: Optional[SceneNormalization] = None,
                 stride: int = 1, chunk: int = 8192,
-                bg_sh: Optional[np.ndarray] = None) -> np.ndarray:
-    """Render one full camera view. Returns (H', W', 3) float in [0, 1]."""
-    ro, rd = view_rays(cam, H, W, focal, norm, stride)
+                bg_sh: Optional[np.ndarray] = None,
+                rays: Optional[Tuple[np.ndarray, np.ndarray]] = None) -> np.ndarray:
+    """Render one full camera view. Returns (H', W', 3) float in [0, 1].
+    rays: optional precomputed (origins, dirs) from view_rays (callers
+    that also need the rays avoid building the grid twice)."""
+    ro, rd = rays if rays is not None else view_rays(cam, H, W, focal, norm, stride)
     img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro), jnp.asarray(rd),
                        cfg.near, cfg.far, cfg.num_samples, chunk=chunk,
                        clip_aabb=cfg.per_ray_aabb,
@@ -97,8 +100,9 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
     renders = []
     H, W = images_rgb.shape[1:3]
     for m in range(n):
+        ro, rd = view_rays(cams[m], H, W, focal, norm, stride)
         pred = render_view(grid, cams[m], H, W, focal, cfg, norm, stride,
-                           chunk, bg_sh=bg_sh)
+                           chunk, bg_sh=bg_sh, rays=(ro, rd))
         gt = images_rgb[m, ::stride, ::stride].astype(np.float32) / 255.0
         gt = gt[: pred.shape[0], : pred.shape[1]]
         per_view.append(psnr(pred, gt))
@@ -108,12 +112,15 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
                                  gt[:, half:]))
         renders.append(pred)
         # Core-vs-background error split (the contraction retune signal:
-        # where does resolution actually pay?). A ray is "core" if its
-        # line passes within the unit ball of the normalized frame —
-        # ||o x d_hat|| < 1 — else it only ever sees shell/background.
-        ro, rd = view_rays(cams[m], H, W, focal, norm, stride)
-        perp = np.linalg.norm(np.cross(ro, rd), axis=-1)
-        core = (perp < 1.0).reshape(pred.shape[:2])
+        # where does resolution actually pay?). A ray is "core" if the
+        # FORWARD half-line passes within the unit ball of the normalized
+        # frame: closest approach at t* = max(0, -o.d) (a full-line test
+        # would misclassify rays pointing away from the core). Note: a
+        # camera inside the unit ball genuinely makes every ray core —
+        # on those captures the split reports core_pixel_fraction ~= 1.
+        t_star = np.maximum(0.0, -np.sum(ro * rd, axis=-1))
+        closest = ro + t_star[:, None] * rd
+        core = (np.linalg.norm(closest, axis=-1) < 1.0).reshape(pred.shape[:2])
         se = np.sum((pred - gt) ** 2, axis=-1) / 3.0
         core_err.append(float(se[core].sum()))
         bg_err.append(float(se[~core].sum()))

@@ -28,8 +28,17 @@ import numpy as np
 
 
 def _shard_ranges(n_images: int, nproc: int) -> List[Tuple[int, int]]:
-    per = -(-n_images // nproc)
-    return [(p * per, min((p + 1) * per, n_images)) for p in range(nproc)]
+    """Balanced contiguous shards (sizes differ by at most 1). The naive
+    ceil split can yield an EMPTY trailing shard (N=9, nproc=4 ->
+    (9,9)) whose worker would crash run_extraction on an empty name
+    list and tear down the whole process group."""
+    base, rem = divmod(n_images, nproc)
+    ranges, start = [], 0
+    for p in range(nproc):
+        n = base + (1 if p < rem else 0)
+        ranges.append((start, start + n))
+        start += n
+    return ranges
 
 
 def _batch_path(root: str, start: int) -> str:
@@ -89,6 +98,10 @@ def run_overlapped_extraction(
                                     run_extraction)
 
     pid, nproc = jax.process_index(), jax.process_count()
+    if nproc > len(names):
+        raise ValueError(f"stage-overlap: {nproc} processes for "
+                         f"{len(names)} images — every process needs a "
+                         "non-empty shard")
     N = len(names)
     ranges = _shard_ranges(N, nproc)
     lo, hi = ranges[pid]
@@ -97,6 +110,21 @@ def run_overlapped_extraction(
     batch_root = os.path.join(cfg.artifact_dir or "artifacts", "fbatches")
 
     done_marker = os.path.join(batch_root, "overlap_done")
+    # Clear stale state from previous/crashed runs BEFORE anyone extracts:
+    # a surviving done marker makes workers skip the completion wait (the
+    # fatal shutdown-barrier race all over again) and leftover fbatch_*
+    # files would be consumed as if they held this run's features. The
+    # group barrier keeps worker publishes from racing the cleanup.
+    from jax.experimental import multihost_utils
+
+    if pid == 0 and os.path.isdir(batch_root):
+        for f in os.listdir(batch_root):
+            if f.startswith("fbatch_") or f == "overlap_done":
+                try:
+                    os.remove(os.path.join(batch_root, f))
+                except OSError:
+                    pass
+    multihost_utils.sync_global_devices("tpu3d_overlap_start")
     if pid != 0:
         # Worker: front-end only. Publish every batch as it completes,
         # then WAIT for process 0's completion marker — exiting early
@@ -129,11 +157,13 @@ def run_overlapped_extraction(
     seen: set = set()
 
     def consume_remote():
-        if pm is None:
-            return
+        # Poll even when the prematcher is off — `seen` drives the
+        # completion wait below, which would otherwise spin to its
+        # timeout with every batch file already on disk.
         for s, arrs in _poll_batches(batch_root, expected, seen):
-            pm.add_features(s, arrs["descriptors"], arrs["valid"],
-                            arrs["keypoints"], len(arrs["descriptors"]))
+            if pm is not None:
+                pm.add_features(s, arrs["descriptors"], arrs["valid"],
+                                arrs["keypoints"], len(arrs["descriptors"]))
 
     def on_batch(fs, start, n):
         if pm is not None:

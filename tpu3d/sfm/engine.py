@@ -343,9 +343,9 @@ class IncrementalSfM:
         BA is ~200 s of LM iterations)."""
         import contextlib
 
-        backend = getattr(self.cfg, "backend", "default")
-        if backend == "auto":
-            backend = "hybrid" if jax.default_backend() != "cpu" else "default"
+        from tpu3d.config import resolve_sfm_backend
+
+        backend = resolve_sfm_backend(getattr(self.cfg, "backend", "default"))
         if backend == "hybrid":
             devs = jax.devices()
             if devs and devs[0].platform != "cpu":

@@ -782,9 +782,9 @@ def _sfm_device_ctx(sfm_cfg):
 
     import jax
 
-    backend = getattr(sfm_cfg, "backend", "default")
-    if backend == "auto":
-        backend = "hybrid" if jax.default_backend() != "cpu" else "default"
+    from tpu3d.config import resolve_sfm_backend
+
+    backend = resolve_sfm_backend(getattr(sfm_cfg, "backend", "default"))
     if backend in ("cpu", "hybrid"):
         return jax.default_device(jax.devices("cpu")[0])
     return contextlib.nullcontext()
