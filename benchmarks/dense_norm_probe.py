@@ -39,9 +39,12 @@ def occupancy(points_n: np.ndarray, res: int = 64) -> float:
 
 
 def mean300_norm(points):
-    from tpu3d.dense.train import normalize_scene
+    # Pinned to the legacy body: this probe's label ("mean+300") and its
+    # recorded numbers describe the old absolute-filter semantics, which
+    # moved to normalize_scene_legacy in r3 (ADVICE r3).
+    from tpu3d.dense.train import normalize_scene_legacy
 
-    n = normalize_scene(points)
+    n = normalize_scene_legacy(points)
     return n.apply(points), f"mean+300 (extent {n.scale:.1f})"
 
 

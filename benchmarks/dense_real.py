@@ -21,7 +21,7 @@ def main(art_dir="artifacts_full", epochs=1, stride=4, n_views=40, res=192):
     from tpu3d.config import DenseConfig
     from tpu3d.dense.render import render_image
     from tpu3d.dense.train import (
-        normalize_scene, psnr, rays_from_cameras, train_plenoxel,
+        normalize_scene_legacy, psnr, rays_from_cameras, train_plenoxel,
     )
     from tpu3d.io.artifacts import ArtifactStore
     from tpu3d.io.images import load_images
@@ -35,7 +35,10 @@ def main(art_dir="artifacts_full", epochs=1, stride=4, n_views=40, res=192):
     focal = 2378.98305085 / ds
     gray, rgb = load_images("/root/reference/ystad_kloster", names, ds)
     H, W = rgb.shape[1:3]
-    norm = normalize_scene(rec["points"])
+    # normalize_scene's semantics changed in r3 (now a percentile-core
+    # crop); this benchmark's recorded baselines were measured under the
+    # legacy mean+300 body, so pin that explicitly (ADVICE r3).
+    norm = normalize_scene_legacy(rec["points"])
     t0 = time.time()
     dataset = rays_from_cameras(cams, rgb, focal, norm, stride=stride)
     print(f"{len(dataset.origins)} rays from {len(names)} views "

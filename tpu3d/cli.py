@@ -80,11 +80,25 @@ def _gate_fingerprint(cfg):
     mixing e.g. extract-time 128-hypothesis rows with a 512-hypothesis
     match run would gate sequential edges differently from retrieval
     edges."""
+    import zlib
+
+    # Matcher identity matters as much as the gate knobs: an mnn-computed
+    # memo consumed by a `match --matcher lightglue` run would silently mix
+    # match sources across edges of one view graph (ADVICE r3, medium).
+    matcher_id = cfg.matching.matcher
+    if cfg.matching.weights:
+        matcher_id += "|" + cfg.matching.weights
+        try:
+            st = os.stat(cfg.matching.weights)
+            matcher_id += f"|{st.st_size}|{st.st_mtime_ns}"
+        except OSError:
+            pass
     return [float(cfg.camera.focal_length),
             float(cfg.matching.ransac_threshold_px),
             float(cfg.matching.ratio_threshold),
             float(cfg.sfm.ransac.num_hypotheses),
-            1.0 if cfg.sfm.ransac.use_five_point else 0.0]
+            1.0 if cfg.sfm.ransac.use_five_point else 0.0,
+            float(zlib.crc32(matcher_id.encode()))]
 
 
 def _save_prematch(artifacts, memo, cfg):
@@ -162,10 +176,24 @@ def cmd_extract(args):
         # contiguous image shard on its local devices; process 0 merges the
         # shards through the shared artifact store (the reference is
         # single-device — SURVEY §2.2 parallelism table, DP row).
+        from jax.experimental import multihost_utils
+
         from tpu3d.dist.overlap import _shard_ranges
-        from tpu3d.io.artifacts import merge_feature_shards, save_feature_shard
+        from tpu3d.io.artifacts import (clear_stale_feature_shards,
+                                        merge_feature_shards,
+                                        save_feature_shard)
 
         pid, nproc = jax.process_index(), jax.process_count()
+        if nproc > len(names):
+            raise ValueError(f"--distributed extract: {nproc} processes for "
+                             f"{len(names)} images — every process needs a "
+                             "non-empty shard")
+        # Same stale-shard hazard as the overlap path: a leftover
+        # features_shard* from a crashed run would be merged as if it were
+        # this run's output. Clean before anyone can publish (barrier).
+        if pid == 0:
+            clear_stale_feature_shards(args.artifacts)
+        multihost_utils.sync_global_devices("tpu3d_extract_dp_start")
         # Balanced split: the naive ceil split can hand a trailing
         # process an EMPTY shard (N=9, nproc=4) that crashes extraction.
         lo, hi = _shard_ranges(len(names), nproc)[pid]

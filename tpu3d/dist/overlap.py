@@ -93,7 +93,8 @@ def run_overlapped_extraction(
     """
     import jax
 
-    from tpu3d.io.artifacts import merge_feature_shards, save_feature_shard
+    from tpu3d.io.artifacts import (clear_stale_feature_shards,
+                                    merge_feature_shards, save_feature_shard)
     from tpu3d.sfm.pipeline import (ExtractedFeatures, SequentialPrematcher,
                                     run_extraction)
 
@@ -117,13 +118,19 @@ def run_overlapped_extraction(
     # group barrier keeps worker publishes from racing the cleanup.
     from jax.experimental import multihost_utils
 
-    if pid == 0 and os.path.isdir(batch_root):
-        for f in os.listdir(batch_root):
-            if f.startswith("fbatch_") or f == "overlap_done":
-                try:
-                    os.remove(os.path.join(batch_root, f))
-                except OSError:
-                    pass
+    if pid == 0:
+        if os.path.isdir(batch_root):
+            for f in os.listdir(batch_root):
+                if f.startswith("fbatch_") or f == "overlap_done":
+                    try:
+                        os.remove(os.path.join(batch_root, f))
+                    except OSError:
+                        pass
+        # Leftover features_shard* from a crashed prior run are just as
+        # dangerous: merge_feature_shards treats file existence as shard
+        # completion, so a stale shard could be merged while this run's
+        # worker is still extracting (ADVICE r3).
+        clear_stale_feature_shards(cfg.artifact_dir or "artifacts")
     multihost_utils.sync_global_devices("tpu3d_overlap_start")
     if pid != 0:
         # Worker: front-end only. Publish every batch as it completes,

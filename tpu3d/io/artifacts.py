@@ -53,6 +53,21 @@ class ArtifactStore:
             return json.load(f)
 
 
+def clear_stale_feature_shards(root: str) -> None:
+    """Delete features_shard*/.tmp leftovers from a crashed prior run.
+    merge_feature_shards treats file EXISTENCE as shard completion, so a
+    stale shard would be merged in place of the one the current worker is
+    still writing. Call from process 0 before the start-of-run barrier."""
+    if not os.path.isdir(root):
+        return
+    for f in os.listdir(root):
+        if f.startswith("features_shard"):
+            try:
+                os.remove(os.path.join(root, f))
+            except OSError:
+                pass
+
+
 def save_feature_shard(root: str, pid: int, feats) -> None:
     """One process's extraction shard (multi-host DP extraction). A
     temp-file rename makes the shard's appearance atomic for the merger's
