@@ -48,6 +48,7 @@ def _build_config(args):
             local_window=getattr(args, "local_window", 25),
             register_batch=getattr(args, "register_batch", 8),
             backend=getattr(args, "sfm_backend", "auto"),
+            register_all=getattr(args, "register_all", False),
         ),
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
@@ -329,6 +330,10 @@ def cmd_reconstruct(args):
         "seconds": time.time() - t0,
         "sfm_phase_seconds": LAST_SFM_TIMERS,
         "sfm_backend": cfg.sfm.backend,
+        # --register-all cameras: present in the pose set, excluded from
+        # the BA gauge and (by default) from dense training.
+        "low_confidence_names": [rec.image_names[i]
+                                 for i in rec.low_confidence],
     })
     if args.ply:
         n = write_ply(args.ply, rec.points, rec.colors_bgr)
@@ -336,6 +341,8 @@ def cmd_reconstruct(args):
     print(json.dumps({
         "registered": len(rec.registered), "points": int(len(rec.points)),
         "mean_reproj_px": rec.mean_reproj_px, "seconds": round(time.time() - t0, 1),
+        **({"low_confidence": len(rec.low_confidence)}
+           if len(rec.low_confidence) else {}),
     }))
 
 
@@ -360,7 +367,20 @@ def cmd_densify(args):
     # reconstruction (e.g. full_run.py per-mode subdirs); reconstruction_meta
     # records the same downscale.
     ds = (fmeta or meta or {}).get("downscale", 1) * args.dense_downscale
-    gray, rgb = load_images(args.images, meta["registered_names"], ds)
+    reg_names = meta["registered_names"]
+    cams_all = rec["cams"]
+    low = set(meta.get("low_confidence_names", []))
+    if low and not args.include_low_confidence:
+        # --register-all cameras carry no BA observations — their poses are
+        # chained guesses. Training on their pixels injects wrong-pose
+        # supervision, so dense excludes them unless explicitly included.
+        keep = [k for k, n in enumerate(reg_names) if n not in low]
+        print(f"excluding {len(reg_names) - len(keep)} low-confidence "
+              "cameras from dense training (--include-low-confidence keeps them)")
+        reg_names = [reg_names[k] for k in keep]
+        cams_all = cams_all[keep]
+    rec = dict(rec, cams=cams_all)
+    gray, rgb = load_images(args.images, reg_names, ds)
     focal = args.focal / ds
     import dataclasses
 
@@ -413,6 +433,23 @@ def cmd_densify(args):
         sh_background=args.sh_background,
         sparsity_sigma=args.sparsity_sigma))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from tpu3d.config import MeshConfig
+        from tpu3d.dist import make_mesh
+
+        if args.mesh == "auto":
+            # Capacity-first default: every device a voxel brick — the
+            # sharded grid is what lifts the 256^3 single-chip ceiling.
+            mesh = make_mesh(MeshConfig(data_parallel=1,
+                                        model_parallel=len(jax.devices())))
+        else:
+            dp, mp = (int(x) for x in args.mesh.lower().split("x"))
+            mesh = make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
+        print(f"dense mesh: {dict(mesh.shape)} "
+              f"(grid bricked x{tuple(mesh.shape.values())[1]})")
     train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
                                  stride=args.ray_stride)
@@ -425,7 +462,8 @@ def cmd_densify(args):
     if args.model == "sdf":
         from tpu3d.dense.train import train_sdf
 
-        grid, losses = train_sdf(dataset, dcfg, verbose=not args.quiet)
+        grid, losses = train_sdf(dataset, dcfg, verbose=not args.quiet,
+                                 mesh=mesh)
         # Evaluate with the TRAINING band semantics (pure per-ray AABB,
         # render_rays_aabb: near=0/far=box-exit) — rendering the SDF grid
         # with the scene-derived [near, far] band instead measured a bogus
@@ -433,7 +471,8 @@ def cmd_densify(args):
         dcfg = dataclasses.replace(dcfg, near=1e-3, far=1e3, per_ray_aabb=True)
     else:
         grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
-                                      checkpoint_store=ck_store, resume=args.resume)
+                                      checkpoint_store=ck_store, resume=args.resume,
+                                      mesh=mesh)
     from tpu3d.dense.train import LAST_TRAIN_AUX
 
     bg_sh = LAST_TRAIN_AUX.get("background")
@@ -788,6 +827,12 @@ def main(argv=None):
                    help="min problem growth between global BAs (1 = every-N)")
     p.add_argument("--register-batch", type=int, default=8,
                    help="images per fused registration dispatch")
+    p.add_argument("--register-all", action="store_true",
+                   help="after the final BA, place every remaining image "
+                        "by relaxed relative-pose chaining, marked "
+                        "low_confidence (excluded from the BA gauge and "
+                        "from dense training) — the reference's never-"
+                        "reject 290/290 semantics, honestly flagged")
     p.add_argument("--sfm-backend",
                    choices=["auto", "default", "cpu", "hybrid"],
                    default="auto",
@@ -846,6 +891,17 @@ def main(argv=None):
                    help="stochastic TV weight on the SH color channels")
     p.add_argument("--grid-resolution", type=int, default=256,
                    help="dense voxel grid resolution per axis")
+    p.add_argument("--include-low-confidence", action="store_true",
+                   help="densify: train on --register-all low-confidence "
+                        "cameras too (excluded by default — their poses "
+                        "are unverified chained guesses)")
+    p.add_argument("--mesh", default="",
+                   help="densify: train on a device mesh — 'auto' (all "
+                        "devices as voxel bricks) or 'DPxMP' (e.g. 2x4: "
+                        "ray batches over 2, grid bricks over 4). Per-"
+                        "device grid memory is 1/MP — lifts the 256^3 "
+                        "single-chip capacity ceiling (dist/dense_tp.py). "
+                        "Composes with --distributed for multi-host.")
     p.add_argument("--dense-optimizer", choices=["adam", "rmsprop"],
                    default="adam",
                    help="grid optimizer (rmsprop keeps one moment buffer: "

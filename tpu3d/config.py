@@ -229,6 +229,13 @@ class SfMConfig:
     # default on CPU sessions — measured 6.98 -> 5.0 s on the 24-image
     # bench and 277 -> 288/290 recall on the full dataset.
     backend: str = "auto"
+    # Register EVERY image: after the final BA, place still-unregistered
+    # cameras by relaxed relative-pose chaining (no MAD/majority gates) and
+    # mark them low-confidence — excluded from the BA gauge (they carry no
+    # observations) and from dense training by default. Matches the
+    # reference's never-reject 290/290 count (sfm.py:139-143) without
+    # letting drift-polluted cameras touch quality. Off by default.
+    register_all: bool = False
     min_new_points: int = 1            # triangulate if any new points (sfm.py:130)
     run_pair_ba: bool = True
     run_global_ba: bool = True         # new capability (reference has none)

@@ -55,23 +55,29 @@ def ray_aabb(rays_o: jnp.ndarray, rays_d: jnp.ndarray, min_bound, max_bound) -> 
     return t_near, t_far, valid
 
 
-def sample_stratified(key: jax.Array, t_near: jnp.ndarray, t_far: jnp.ndarray, n: int, perturb: bool = True) -> jnp.ndarray:
+def sample_stratified(key: jax.Array, t_near: jnp.ndarray, t_far: jnp.ndarray, n: int, perturb: bool = True,
+                      u: jnp.ndarray = None) -> jnp.ndarray:
     """Jittered uniform depths (N, n) (ref sdf.py:167-180 /
-    plenoxel.py:73-79)."""
+    plenoxel.py:73-79). u: optional pre-drawn (N, n) uniforms replacing the
+    key draw — the sharded trainer keys them per-RAY so sampling is
+    invariant to how rays shard over the mesh (dist/dense_tp.py)."""
     t = jnp.linspace(0.0, 1.0, n)
     z = t_near[:, None] * (1 - t)[None, :] + t_far[:, None] * t[None, :]
     if perturb:
         mids = 0.5 * (z[:, 1:] + z[:, :-1])
         upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
         lower = jnp.concatenate([z[:, :1], mids], axis=-1)
-        u = jax.random.uniform(key, z.shape, z.dtype)
+        if u is None:
+            u = jax.random.uniform(key, z.shape, z.dtype)
         z = lower + (upper - lower) * u
     return z
 
 
-def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int, det: bool = False) -> jnp.ndarray:
+def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray, n_samples: int, det: bool = False,
+               u: jnp.ndarray = None) -> jnp.ndarray:
     """Inverse-CDF importance sampling (NeRF hierarchical sampling; ref
-    sdf.py:188-218). bins: (N, B) depths, weights: (N, B)."""
+    sdf.py:188-218). bins: (N, B) depths, weights: (N, B). u: optional
+    pre-drawn (N, n_samples) uniforms (see sample_stratified)."""
     weights = weights + 1e-5
     pdf = weights / jnp.sum(weights, -1, keepdims=True)
     cdf = jnp.cumsum(pdf, -1)
@@ -80,7 +86,7 @@ def sample_pdf(key: jax.Array, bins: jnp.ndarray, weights: jnp.ndarray, n_sample
 
     if det:
         u = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n_samples), (*cdf.shape[:-1], n_samples))
-    else:
+    elif u is None:
         u = jax.random.uniform(key, (*cdf.shape[:-1], n_samples), cdf.dtype)
 
     idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)

@@ -633,14 +633,26 @@ def train_plenoxel(
     checkpoint_store=None,
     resume: bool = False,
     packed: Optional[bool] = None,
+    mesh=None,
 ) -> Tuple[VoxelGrid, List[float]]:
     """Reference training loop (plenoxel.py:96-121 / sdf.py:423-445), with
     optional per-epoch checkpoint/resume through an ArtifactStore.
 
     packed: run the step on the packed grid layout through the Pallas
     kernel pair (None = auto: on for TPU backends). The returned grid is
-    always unpacked (X, Y, Z, C)."""
+    always unpacked (X, Y, Z, C).
+
+    mesh: a jax.sharding.Mesh routes training through the ray-DP x
+    voxel-brick-TP sharded step (dist/dense_tp.py) — per-device grid
+    memory is 1/n_model, lifting the 256^3 single-chip capacity ceiling."""
     cfg = cfg or DenseConfig()
+    if mesh is not None:
+        from tpu3d.dist.dense_tp import train_dense_tp
+
+        return train_dense_tp(dataset, cfg, mesh, seed=seed, grid=grid,
+                              verbose=verbose, log_every=log_every,
+                              checkpoint_store=checkpoint_store,
+                              resume=resume, sdf_mode=False)
     n = len(dataset.origins)
     steps_per_epoch = max(n // cfg.batch_size, 1)
     if grid is None:
@@ -876,12 +888,20 @@ def train_sdf(
     verbose: bool = True,
     log_every: int = 170,
     packed: Optional[bool] = None,
+    mesh=None,
 ) -> Tuple[VoxelGrid, List[float]]:
     """SDF-grid training loop (ref sdf.py:409-445): same schedule/batching
     as the plenoxel path, per-ray AABB sampling, valid-ray masking.
     packed (None = auto on TPU backends): run on the Pallas packed layout
-    — the XLA gather/scatter path measured ~5x slower on TPU."""
+    — the XLA gather/scatter path measured ~5x slower on TPU.
+    mesh: route through the brick-sharded TP step (see train_plenoxel)."""
     cfg = cfg or DenseConfig()
+    if mesh is not None:
+        from tpu3d.dist.dense_tp import train_dense_tp
+
+        return train_dense_tp(dataset, cfg, mesh, seed=seed, grid=grid,
+                              verbose=verbose, log_every=log_every,
+                              sdf_mode=True)
     n = len(dataset.origins)
     steps_per_epoch = max(n // cfg.batch_size, 1)
     if grid is None:

@@ -41,6 +41,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpu3d.utils.dispatch import tick as _tick
 from tpu3d.ba.lm import bundle_adjust
 from tpu3d.ba.residuals import reprojection_residuals
 from tpu3d.config import SfMConfig
@@ -453,6 +454,7 @@ class IncrementalSfM:
                 cam_b, cnt_b = np.asarray(cam_b), np.asarray(cnt_b)
                 X_b, good_b = np.asarray(X_b), np.asarray(good_b)
                 self.timers["pnp"] += time.time() - t0
+                _tick("pnp_chunk")
                 for bi, p in enumerate(dev):
                     outs[id(p)] = (cam_b[bi], int(cnt_b[bi]), X_b[bi], good_b[bi])
             for p in preps:
@@ -509,6 +511,7 @@ class IncrementalSfM:
             self.focal, self.cfg.ransac.threshold_px * 2.0)
         X_c, good_c = np.asarray(X_c), np.asarray(good_c)
         self.timers["triangulate"] += time.time() - t0
+        _tick("triangulate")
         for k, (jimg, e) in enumerate(catch):
             self._commit_tri_edge(jimg, e, X_c[k], good_c[k])
 
@@ -529,6 +532,7 @@ class IncrementalSfM:
             out = (np.asarray(cam_dev), int(cnt),
                    np.asarray(X_dev), np.asarray(good_dev))
             self.timers["pnp"] += time.time() - t0
+            _tick("pnp_single")
         return self._commit_register(prep, out)
 
     def _prepare_register(self, reg: ImageRegistration) -> dict:
@@ -717,6 +721,7 @@ class IncrementalSfM:
             X_all = np.asarray(X_all)
             good_all = np.asarray(good_all)
             self.timers["triangulate"] += time.time() - t0
+            _tick("triangulate")
         for k, e in enumerate(tri_edges):
             accept, n_new = self._commit_tri_edge(j, e, X_all[k], good_all[k])
             n_new_total += n_new
@@ -793,7 +798,8 @@ class IncrementalSfM:
         return cams_i, uv_r, uv_n
 
     # ------------------------------------------------------------------
-    def _relative_pose_fallback(self, j: int, edges, info: dict):
+    def _relative_pose_fallback(self, j: int, edges, info: dict,
+                                relaxed: bool = False):
         """world->j from a registered ref's camera + the edge's relative
         pose (from E), with translation scale from shared valid tracks.
 
@@ -867,7 +873,7 @@ class IncrementalSfM:
             # (observed on the full dataset). Demand that the depth ratios
             # actually agree on one scale.
             mad = float(np.median(np.abs(z_ratio - s))) / max(abs(s), 1e-9)
-            if mad > 0.25:
+            if mad > 0.25 and not relaxed:
                 continue
             R_j = e.rel_R @ R_r
             t_j = e.rel_R @ t_r + s * e.rel_t
@@ -880,7 +886,28 @@ class IncrementalSfM:
             if best is None or good > best[0]:
                 best = (good, R_j, t_j, len(err))
         # Majority of the anchors must agree with the placement, not just a
-        # handful.
+        # handful. Relaxed mode (the --register-all low-confidence pass)
+        # takes the best candidate regardless — the caller marks the camera
+        # and keeps it out of the gauge.
+        if relaxed:
+            if best is None:
+                # Last resort: chain the first available relative pose at
+                # scale 1 (the reference's effective behavior when its
+                # per-pair scale is meaningless).
+                for e in edges:
+                    if e.rel_R is None or not self.has_cam[e.ref_img]:
+                        continue
+                    R_r = lie.so3_exp_np(self.cams[e.ref_img, :3])
+                    t_r = self.cams[e.ref_img, 3:6]
+                    R_j = e.rel_R @ R_r
+                    t_j = e.rel_R @ t_r + e.rel_t
+                    info["fallback_relpose_inliers"] = "chained_s1"
+                    return np.concatenate(
+                        [lie.so3_log_np(R_j), t_j]).astype(np.float32)
+                return None
+            info["fallback_relpose_inliers"] = f"{best[0]}/{best[3]} (relaxed)"
+            return np.concatenate(
+                [lie.so3_log_np(best[1]), best[2]]).astype(np.float32)
         if best is None or best[0] < 6 or best[0] < 0.5 * best[3]:
             return None
         info["fallback_relpose_inliers"] = f"{best[0]}/{best[3]}"
@@ -981,6 +1008,7 @@ class IncrementalSfM:
         )
         cams_b, pts_b = np.asarray(cams_b), np.asarray(pts_b)
         self.timers["local_ba"] += time.time() - t0
+        _tick("local_ba")
         for bi, (j, (_, track_slot, pt_new)) in enumerate(preps):
             self._local_ba_commit(j, cams_b[bi], pts_b[bi], track_slot, pt_new)
 
@@ -1179,6 +1207,7 @@ class IncrementalSfM:
                 self.focal, thr_px)).astype(bool)
             self.timers["gba_mask_fetch"] = self.timers.get(
                 "gba_mask_fetch", 0.0) + (time.time() - t_pr)
+            _tick("gba_mask_fetch")
             self.counters["gba_lm_iters_main"] = self.counters.get(
                 "gba_lm_iters_main", 0) + int(st.n_iters)
             t_pr = time.time()
@@ -1214,6 +1243,7 @@ class IncrementalSfM:
             "gba_lm_iters", 0) + int(n_it)
         self.timers["gba_commit"] = self.timers.get("gba_commit", 0.0) + (
             time.time() - t_pr)
+        _tick("gba_commit")
 
     # ------------------------------------------------------------------
     def _padded_residuals(self, cam_slots, cam_idx, uniq_tracks, pt_idx, uv):
@@ -1372,6 +1402,10 @@ class IncrementalSfM:
                         self._restore_state(best[1])
                 self.global_ba(final=True)
         mean_err, n_obs = self.mean_reprojection_error()
+        low_conf: List[int] = []
+        if getattr(self.cfg, "register_all", False) and registrations:
+            low_conf = self.register_low_confidence(registrations,
+                                                    verbose=verbose)
         track_ids = np.flatnonzero(self.point_valid)
         registered = np.flatnonzero(self.has_cam)
         return Reconstruction(
@@ -1383,4 +1417,41 @@ class IncrementalSfM:
             track_ids=track_ids,
             mean_reproj_px=mean_err,
             num_obs=n_obs,
+            low_confidence=np.asarray(sorted(low_conf), np.int64),
         )
+
+    def register_low_confidence(self, registrations,
+                                verbose: bool = False) -> List[int]:
+        """--register-all pass (SfMConfig.register_all): place every still-
+        unregistered image by relaxed relative-pose chaining AFTER the
+        final BA. Placed cameras carry NO observations — they cannot move
+        the gauge, the points, or the reported reprojection error; they
+        exist so a user of the reference (which never rejects anything,
+        sfm.py:139-143) finds every camera present, each honestly marked.
+        Chained rounds let an image whose only edges point at another
+        low-confidence camera register one round later."""
+        by_img = {r.img: r for r in registrations}
+        placed: List[int] = []
+        for _ in range(3):
+            progress = False
+            for img, reg in by_img.items():
+                if self.has_cam[img]:
+                    continue
+                info: dict = {"img": img}
+                cam = self._relative_pose_fallback(img, reg.edges, info,
+                                                   relaxed=True)
+                if cam is None:
+                    continue
+                self.cams[img] = cam
+                self.has_cam[img] = True
+                self.num_registered += 1
+                self.reg_order.append(img)
+                placed.append(img)
+                progress = True
+                if verbose:
+                    print(f"[sfm] low-confidence registration: img {img} "
+                          f"({info.get('fallback_relpose_inliers')})",
+                          flush=True)
+            if not progress:
+                break
+        return placed

@@ -25,6 +25,7 @@ from tpu3d.config import PipelineConfig
 from tpu3d.features import extract_features
 from tpu3d.features.frontend import sample_colors
 from tpu3d.geometry.estimators import find_essential_ransac
+from tpu3d.utils.dispatch import tick as _tick
 from tpu3d.io.images import list_images, load_images
 from tpu3d.matching import (
     TrackStore,
@@ -149,6 +150,7 @@ class SequentialPrematcher:
         self._dispatch(final=True)
         for blk, flat_dev in self.pending:
             flat = np.asarray(flat_dev)
+            _tick("match_block")
             for b, e in enumerate(blk):
                 memo[e] = flat[b]
         self.pending = []
@@ -240,6 +242,7 @@ def run_extraction(
         chunk, rgb, fs = pending.popleft()
         n = len(chunk)
         kp_px = np.asarray(fs.keypoints_px[:n])   # single per-batch download
+        _tick("extract_batch")
         cols = sample_colors(rgb[..., ::-1][:n], kp_px)  # BGR like cv2
         kps_px.append(kp_px)
         colors.append(cols)
@@ -277,6 +280,7 @@ def run_extraction(
         pm.finish(prematch_memo)
     valid_dev = jnp.concatenate(valids_dev)
     keypoints_dev = jnp.concatenate(kps_dev)
+    _tick("extract_bulk_fetch")
     return ExtractedFeatures(
         names=list(names),
         keypoints=np.asarray(keypoints_dev),
@@ -308,6 +312,7 @@ def run_retrieval(feats: ExtractedFeatures, cfg: PipelineConfig, seed: int = 0):
     v = feats.valid_dev
     idx, sim = _retrieval_fused(key, d, v, cfg.retrieval.codebook_size,
                                 cfg.retrieval.kmeans_iters, cfg.retrieval.top_k)
+    _tick("retrieve")
     adj = build_view_graph(
         np.asarray(idx), np.asarray(sim),
         cfg.retrieval.similarity_threshold, cfg.retrieval.min_neighbors,
@@ -484,6 +489,7 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
         )))
     for n_done, (blk, flat_dev) in enumerate(pending):
         flat = np.asarray(flat_dev)
+        _tick("match_block")
         for b, e in enumerate(blk):
             memo[e] = flat[b]
         if verbose and n_done % 8 == 0:
@@ -565,6 +571,7 @@ def _match_one_pair(feats, i, j, cfg, key):
         cfg.matching.ratio_threshold, cfg.sfm.ransac.num_hypotheses,
         five_point=cfg.sfm.ransac.use_five_point, lg=lg,
     ))
+    _tick("match_single")
     per_kpt = flat[: K * 3].reshape(K, 3)
     idx1 = per_kpt[:, 0].astype(np.int64)
     mvalid = per_kpt[:, 1] > 0

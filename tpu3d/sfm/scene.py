@@ -24,6 +24,15 @@ class Reconstruction:
     track_ids: np.ndarray           # (P,) global track id per point
     mean_reproj_px: float
     num_obs: int
+    # Image indices registered by the --register-all low-confidence pass
+    # (SfMConfig.register_all): placed AFTER the final BA via relaxed
+    # relative-pose chaining, never part of the BA gauge; dense training
+    # excludes them by default. The reference registers 290/290 only by
+    # never rejecting anything (sfm.py:139-143) — this mode matches that
+    # count while keeping the flagged cameras out of everything that
+    # defines quality.
+    low_confidence: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(0, np.int64))
 
     def extrinsics(self) -> np.ndarray:
         """(M, 3, 4) [R|t] matrices (ref cameras_extrinsic.npy format)."""
