@@ -219,6 +219,17 @@ def cmd_extract(args):
     store.save_json("features_meta", {"names": feats.names, "downscale": args.downscale,
                                       "seconds": time.time() - t0})
     print(f"extracted {len(names)} images in {time.time() - t0:.1f}s -> {args.artifacts}/features.npz")
+    _print_dispatches()
+
+
+def _print_dispatches():
+    """Round-trip counts for the command just run (utils/dispatch.py) —
+    the full-run stage-gap analysis needs dispatch counts next to walls."""
+    from tpu3d.utils.dispatch import snapshot
+
+    s = snapshot()
+    if s:
+        print("dispatches: " + json.dumps(s))
 
 
 def _load_features(args):
@@ -261,6 +272,7 @@ def cmd_match(args):
     save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
     n_edges = sum(len(r.edges) for r in regs)
     print(f"matched {len(regs)} images / {n_edges} edges in {time.time() - t0:.1f}s")
+    _print_dispatches()
     from tpu3d.sfm.pipeline import LAST_MATCH_TIMERS
 
     if LAST_MATCH_TIMERS:
@@ -344,6 +356,7 @@ def cmd_reconstruct(args):
         **({"low_confidence": len(rec.low_confidence)}
            if len(rec.low_confidence) else {}),
     }))
+    _print_dispatches()
 
 
 def cmd_densify(args):
@@ -431,7 +444,9 @@ def cmd_densify(args):
         tv_sigma=args.tv_sigma, tv_sh=args.tv_sh,
         coarse_epochs=args.coarse_epochs, exposure=args.exposure,
         sh_background=args.sh_background,
-        sparsity_sigma=args.sparsity_sigma))
+        sparsity_sigma=args.sparsity_sigma,
+        camera_gate=args.camera_gate,
+        camera_gate_epoch=args.camera_gate_epoch))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
     mesh = None
     if args.mesh:
@@ -508,7 +523,8 @@ def cmd_densify(args):
         "norm_scale": float(norm.scale),
     })
     out = {"final_loss": losses[-1] if losses else None,
-           "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None}
+           "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None,
+           "dropped_cameras": LAST_TRAIN_AUX.get("dropped_cameras", [])}
     if len(test_idx):
         ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx], focal, dcfg,
                             norm, stride=2, max_views=args.max_eval_views,
@@ -891,6 +907,12 @@ def main(argv=None):
                    help="stochastic TV weight on the SH color channels")
     p.add_argument("--grid-resolution", type=int, default=256,
                    help="dense voxel grid resolution per axis")
+    p.add_argument("--camera-gate", action="store_true",
+                   help="densify: after --camera-gate-epoch epochs, drop "
+                        "train cameras whose probe loss is a robust "
+                        "outlier (wrong-pose cameras the grid cannot fit; "
+                        "decouples dense quality from sparse-tail cameras)")
+    p.add_argument("--camera-gate-epoch", type=int, default=2)
     p.add_argument("--include-low-confidence", action="store_true",
                    help="densify: train on --register-all low-confidence "
                         "cameras too (excluded by default — their poses "

@@ -350,6 +350,20 @@ class DenseConfig:
     # background (not fog) explain the sky, and the occupancy pruner
     # actually prune. 0 disables.
     sparsity_sigma: float = 0.0
+    # Dense-side camera gate (r3 provenance finding, ROUND3_NOTES): on the
+    # same recipe, four reconstructions spread 14.5-18.7 dB with single bad
+    # cameras/views dominating the tail — the 289-cam 0.604 px rec (best
+    # sparse output) densified WORST. After `camera_gate_epoch` epochs,
+    # per-train-camera probe MSE is measured and cameras whose loss is a
+    # robust outlier (median + camera_gate_mad x 1.4826 x MAD) are dropped
+    # from the remaining epochs' sampling — a camera whose POSE is wrong
+    # has high loss the grid cannot fix, and keeping it blurs every voxel
+    # it sees. At most (1 - camera_gate_min_keep) of cameras can drop.
+    camera_gate: bool = False
+    camera_gate_epoch: int = 2
+    camera_gate_mad: float = 3.0
+    camera_gate_min_keep: float = 0.85
+    camera_gate_probe_rays: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

@@ -566,6 +566,9 @@ def _coarse_stage(train_fn, dataset, cfg: DenseConfig, seed, grid: VoxelGrid,
     if verbose:
         print(f"[dense] coarse stage: {coarse_res} for {cfg.coarse_epochs} "
               f"epochs", flush=True)
+    # the camera gate belongs to the full-resolution phase: the coarse fit
+    # is too rough for outlier separation to be meaningful
+    sub = dataclasses.replace(sub, camera_gate=False)
     small, losses = train_fn(dataset, sub, seed=seed, grid=small,
                              verbose=verbose, log_every=log_every,
                              packed=packed)
@@ -574,6 +577,91 @@ def _coarse_stage(train_fn, dataset, cfg: DenseConfig, seed, grid: VoxelGrid,
     rest = dataclasses.replace(cfg, epochs=cfg.epochs - cfg.coarse_epochs,
                                coarse_epochs=0)
     return up, losses, rest
+
+
+def _camera_gate_probe(state: TrainState, dataset: RayDataset,
+                       cfg: DenseConfig, use_packed: bool, orig_shape,
+                       rng: np.random.Generator) -> np.ndarray:
+    """Per-train-camera probe MSE under the CURRENT grid. Renders a fixed
+    subsample of each camera's rays (plain stratified, no jitter — the
+    comparison is across cameras, not against the training loss) and
+    segment-means the squared error by camera id. Returns (M,) mse."""
+    from tpu3d.dense.render import render_rays, render_rays_packed
+
+    cid = dataset.cam_ids
+    M = int(cid.max()) + 1
+    k = cfg.camera_gate_probe_rays
+    sel = []
+    for c in range(M):
+        ids = np.flatnonzero(cid == c)
+        if len(ids) > k:
+            ids = rng.choice(ids, k, replace=False)
+        sel.append(ids)
+    sel = np.concatenate(sel)
+    seg = cid[sel]
+    key = jax.random.PRNGKey(0)
+    preds = []
+    chunk = 8192
+    minb, maxb = state.grid.min_bound, state.grid.max_bound
+    gains = None if state.exposure is None else state.exposure[0]
+    bg_sh = None if state.background is None else state.background[0]
+    for s in range(0, len(sel), chunk):
+        ids = sel[s:s + chunk]
+        pad = 0
+        if len(ids) < chunk:        # keep one compiled shape
+            pad = chunk - len(ids)
+            ids = np.concatenate([ids, ids[-1:].repeat(pad)])
+        ro = jnp.asarray(dataset.origins[ids])
+        rd = jnp.asarray(dataset.dirs[ids])
+        bg = _ray_background(bg_sh, rd)
+        if use_packed:
+            out = render_rays_packed(
+                state.grid.grid, minb, maxb, tuple(orig_shape[:3]), key,
+                ro, rd, cfg.near, cfg.far, cfg.num_samples,
+                cfg.white_background, clip_aabb=cfg.per_ray_aabb, bg=bg,
+                contract=cfg.contraction)
+        else:
+            out = render_rays(
+                VoxelGrid(state.grid.grid, minb, maxb), key, ro, rd,
+                cfg.near, cfg.far, cfg.num_samples, cfg.white_background,
+                perturb=False, clip_aabb=cfg.per_ray_aabb, bg=bg,
+                contract=cfg.contraction)
+        out = _exposure_apply(out, gains, jnp.asarray(dataset.cam_ids[ids]))
+        preds.append(np.asarray(out)[:chunk - pad if pad else chunk])
+    err = (np.concatenate(preds) - dataset.rgb[sel]) ** 2
+    per_ray = err.mean(axis=1)
+    sums = np.bincount(seg, weights=per_ray, minlength=M)
+    counts = np.maximum(np.bincount(seg, minlength=M), 1)
+    return sums / counts
+
+
+def apply_camera_gate(state: TrainState, dataset: RayDataset,
+                      cfg: DenseConfig, use_packed: bool, orig_shape,
+                      verbose: bool) -> Tuple[np.ndarray, List[int]]:
+    """The dense-side camera gate (DenseConfig.camera_gate): probe each
+    train camera's fit under the current grid and drop robust outliers
+    from the remaining epochs' ray sampling. Returns (keep_ray_mask (n,),
+    dropped_camera_ids). Wrong-pose cameras cannot be fit by ANY grid —
+    their residual stays an outlier while well-posed cameras converge —
+    so the gate decouples dense quality from sparse-stage tail cameras."""
+    rng = np.random.default_rng(12345)
+    mse = _camera_gate_probe(state, dataset, cfg, use_packed, orig_shape, rng)
+    med = float(np.median(mse))
+    mad = float(np.median(np.abs(mse - med))) * 1.4826
+    thr = med + cfg.camera_gate_mad * max(mad, 1e-9)
+    order = np.argsort(-mse)
+    max_drop = int((1.0 - cfg.camera_gate_min_keep) * len(mse))
+    dropped = [int(c) for c in order[:max_drop] if mse[c] > thr]
+    keep = ~np.isin(dataset.cam_ids, dropped)
+    if verbose and dropped:
+        print(f"[dense] camera gate dropped {len(dropped)}/{len(mse)} "
+              f"cameras (probe mse thr {thr:.4f}): "
+              + ", ".join(f"{c}:{mse[c]:.4f}" for c in dropped), flush=True)
+    elif verbose:
+        print(f"[dense] camera gate: no outliers "
+              f"(median {med:.4f}, max {mse.max():.4f}, thr {thr:.4f})",
+              flush=True)
+    return keep, dropped
 
 
 def save_checkpoint(store, state: TrainState, epoch: int, losses: List[float]) -> None:
@@ -728,9 +816,25 @@ def train_plenoxel(
     t0 = time.time()
     global_step = 0
     next_occ = cfg.occupancy_every
+    kept_idx = None
+    gate_dropped: List[int] = []
+    gate_done = False
     for epoch in range(start_epoch, cfg.epochs):
+        if (cfg.camera_gate and not gate_done and dataset.cam_ids is not None
+                and epoch >= cfg.camera_gate_epoch):
+            keep_mask, gate_dropped = apply_camera_gate(
+                state, dataset, cfg, use_packed, orig_shape, verbose)
+            gate_done = True
+            if gate_dropped:
+                kept_idx = np.flatnonzero(keep_mask)
+                plan = _chunk_plan(max(len(kept_idx) // cfg.batch_size, 1),
+                                   chunk)
         key, pkey, ekey = jax.random.split(key, 3)
-        perm = np.asarray(jax.random.permutation(pkey, n))
+        if kept_idx is None:
+            perm = np.asarray(jax.random.permutation(pkey, n))
+        else:
+            perm = kept_idx[np.asarray(
+                jax.random.permutation(pkey, len(kept_idx)))]
         for b, k_steps in plan:
             # occupancy refresh lands on the first chunk boundary at/after
             # each occupancy_every multiple (exact per-step cadence when
@@ -770,6 +874,7 @@ def train_plenoxel(
         if checkpoint_store is not None:
             save_checkpoint(checkpoint_store, state, epoch, losses)
     _publish_aux(state)
+    LAST_TRAIN_AUX["dropped_cameras"] = gate_dropped
     if use_packed:
         return VoxelGrid(unpack_grid(state.grid.grid, orig_shape),
                          state.grid.min_bound, state.grid.max_bound), losses

@@ -323,6 +323,13 @@ class IncrementalSfM:
             "global_ba": 0.0, "windowed_ba": 0.0, "host": 0.0,
         }
         self.counters: Dict[str, int] = {"global_ba": 0, "windowed_ba": 0}
+        # Dynamic edge-match capacity: the triangulation inputs are the
+        # register step's dominant padded axis (CPU ablation: CAP
+        # 2048->512 cut the fused chunk 0.22->0.14 s), and real edges
+        # rarely approach the 2048-keypoint bound. pipeline.run_sfm
+        # tightens this to a power-of-2 bucket of the actual max edge
+        # size before registration starts (set_edge_cap).
+        self._edge_cap = EDGE_CAP
         # Pre-size the BA shapes from the dataset: ~128 tracks and ~512
         # observations per camera are generous for 2048-keypoint frames
         # (ystad_kloster lands at ~190/570); the ladder still grows by 4x
@@ -352,6 +359,16 @@ class IncrementalSfM:
             if devs and devs[0].platform != "cpu":
                 return jax.default_device(devs[0])
         return contextlib.nullcontext()
+
+    def set_edge_cap(self, max_matches: int) -> None:
+        """Bucket the per-edge triangulation capacity to the actual data:
+        smallest power of two >= max_matches (floor 256, ceiling EDGE_CAP).
+        Must be called before the first registration — changing it mid-run
+        would recompile the fused register step."""
+        cap = 256
+        while cap < min(int(max_matches), EDGE_CAP):
+            cap *= 2
+        self._edge_cap = min(cap, EDGE_CAP)
 
     def _next_key(self) -> jax.Array:
         self.key, sub = jax.random.split(self.key)
@@ -498,13 +515,14 @@ class IncrementalSfM:
         E = batch * MAX_REFS  # hard bound: <= batch images x MAX_REFS edges
         ci = np.zeros((E, 6), np.float32)
         cj = np.zeros((E, 6), np.float32)
-        u0 = np.zeros((E, EDGE_CAP, 2), np.float32)
-        u1 = np.zeros((E, EDGE_CAP, 2), np.float32)
+        CAP = self._edge_cap
+        u0 = np.zeros((E, CAP, 2), np.float32)
+        u1 = np.zeros((E, CAP, 2), np.float32)
         for k, (jimg, e) in enumerate(catch):
             ci[k] = self.cams[e.ref_img]
             cj[k] = self.cams[jimg]
-            u0[k] = _pad(e.uv_ref.astype(np.float32) / self.focal, EDGE_CAP)
-            u1[k] = _pad(e.uv_new.astype(np.float32) / self.focal, EDGE_CAP)
+            u0[k] = _pad(e.uv_ref.astype(np.float32) / self.focal, CAP)
+            u1[k] = _pad(e.uv_new.astype(np.float32) / self.focal, CAP)
         t0 = time.time()
         X_c, good_c = _triangulate_and_gate_pairs(
             jnp.asarray(ci), jnp.asarray(cj), jnp.asarray(u0), jnp.asarray(u1),
@@ -620,8 +638,8 @@ class IncrementalSfM:
         tri_arrays = self._tri_arrays(prep["tri_edges"], f)
         if tri_arrays is None:
             tri_arrays = (np.zeros((MAX_REFS, 6), np.float32),
-                          np.zeros((MAX_REFS, EDGE_CAP, 2), np.float32),
-                          np.zeros((MAX_REFS, EDGE_CAP, 2), np.float32))
+                          np.zeros((MAX_REFS, self._edge_cap, 2), np.float32),
+                          np.zeros((MAX_REFS, self._edge_cap, 2), np.float32))
         prep["status"] = "device"
         prep["inputs"] = (Xk, uvk, wk, *tri_arrays)
         prep["pnp_thr"] = (2.0 * cfg.ransac.threshold_px / f) ** 2
@@ -764,7 +782,7 @@ class IncrementalSfM:
         re-recording idempotent)."""
         tr = np.clip(e.track, 0, self.points.shape[0] - 1)
         new = (e.track >= 0) & ~self.point_valid[tr]
-        m = min(len(e.idx_new), EDGE_CAP)
+        m = min(len(e.idx_new), self._edge_cap)
         accept = np.zeros(len(e.idx_new), bool)
         accept[:m] = good_row[:m] & new[:m]
         n_new = int(accept.sum())
@@ -787,8 +805,8 @@ class IncrementalSfM:
         if not tri_edges:
             return None
         cams_i = np.stack([self.cams[e.ref_img] for e in tri_edges])
-        uv_r = np.stack([_pad(e.uv_ref.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
-        uv_n = np.stack([_pad(e.uv_new.astype(np.float32) / f, EDGE_CAP) for e in tri_edges])
+        uv_r = np.stack([_pad(e.uv_ref.astype(np.float32) / f, self._edge_cap) for e in tri_edges])
+        uv_n = np.stack([_pad(e.uv_new.astype(np.float32) / f, self._edge_cap) for e in tri_edges])
         # Pad the edge axis so the batched kernel compiles once.
         ne = len(tri_edges)
         if ne < MAX_REFS:

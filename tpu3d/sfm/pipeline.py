@@ -826,6 +826,12 @@ def _run_reconstruction_impl(
         # Canonicalize track ids (unions may have merged since creation).
         for e in reg.edges:
             e.track = ts.resolve(e.track)
+    # Tighten the triangulation capacity to the real data before any
+    # registration compiles (engine.set_edge_cap): the padded edge axis is
+    # the register chunk's dominant cost.
+    max_edge = max((len(e.idx_new) for r in pending for e in r.edges),
+                   default=0)
+    engine.set_edge_cap(max_edge)
     pending = _symmetrize_weak_registrations(pending, feats, verbose)
     # Fixpoint retry: an image whose references register later in the pass
     # (or whose anchor tracks get triangulated later) succeeds on a
