@@ -273,6 +273,17 @@ def main():
     from tpu3d.sfm import pipeline as P
     from tpu3d.utils import dispatch as _disp
 
+    # Persistent compile cache: pulls the cold pass toward the steady pass
+    # across bench invocations (same mechanism the CLI stages use).
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tpu3d_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     cfg = bench_config()
     names = list_images(DATASET)[:N_IMAGES]
     g0, _ = load_images(DATASET, names[:1], DOWNSCALE)

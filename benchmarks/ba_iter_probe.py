@@ -1,0 +1,74 @@
+"""Where do global-BA LM iterations spend their 0.35 s/iter (full-run
+shapes)? Ablates CG budget, block rebuild, and problem size on the live
+backend. Usage: python benchmarks/ba_iter_probe.py [backend]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+if len(sys.argv) > 1 and sys.argv[1] == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+import jax
+import jax.numpy as jnp
+
+from tpu3d.ba.lm import bundle_adjust
+
+
+def make_problem(C=296, P=45056, O=65536, seed=0):
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+    X[:, 2] += 6.0
+    cams = rng.normal(0, 0.01, (C, 6)).astype(np.float32)
+    ci = rng.integers(0, C, O).astype(np.int32)
+    pi = np.sort(rng.integers(0, P, O)).astype(np.int32)
+    uv = (X[pi, :2] / X[pi, 2:3] + rng.normal(0, 1e-3, (O, 2))).astype(np.float32)
+    w = np.ones(O, np.float32)
+    cf = np.zeros(C, np.float32)
+    cf[0] = 1.0
+    pf = np.zeros(P, np.float32)
+    return (jnp.asarray(cams), jnp.asarray(X), jnp.asarray(ci),
+            jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w),
+            jnp.asarray(cf), jnp.asarray(pf))
+
+
+def timed(args, **kw):
+    st = bundle_adjust(*args, pt_sorted=True, **kw)
+    jax.block_until_ready(st.cams)  # compile
+    best = 1e9
+    for _ in range(2):
+        t0 = time.time()
+        st = bundle_adjust(*args, pt_sorted=True, **kw)
+        jax.block_until_ready(st.cams)
+        best = min(best, time.time() - t0)
+    return best, int(st.n_iters)
+
+
+def main():
+    out = {"backend": jax.default_backend()}
+    args = make_problem()
+    for name, kw in [
+        ("mid_12x24", dict(max_iters=12, cg_iters=24)),
+        ("mid_12x8", dict(max_iters=12, cg_iters=8)),
+        ("blocks_only_1x1", dict(max_iters=1, cg_iters=1)),
+        ("full_20x32", dict(max_iters=20, cg_iters=32)),
+        ("robust_12x24", dict(max_iters=12, cg_iters=24, robust_delta=1e-3)),
+    ]:
+        secs, it = timed(args, **kw)
+        out[name] = {"s": round(secs, 3), "iters": it,
+                     "s_per_lm_iter": round(secs / max(it, 1), 4)}
+    # smaller problem (mid-run shapes)
+    args_s = make_problem(C=64, P=8192, O=16384)
+    secs, it = timed(args_s, max_iters=12, cg_iters=24)
+    out["small_12x24"] = {"s": round(secs, 3), "iters": it}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

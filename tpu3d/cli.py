@@ -222,6 +222,26 @@ def cmd_extract(args):
     _print_dispatches()
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache shared across CLI invocations.
+    Each stage command is its own process, so without this every stage
+    re-pays its full compile bill (~20-40 s/stage over the remote-TPU
+    tunnel) — a large slice of the full-run vs bench-rate gap (the bench
+    prewarms + measures a second pass; the CLI never got to). Opt out
+    with TPU3D_COMPILE_CACHE=''."""
+    cache = os.environ.get("TPU3D_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/tpu3d_xla"))
+    if not cache:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def _print_dispatches():
     """Round-trip counts for the command just run (utils/dispatch.py) —
     the full-run stage-gap analysis needs dispatch counts next to walls."""
@@ -262,14 +282,23 @@ def cmd_match(args):
     from tpu3d.sfm.pipeline import run_matching, run_retrieval
 
     cfg = _build_config(args)
+    t_load = time.time()
     feats, meta = _load_features(args)
     cfg = _rescale_cfg(cfg, meta, args)
     t0 = time.time()
     adj = run_retrieval(feats, cfg)
+    t_ret = time.time()
     memo = _load_prematch(args.artifacts, cfg)
     regs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet,
                             memo=memo)
+    t_m = time.time()
     save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
+    from tpu3d.sfm.pipeline import LAST_MATCH_TIMERS
+
+    LAST_MATCH_TIMERS["load_upload"] = round(t0 - t_load, 2)
+    LAST_MATCH_TIMERS["retrieval"] = round(t_ret - t0, 2)
+    LAST_MATCH_TIMERS["match_total"] = round(t_m - t_ret, 2)
+    LAST_MATCH_TIMERS["save"] = round(time.time() - t_m, 2)
     n_edges = sum(len(r.edges) for r in regs)
     print(f"matched {len(regs)} images / {n_edges} edges in {time.time() - t0:.1f}s")
     _print_dispatches()
@@ -346,6 +375,10 @@ def cmd_reconstruct(args):
         # the BA gauge and (by default) from dense training.
         "low_confidence_names": [rec.image_names[i]
                                  for i in rec.low_confidence],
+        # Per-camera sparse reprojection error — the dense stage's
+        # objective camera-trust signal (drift-polluted poses show here).
+        "per_camera_reproj_px": {rec.image_names[i]: round(e, 3)
+                                 for i, e in rec.per_cam_reproj_px.items()},
     })
     if args.ply:
         n = write_ply(args.ply, rec.points, rec.colors_bgr)
@@ -535,6 +568,23 @@ def cmd_densify(args):
                    test_psnr_core=round(ev["psnr_core"], 2),
                    test_psnr_background=round(ev["psnr_background"], 2),
                    core_pixel_fraction=round(ev["core_pixel_fraction"], 3))
+        # Trusted-view split: a held-out view whose SPARSE per-camera
+        # reprojection error is a robust outlier has an unreliable pose —
+        # its PSNR measures pose error, not grid quality. Reported NEXT TO
+        # (never instead of) the all-views number.
+        pc = (meta or {}).get("per_camera_reproj_px") or {}
+        if pc:
+            vals = np.asarray(list(pc.values()))
+            thr = float(np.median(vals)
+                        + 3 * 1.4826 * np.median(np.abs(vals - np.median(vals))))
+            pv = ev["per_view"]
+            tnames = [reg_names[k] for k in test_idx[: len(pv)]]
+            ok = [i for i, n in enumerate(tnames) if pc.get(n, 0.0) <= thr]
+            if ok and len(ok) < len(pv):
+                out.update(
+                    test_psnr_trusted=round(float(np.mean([pv[i] for i in ok])), 2),
+                    untrusted_test_views=[tnames[i] for i in range(len(pv))
+                                          if i not in ok])
         try:
             from PIL import Image
 
@@ -997,6 +1047,7 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    _enable_compile_cache()
     if args.distributed or os.environ.get("TPU3D_COORDINATOR"):
         from tpu3d.dist import maybe_initialize_distributed
 

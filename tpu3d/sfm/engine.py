@@ -1297,6 +1297,24 @@ class IncrementalSfM:
         err = np.linalg.norm(r, axis=-1) * self.focal
         return float(err.mean()), len(err)
 
+    def per_camera_reproj(self) -> Dict[int, float]:
+        """Mean reprojection error (px) per registered image — an
+        objective camera-trust signal the DENSE stage can consume: a
+        camera whose sparse pose is drift-polluted shows it here, and
+        using it as a dense train/eval view measures pose error, not
+        reconstruction quality (ROUND3_NOTES provenance sensitivity)."""
+        prob = self._gather_global_problem()
+        if prob is None:
+            return {}
+        cam_slots, cam_idx, uniq_tracks, pt_idx, uv, _keys = prob
+        r = self._padded_residuals(cam_slots, cam_idx, uniq_tracks, pt_idx, uv)
+        err = np.linalg.norm(r, axis=-1) * self.focal
+        sums = np.bincount(cam_idx, weights=err[: len(cam_idx)],
+                           minlength=len(cam_slots))
+        cnts = np.maximum(np.bincount(cam_idx, minlength=len(cam_slots)), 1)
+        return {int(img): float(s / c)
+                for img, s, c in zip(cam_slots, sums, cnts)}
+
     def _snapshot_state(self) -> dict:
         """Copy of the mutable reconstruction state (cameras, points,
         observation validity) — a few MB; used by finalize's gate loop."""
@@ -1420,6 +1438,7 @@ class IncrementalSfM:
                         self._restore_state(best[1])
                 self.global_ba(final=True)
         mean_err, n_obs = self.mean_reprojection_error()
+        per_cam = self.per_camera_reproj()
         low_conf: List[int] = []
         if getattr(self.cfg, "register_all", False) and registrations:
             low_conf = self.register_low_confidence(registrations,
@@ -1436,6 +1455,7 @@ class IncrementalSfM:
             mean_reproj_px=mean_err,
             num_obs=n_obs,
             low_confidence=np.asarray(sorted(low_conf), np.int64),
+            per_cam_reproj_px=per_cam,
         )
 
     def register_low_confidence(self, registrations,

@@ -460,6 +460,13 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
     sizes_dev = None if lg_params is None else jnp.asarray(
         feats.image_size.astype(np.float32))
     B = max(int(cfg.matching.pair_batch), 1)
+    if len(edges) >= 16 * B:
+        # Large jobs (full-dataset scale: thousands of candidate edges):
+        # double the block so the serial-latency-bound gate math amortizes
+        # over more lanes. The measured "64 worse than 32" result was dead
+        # padded slots at 159 edges — at >=16 blocks the tail slot waste
+        # is <2% and per-block latency amortization wins.
+        B = 2 * B
     if lg_params is not None:
         # 9-layer attention over 2048-kpt pairs: cap the vmapped block so
         # the (B, h, K, K) attention intermediates stay within HBM.
@@ -828,10 +835,18 @@ def _run_reconstruction_impl(
             e.track = ts.resolve(e.track)
     # Tighten the triangulation capacity to the real data before any
     # registration compiles (engine.set_edge_cap): the padded edge axis is
-    # the register chunk's dominant cost.
-    max_edge = max((len(e.idx_new) for r in pending for e in r.edges),
-                   default=0)
-    engine.set_edge_cap(max_edge)
+    # the register chunk's dominant cost. Bucket by the 99th-percentile
+    # edge size, not the max — on the full dataset a handful of 1.1-1.2k-
+    # match edges would otherwise force the 2048 bucket for everyone; the
+    # commit path truncates oversize edges safely (accept masks are [:cap],
+    # and their tail matches still triangulate through other edges).
+    sizes = [len(e.idx_new) for r in pending for e in r.edges]
+    if sizes:
+        # p90: on the full dataset p99 is 1061 (just over the 1024 bucket)
+        # while p90 is ~819 — the p90 bucket halves the padded axis and
+        # truncates only the densest tenth of edges, which carry far more
+        # matches than triangulation needs.
+        engine.set_edge_cap(int(np.percentile(sizes, 90)))
     pending = _symmetrize_weak_registrations(pending, feats, verbose)
     # Fixpoint retry: an image whose references register later in the pass
     # (or whose anchor tracks get triangulated later) succeeds on a
@@ -888,7 +903,8 @@ def _run_reconstruction_impl(
                           verbose=verbose)
     global LAST_SFM_TIMERS
     LAST_SFM_TIMERS = {**{k: round(v, 2) for k, v in engine.timers.items()},
-                       "calls": dict(engine.counters)}
+                       "calls": dict(engine.counters),
+                       "edge_cap": engine._edge_cap}
     if verbose:
         import json as _json
 

@@ -33,6 +33,10 @@ class Reconstruction:
     # defines quality.
     low_confidence: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(0, np.int64))
+    # Per-registered-image mean reprojection error (px) — the camera-trust
+    # signal dense training/eval can gate on (engine.per_camera_reproj).
+    per_cam_reproj_px: Dict[int, float] = dataclasses.field(
+        default_factory=dict)
 
     def extrinsics(self) -> np.ndarray:
         """(M, 3, 4) [R|t] matrices (ref cameras_extrinsic.npy format)."""
