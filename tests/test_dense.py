@@ -557,3 +557,23 @@ def test_normalizations_gauge_equivariant(rng):
             np.testing.assert_allclose(n2.apply(pts * scale + shift),
                                        base.apply(pts), atol=1e-6,
                                        err_msg=f"{fn.__name__} @ {scale}")
+
+
+def test_split_views_by_name_stable_across_recs():
+    """Name-keyed holdout: the same physical views are held out no matter
+    which subset of images a reconstruction registered (the positional
+    split gave every rec a different holdout lottery)."""
+    from tpu3d.dense.eval import split_views_by_name
+
+    names_a = [f"DSC_{i:04d}.JPG" for i in range(1, 41)]
+    names_b = [n for i, n in enumerate(names_a) if i not in (3, 17, 30)]
+    _, test_a = split_views_by_name(names_a, 8)
+    _, test_b = split_views_by_name(names_b, 8)
+    held_a = {names_a[i] for i in test_a}
+    held_b = {names_b[i] for i in test_b}
+    # every name held out in b is held out in a (b is a subset dataset)
+    assert held_b <= held_a
+    assert all(int(n[4:8]) % 8 == 4 for n in held_a)
+    # no digits -> positional fallback still works
+    tr, te = split_views_by_name(["a", "b", "c", "d", "e"], 2)
+    assert len(te) > 0

@@ -25,7 +25,7 @@ import numpy as np
 
 def _build_config(args):
     from tpu3d.config import (
-        CameraConfig, DenseConfig, FrontendConfig, MatchingConfig,
+        BAConfig, CameraConfig, DenseConfig, FrontendConfig, MatchingConfig,
         PipelineConfig, RansacConfig, SfMConfig,
     )
 
@@ -49,6 +49,8 @@ def _build_config(args):
             register_batch=getattr(args, "register_batch", 8),
             backend=getattr(args, "sfm_backend", "auto"),
             register_all=getattr(args, "register_all", False),
+            ba=BAConfig(midrun_refit=not getattr(args, "no_midrun_refit",
+                                                 False)),
         ),
         dense=DenseConfig(epochs=args.epochs,
                           grid_resolution=getattr(args, "grid_resolution", 256),
@@ -383,17 +385,19 @@ def cmd_reconstruct(args):
     if args.ply:
         n = write_ply(args.ply, rec.points, rec.colors_bgr)
         print(f"wrote {n} points -> {args.ply}")
+    _print_dispatches()
+    # JSON summary LAST: scripted callers parse the final stdout line.
     print(json.dumps({
         "registered": len(rec.registered), "points": int(len(rec.points)),
         "mean_reproj_px": rec.mean_reproj_px, "seconds": round(time.time() - t0, 1),
         **({"low_confidence": len(rec.low_confidence)}
            if len(rec.low_confidence) else {}),
     }))
-    _print_dispatches()
 
 
 def cmd_densify(args):
-    from tpu3d.dense.eval import dataset_from_views, evaluate_views, split_views
+    from tpu3d.dense.eval import (dataset_from_views, evaluate_views,
+                                  split_views_by_name)
     from tpu3d.dense.train import normalize_scene, rays_from_cameras, train_plenoxel
     from tpu3d.io.artifacts import ArtifactStore
     from tpu3d.io.images import load_images
@@ -498,7 +502,10 @@ def cmd_densify(args):
             mesh = make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
         print(f"dense mesh: {dict(mesh.shape)} "
               f"(grid bricked x{tuple(mesh.shape.values())[1]})")
-    train_idx, test_idx = split_views(len(rec["cams"]), args.holdout_every)
+    # Name-keyed holdout: the same physical views are held out for every
+    # reconstruction of this dataset (positional splits made cross-rec
+    # PSNRs incomparable — each rec got a different holdout lottery).
+    train_idx, test_idx = split_views_by_name(reg_names, args.holdout_every)
     dataset = dataset_from_views(rec["cams"], rgb, focal, train_idx, norm,
                                  stride=args.ray_stride)
     print(f"{len(dataset.origins)} rays from {len(train_idx)} train cameras "
@@ -555,9 +562,12 @@ def cmd_densify(args):
         "norm_center": np.asarray(norm.center, np.float64).tolist(),
         "norm_scale": float(norm.scale),
     })
+    dropped_local = LAST_TRAIN_AUX.get("dropped_cameras", [])
     out = {"final_loss": losses[-1] if losses else None,
            "psnr_train_proxy": -10 * np.log10(losses[-1]) if losses else None,
-           "dropped_cameras": LAST_TRAIN_AUX.get("dropped_cameras", [])}
+           # gate indices are into the TRAIN camera list; report names
+           "dropped_cameras": [reg_names[int(train_idx[c])]
+                               for c in dropped_local]}
     if len(test_idx):
         ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx], focal, dcfg,
                             norm, stride=2, max_views=args.max_eval_views,
@@ -893,6 +903,11 @@ def main(argv=None):
                    help="min problem growth between global BAs (1 = every-N)")
     p.add_argument("--register-batch", type=int, default=8,
                    help="images per fused registration dispatch")
+    p.add_argument("--no-midrun-refit", action="store_true",
+                   help="skip the prune-refit solve on mid-run global BAs "
+                        "(pruned weights take effect at the next BA; the "
+                        "final BA always refits) — ~70 s of the full-run "
+                        "global-BA bill, A/B for recall impact")
     p.add_argument("--register-all", action="store_true",
                    help="after the final BA, place every remaining image "
                         "by relaxed relative-pose chaining, marked "

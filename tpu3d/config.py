@@ -194,6 +194,12 @@ class BAConfig:
     # budget either way.
     mid_max_iters: int = 12
     mid_cg_iters: int = 24
+    # Refit-after-prune on MID-RUN global BAs. The final BA always
+    # prune-refits; mid-run refits re-solve a problem the next growth-
+    # gated BA re-solves anyway (measured r4: refit walls ~= main-solve
+    # walls, ~70 s of the full run's 194 s global-BA bill). False defers
+    # the refit to the next BA: the pruned weights take effect there.
+    midrun_refit: bool = True
     lm_lambda_init: float = 1e-3
     lm_lambda_up: float = 3.0
     lm_lambda_down: float = 3.0

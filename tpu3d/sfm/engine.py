@@ -1238,6 +1238,8 @@ class IncrementalSfM:
                 if len(dead):
                     self.point_valid[uniq_tracks[dead]] = False
                     pt_fixed[dead] = 1.0
+            if bad.any() and (final or getattr(self.cfg.ba, "midrun_refit",
+                                               True)):
                 # Same statics (max_iters/cg_iters/robust) as the main solve
                 # so the refit reuses its executable — a second variant per
                 # shape would double the compile bill that dominates
