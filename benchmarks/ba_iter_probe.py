@@ -67,6 +67,13 @@ def main():
     args_s = make_problem(C=64, P=8192, O=16384)
     secs, it = timed(args_s, max_iters=12, cg_iters=24)
     out["small_12x24"] = {"s": round(secs, 3), "iters": it}
+    # the REAL full-dataset ladder endpoint: 290 cams x ~570 obs/cam
+    args_xl = make_problem(C=296, P=45056, O=262144)
+    for name, kw in [("xl_12x24", dict(max_iters=12, cg_iters=24)),
+                     ("xl_12x8", dict(max_iters=12, cg_iters=8))]:
+        secs, it = timed(args_xl, **kw)
+        out[name] = {"s": round(secs, 3), "iters": it,
+                     "s_per_lm_iter": round(secs / max(it, 1), 4)}
     print(json.dumps(out))
 
 

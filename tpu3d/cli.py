@@ -474,7 +474,7 @@ def cmd_densify(args):
     else:  # coremax (default)
         from tpu3d.dense.train import normalize_scene_coremax
 
-        norm = normalize_scene_coremax(rec["points"])
+        norm = normalize_scene_coremax(rec["points"], q=args.coremax_q)
         near, far = auto_near_far(rec["cams"], rec["points"], norm)
     cfg = dataclasses.replace(cfg, dense=dataclasses.replace(
         cfg.dense, near=near, far=far, occupancy_prune=args.occupancy,
@@ -972,6 +972,10 @@ def main(argv=None):
                    help="stochastic TV weight on the SH color channels")
     p.add_argument("--grid-resolution", type=int, default=256,
                    help="dense voxel grid resolution per axis")
+    p.add_argument("--coremax-q", type=float, default=80.0,
+                   help="coremax normalization: radial percentile kept "
+                        "(80 calibrated against the legacy framing; lower "
+                        "= tighter crop = more voxels on the scene core)")
     p.add_argument("--camera-gate", action="store_true",
                    help="densify: after --camera-gate-epoch epochs, drop "
                         "train cameras whose probe loss is a robust "
