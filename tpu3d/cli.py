@@ -485,6 +485,31 @@ def cmd_densify(args):
         camera_gate=args.camera_gate,
         camera_gate_epoch=args.camera_gate_epoch))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
+    grid0 = None
+    if args.aniso_grid and not args.contraction:
+        # Anisotropic grid: same voxel budget (R^3), box fit to the KEPT
+        # cloud's normalized AABB with per-axis resolution proportional to
+        # extent. An elongated scene (this one: a church wall) wastes a
+        # third or more of a cube's voxels on empty margins; the tight box
+        # converts them into linear resolution where the content is — the
+        # only capacity lever left on one chip (256^3 ceiling).
+        from tpu3d.dense.grid import create_grid
+        from tpu3d.dense.train import core_points
+
+        kept = core_points(rec["points"], q=args.coremax_q, k=1.0)
+        pn = norm.apply(kept if len(kept) else rec["points"])
+        lo = np.percentile(pn, 0.5, axis=0).astype(np.float32)
+        hi = np.percentile(pn, 99.5, axis=0).astype(np.float32)
+        pad = 0.05 * (hi - lo) + 1e-3
+        lo, hi = lo - pad, hi + pad
+        ext = hi - lo
+        R = cfg.dense.grid_resolution
+        s = float((R**3 / np.prod(ext)) ** (1.0 / 3.0))
+        res = tuple(int(np.clip(round(e * s / 8) * 8, 32, 2 * R))
+                    for e in ext)
+        grid0 = create_grid(res, lo, hi)
+        print(f"anisotropic grid: {res} over extents "
+              f"{np.round(ext, 2).tolist()} (budget {R}^3)")
     mesh = None
     if args.mesh:
         import jax
@@ -518,7 +543,7 @@ def cmd_densify(args):
         from tpu3d.dense.train import train_sdf
 
         grid, losses = train_sdf(dataset, dcfg, verbose=not args.quiet,
-                                 mesh=mesh)
+                                 mesh=mesh, grid=grid0)
         # Evaluate with the TRAINING band semantics (pure per-ray AABB,
         # render_rays_aabb: near=0/far=box-exit) — rendering the SDF grid
         # with the scene-derived [near, far] band instead measured a bogus
@@ -527,7 +552,7 @@ def cmd_densify(args):
     else:
         grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
                                       checkpoint_store=ck_store, resume=args.resume,
-                                      mesh=mesh)
+                                      mesh=mesh, grid=grid0)
     from tpu3d.dense.train import LAST_TRAIN_AUX
 
     bg_sh = LAST_TRAIN_AUX.get("background")
@@ -972,6 +997,11 @@ def main(argv=None):
                    help="stochastic TV weight on the SH color channels")
     p.add_argument("--grid-resolution", type=int, default=256,
                    help="dense voxel grid resolution per axis")
+    p.add_argument("--aniso-grid", action="store_true",
+                   help="densify: fit the grid box to the kept cloud's "
+                        "normalized AABB with per-axis resolution at the "
+                        "same voxel budget (elongated scenes waste a "
+                        "third of a cube on empty margins)")
     p.add_argument("--coremax-q", type=float, default=80.0,
                    help="coremax normalization: radial percentile kept "
                         "(80 calibrated against the legacy framing; lower "
