@@ -566,12 +566,21 @@ def cmd_densify(args):
     # 4 channels feed `cli mesh` (marching tetrahedra surface export).
     import jax.numpy as jnp
 
-    mg = np.asarray(jnp.take(grid.grid, jnp.asarray([0, 1, 10, 19]), axis=-1)
-                    ).astype(np.float16)
-    store.save("mesh_grid", grid=mg,
-               min_bound=np.asarray(grid.min_bound),
-               max_bound=np.asarray(grid.max_bound),
-               contraction=np.asarray(bool(getattr(dcfg, "contraction", False))))
+    # Channel-at-a-time download: a single take over the full grid
+    # allocates another grid-sized buffer next to the training leftovers
+    # (observed ResourceExhausted at the 256^3-budget anisotropic shape);
+    # per-channel slices peak at X*Y*Z floats. Export failures must never
+    # lose a finished training run — eval still follows.
+    try:
+        mg = np.stack([np.asarray(grid.grid[..., c]) for c in (0, 1, 10, 19)],
+                      axis=-1).astype(np.float16)
+        store.save("mesh_grid", grid=mg,
+                   min_bound=np.asarray(grid.min_bound),
+                   max_bound=np.asarray(grid.max_bound),
+                   contraction=np.asarray(bool(getattr(dcfg, "contraction", False))))
+    except Exception as e:  # pragma: no cover - device OOM path
+        print(f"mesh_grid export failed ({type(e).__name__}) — continuing "
+              "to eval", file=sys.stderr)
     # Render/eval provenance for `cli render`: the exact sampling band +
     # semantics this grid was evaluated with (the SDF band replace above
     # must be captured — rendering an SDF grid with the scene band measures
