@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu3d.ba.residuals import observation_jacobians, reprojection_residuals
 
@@ -81,7 +82,21 @@ def _spd_inv3(V: jnp.ndarray, damp: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "max_iters", "cg_iters", "robust_delta", "pt_sorted", "reuse_blocks"))
+    "max_iters", "cg_iters", "robust_delta", "pt_sorted", "reuse_blocks",
+    "seg_matmul"))
+def _bundle_adjust_jit(
+    cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
+    max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
+    pt_sorted, reuse_blocks, seg_matmul,
+) -> BAState:
+    with jax.default_matmul_precision("float32"):  # bf16 MXU breaks normal eqs
+        return _bundle_adjust_body(
+            cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
+            max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
+            pt_sorted, reuse_blocks, seg_matmul,
+        )
+
+
 def bundle_adjust(
     cams0: jnp.ndarray,
     points0: jnp.ndarray,
@@ -99,24 +114,35 @@ def bundle_adjust(
     stall_tol: float = 1e-5,
     pt_sorted: bool = False,
     reuse_blocks: bool = True,
+    seg_matmul: bool | None = None,
 ) -> BAState:
     """Joint pose+structure refinement.
 
     cams0 (C, 6), points0 (P, 3); observations (O,) indexed+masked; cam_fixed
     (C,) 1 = frozen. All shapes static: pad observations with w=0 and points
-    with pt_fixed=1 to reuse one compiled executable across problem sizes."""
-    with jax.default_matmul_precision("float32"):  # bf16 MXU breaks normal eqs
-        return _bundle_adjust_body(
-            cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-            max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
-            pt_sorted, reuse_blocks,
-        )
+    with pt_fixed=1 to reuse one compiled executable across problem sizes.
+
+    seg_matmul (None = auto by the EFFECTIVE placement): run the cam-axis
+    segment sums as one-hot matmuls — 3-4x per-iteration win on TPU where
+    scatter-add serializes on collisions, but ~3x LOSS on CPU where
+    scatter is cheap and the (C, O) matmul is real work. The placement
+    check reads jax.config.jax_default_device so hybrid's
+    default_device(cpu/tpu) contexts resolve correctly at call time."""
+    if seg_matmul is None:
+        dev = getattr(jax.config, "jax_default_device", None)
+        plat = dev.platform if dev is not None else jax.default_backend()
+        seg_matmul = plat != "cpu"
+    return _bundle_adjust_jit(
+        cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
+        max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
+        pt_sorted, reuse_blocks, bool(seg_matmul),
+    )
 
 
 def _bundle_adjust_body(
     cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
     max_iters, cg_iters, lam0, robust_delta, cg_tol=1e-3, stall_tol=1e-5,
-    pt_sorted=False, reuse_blocks=False,
+    pt_sorted=False, reuse_blocks=False, seg_matmul=False,
 ) -> BAState:
     C = cams0.shape[0]
     P = points0.shape[0]
@@ -130,6 +156,27 @@ def _bundle_adjust_body(
     # singular); freeze it too.
     obs_per_pt = _seg_sum(w, pt_idx, P, pt_sorted)
     pt_free = pt_free * (obs_per_pt > 0).astype(dtype)[:, None]
+
+    # CAM-axis segment sums as one-hot matmuls. A few hundred segments fed
+    # by 10^5+ rows is the worst case for TPU scatter-add (per-slot
+    # collision serialization): the real-chip probe measured the block
+    # rebuild at ~55 ms/LM-iter when its arithmetic is ~0.4 ms of
+    # bandwidth (benchmarks/ba_iter_probe.py). A (C, O) x (O, k) matmul
+    # does the same reduction on the MXU; under the observation-sharded
+    # pjit path the O-contraction partitions into partial products + one
+    # all-reduce, same as the segment-sum it replaces. Falls back to
+    # segment_sum when the one-hot would exceed ~2 GB (huge scenes).
+    O_total = cam_idx.shape[0]
+    if seg_matmul and O_total * C * 4 <= 2**31:
+        cam_onehot = jax.nn.one_hot(cam_idx, C, dtype=dtype)      # (O, C)
+
+        def seg_cam(x):
+            k = int(np.prod(x.shape[1:]))
+            flat = jnp.einsum("oc,ok->ck", cam_onehot, x.reshape(O_total, k))
+            return flat.reshape(C, *x.shape[1:])
+    else:
+        def seg_cam(x):
+            return _seg_sum(x, cam_idx, C)
 
     def compute_blocks(cams, points):
         """Jacobian blocks + gradient of the (robustified) normal equations.
@@ -153,10 +200,10 @@ def _bundle_adjust_body(
         Jc_m = Jc * cam_free[cam_idx][:, None, :]
         Jp_m = Jp * pt_free[pt_idx][:, None, :]
 
-        Ucc = _seg_sum(jnp.einsum("oia,oib->oab", Jc_m, Jc_m), cam_idx, C)  # (C,6,6)
+        Ucc = seg_cam(jnp.einsum("oia,oib->oab", Jc_m, Jc_m))               # (C,6,6)
         Vpp = _seg_sum(jnp.einsum("oia,oib->oab", Jp_m, Jp_m), pt_idx, P, pt_sorted)   # (P,3,3)
         Wcp = jnp.einsum("oia,oib->oab", Jc_m, Jp_m)                        # (O,6,3)
-        gc = _seg_sum(jnp.einsum("oia,oi->oa", Jc_m, r), cam_idx, C)        # (C,6)
+        gc = seg_cam(jnp.einsum("oia,oi->oa", Jc_m, r))                     # (C,6)
         gp = _seg_sum(jnp.einsum("oia,oi->oa", Jp_m, r), pt_idx, P, pt_sorted)  # (P,3)
         return (Ucc, Vpp, Wcp, gc, gp)
 
@@ -169,10 +216,10 @@ def _bundle_adjust_body(
 
         # Reduced RHS: b = gc − W V⁻¹ gp   (gathered per observation).
         Vinv_gp = jnp.einsum("pab,pb->pa", Vinv, gp)                        # (P,3)
-        b = gc - _seg_sum(
+        b = gc - seg_cam(
             jnp.einsum("oab,ob->oa", Wcp,
                        jnp.take(Vinv_gp, pt_idx, axis=0,
-                                indices_are_sorted=pt_sorted)), cam_idx, C)
+                                indices_are_sorted=pt_sorted)))
 
         def schur_matvec(x):  # x: (C, 6)
             Ux = jnp.einsum("cab,cb->ca", Ucc, x) + damp_c * x
@@ -182,7 +229,7 @@ def _bundle_adjust_body(
             d = jnp.einsum("oab,ob->oa", Wcp,
                            jnp.take(cp, pt_idx, axis=0,
                                     indices_are_sorted=pt_sorted))          # (O,6)
-            return Ux - _seg_sum(d, cam_idx, C)
+            return Ux - seg_cam(d)
 
         # Block-Jacobi preconditioner: (U + damp)⁻¹, INVERTED ONCE per LM
         # iteration. A batched 6x6 linalg.solve inside the CG body ran on
