@@ -91,11 +91,22 @@ def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
     rays: optional precomputed (origins, dirs) from view_rays (callers
     that also need the rays avoid building the grid twice)."""
     ro, rd = rays if rays is not None else view_rays(cam, H, W, focal, norm, stride)
-    img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro), jnp.asarray(rd),
-                       cfg.near, cfg.far, cfg.num_samples, chunk=chunk,
-                       clip_aabb=cfg.per_ray_aabb,
-                       bg_sh=None if bg_sh is None else jnp.asarray(bg_sh),
-                       contract=getattr(cfg, "contraction", False))
+    kw = dict(chunk=chunk, clip_aabb=cfg.per_ray_aabb,
+              bg_sh=None if bg_sh is None else jnp.asarray(bg_sh),
+              contract=getattr(cfg, "contraction", False))
+    try:
+        img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro),
+                           jnp.asarray(rd), cfg.near, cfg.far,
+                           cfg.num_samples, **kw)
+    except Exception as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        # The Pallas path packs a second full copy of the grid; right
+        # after training (grid + leftovers resident) that can OOM at
+        # 256^3-budget shapes. The XLA gather path renders in place.
+        img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro),
+                           jnp.asarray(rd), cfg.near, cfg.far,
+                           cfg.num_samples, use_pallas=False, **kw)
     h = len(range(0, H, stride))
     w = len(range(0, W, stride))
     return np.asarray(img).reshape(h, w, 3)
