@@ -122,16 +122,19 @@ def bundle_adjust(
     (C,) 1 = frozen. All shapes static: pad observations with w=0 and points
     with pt_fixed=1 to reuse one compiled executable across problem sizes.
 
-    seg_matmul (None = auto by the EFFECTIVE placement): run the cam-axis
-    segment sums as one-hot matmuls — 3-4x per-iteration win on TPU where
-    scatter-add serializes on collisions, but ~3x LOSS on CPU where
-    scatter is cheap and the (C, O) matmul is real work. The placement
-    check reads jax.config.jax_default_device so hybrid's
-    default_device(cpu/tpu) contexts resolve correctly at call time."""
+    seg_matmul: run the cam-axis segment sums as one-hot matmuls instead
+    of scatter-adds. MEASURED AND REJECTED as a default (r4): the TPU
+    probe showed a 21% per-LM-iteration win (0.19 -> 0.15 s at the 262k-
+    obs ladder shape), but an A/B on identical full-dataset matches cost
+    7-9 cameras of recall and 0.2 px of mean error (287 @ 0.454 px with
+    segment_sum vs 280 @ 0.657 with the matmul) — the reduction-order
+    numerics shift gate-cascade decisions the same way the historical
+    backend-divergence cliffs did (BASELINE §2). Off unless explicitly
+    requested (arg or TPU3D_BA_SEG_MATMUL=1)."""
     if seg_matmul is None:
-        dev = getattr(jax.config, "jax_default_device", None)
-        plat = dev.platform if dev is not None else jax.default_backend()
-        seg_matmul = plat != "cpu"
+        import os
+
+        seg_matmul = os.environ.get("TPU3D_BA_SEG_MATMUL", "") == "1"
     return _bundle_adjust_jit(
         cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
         max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
