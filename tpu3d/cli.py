@@ -294,18 +294,19 @@ def cmd_match(args):
     regs, ts = run_matching(feats, adj, cfg, verbose=not args.quiet,
                             memo=memo)
     t_m = time.time()
-    save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
     from tpu3d.sfm.pipeline import LAST_MATCH_TIMERS
 
+    # Populate the stage breakdown BEFORE save_matches so the persisted
+    # matches artifact records it (the timers dict is serialized there).
     LAST_MATCH_TIMERS["load_upload"] = round(t0 - t_load, 2)
     LAST_MATCH_TIMERS["retrieval"] = round(t_ret - t0, 2)
     LAST_MATCH_TIMERS["match_total"] = round(t_m - t_ret, 2)
-    LAST_MATCH_TIMERS["save"] = round(time.time() - t_m, 2)
+    t_s = time.time()
+    save_matches(args.artifacts, regs, ts, adj, time.time() - t0)
+    LAST_MATCH_TIMERS["save"] = round(time.time() - t_s, 2)
     n_edges = sum(len(r.edges) for r in regs)
     print(f"matched {len(regs)} images / {n_edges} edges in {time.time() - t0:.1f}s")
     _print_dispatches()
-    from tpu3d.sfm.pipeline import LAST_MATCH_TIMERS
-
     if LAST_MATCH_TIMERS:
         print(f"match timers: {LAST_MATCH_TIMERS}")
 
@@ -485,6 +486,23 @@ def cmd_densify(args):
         camera_gate=args.camera_gate,
         camera_gate_epoch=args.camera_gate_epoch))
     print(f"scene-derived sampling band: near={near:.3f} far={far:.3f}")
+    mesh = None
+    if args.mesh:
+        import jax
+
+        from tpu3d.config import MeshConfig
+        from tpu3d.dist import make_mesh
+
+        if args.mesh == "auto":
+            # Capacity-first default: every device a voxel brick — the
+            # sharded grid is what lifts the 256^3 single-chip ceiling.
+            mesh = make_mesh(MeshConfig(data_parallel=1,
+                                        model_parallel=len(jax.devices())))
+        else:
+            dp, mp = (int(x) for x in args.mesh.lower().split("x"))
+            mesh = make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
+        print(f"dense mesh: {dict(mesh.shape)} "
+              f"(grid bricked x{tuple(mesh.shape.values())[1]})")
     grid0 = None
     if args.aniso_grid and not args.contraction:
         # Anisotropic grid: same voxel budget (R^3), box fit to the KEPT
@@ -505,28 +523,17 @@ def cmd_densify(args):
         ext = hi - lo
         R = cfg.dense.grid_resolution
         s = float((R**3 / np.prod(ext)) ** (1.0 / 3.0))
-        res = tuple(int(np.clip(round(e * s / 8) * 8, 32, 2 * R))
-                    for e in ext)
+        # The brick-sharded TP trainer requires X % model_parallel == 0;
+        # round the X axis to a multiple of lcm(8, MP) when a mesh is set
+        # so make_tp_dense_step doesn't fail after rays are already built.
+        mults = [8, 8, 8]
+        if mesh is not None:
+            mults[0] = int(np.lcm(8, tuple(mesh.shape.values())[1]))
+        res = tuple(int(np.clip(round(e * s / m) * m, max(32, m), 2 * R))
+                    for e, m in zip(ext, mults))
         grid0 = create_grid(res, lo, hi)
         print(f"anisotropic grid: {res} over extents "
               f"{np.round(ext, 2).tolist()} (budget {R}^3)")
-    mesh = None
-    if args.mesh:
-        import jax
-
-        from tpu3d.config import MeshConfig
-        from tpu3d.dist import make_mesh
-
-        if args.mesh == "auto":
-            # Capacity-first default: every device a voxel brick — the
-            # sharded grid is what lifts the 256^3 single-chip ceiling.
-            mesh = make_mesh(MeshConfig(data_parallel=1,
-                                        model_parallel=len(jax.devices())))
-        else:
-            dp, mp = (int(x) for x in args.mesh.lower().split("x"))
-            mesh = make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
-        print(f"dense mesh: {dict(mesh.shape)} "
-              f"(grid bricked x{tuple(mesh.shape.values())[1]})")
     # Name-keyed holdout: the same physical views are held out for every
     # reconstruction of this dataset (positional splits made cross-rec
     # PSNRs incomparable — each rec got a different holdout lottery).
@@ -623,7 +630,11 @@ def cmd_densify(args):
                         + 3 * 1.4826 * np.median(np.abs(vals - np.median(vals))))
             pv = ev["per_view"]
             tnames = [reg_names[k] for k in test_idx[: len(pv)]]
-            ok = [i for i, n in enumerate(tnames) if pc.get(n, 0.0) <= thr]
+            # Cameras absent from per_camera_reproj_px carry no BA
+            # observations (register-all low-confidence chains) — their
+            # poses are the LEAST trusted, so missing defaults to inf.
+            ok = [i for i, n in enumerate(tnames)
+                  if pc.get(n, float("inf")) <= thr]
             if ok and len(ok) < len(pv):
                 out.update(
                     test_psnr_trusted=round(float(np.mean([pv[i] for i in ok])), 2),

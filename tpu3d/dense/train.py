@@ -546,7 +546,7 @@ def _chunk_plan(steps_per_epoch: int, chunk: int):
 
 
 def _coarse_stage(train_fn, dataset, cfg: DenseConfig, seed, grid: VoxelGrid,
-                  verbose, log_every, packed):
+                  verbose, log_every, packed, x_multiple: int = 8):
     """Coarse phase of coarse-to-fine grid growing: train `coarse_epochs`
     on a grid downscaled by `coarse_factor` (dims floored to multiples of
     8 for the packed Pallas layout), then upsample align-corners back to
@@ -556,7 +556,11 @@ def _coarse_stage(train_fn, dataset, cfg: DenseConfig, seed, grid: VoxelGrid,
 
     f = max(int(cfg.coarse_factor), 2)
     full_res = tuple(grid.grid.shape[:3])
-    coarse_res = tuple(max((r // f) // 8 * 8, 8) for r in full_res)
+    # X floors to x_multiple (lcm(8, model_parallel) under the brick-TP
+    # trainer, where X % MP == 0 is a hard shape requirement), Y/Z to 8.
+    mults = (max(int(x_multiple), 8), 8, 8)
+    coarse_res = tuple(max((r // f) // m * m, m)
+                       for r, m in zip(full_res, mults))
     # Fresh bound copies per phase: the jitted steps donate the whole train
     # state (bounds included), so sharing one array across phases would
     # hand the fine phase already-deleted buffers.

@@ -255,9 +255,19 @@ def make_tp_dense_step(cfg: DenseConfig,
                                      model_ax, perturb, sdf_mode)
             pred = _exposure_apply(pred, gains, cid)
             if sdf_mode:
+                # Global masked mean: the valid-ray DENOMINATOR must be
+                # psum'ed over the data axis — per-shard ratios pmean'ed
+                # would weight shards with fewer valid rays more, making
+                # the trajectory mesh-shape-dependent (ADVICE r4). The
+                # numerator stays local and is scaled by n_data so the
+                # caller's pmean(value) / psum-then-divide-by-n_data grad
+                # convention (shared with the plenoxel local-mean branch)
+                # reproduces exactly num_global/den_global and its grad.
                 w = valid.astype(pred.dtype)[:, None]
-                loss = (jnp.sum(w * (pred - rgb) ** 2)
-                        / jnp.maximum(jnp.sum(w) * 3, 1.0))
+                num = jnp.sum(w * (pred - rgb) ** 2)
+                den = jax.lax.psum(jnp.sum(w) * 3, data_ax)
+                n_d = jax.lax.axis_size(data_ax)
+                loss = n_d * num / jnp.maximum(den, 1.0)
             else:
                 loss = jnp.mean((pred - rgb) ** 2)
             # Per-brick crop TV/sparsity, averaged over the model axis: a
@@ -409,6 +419,12 @@ def train_dense_tp(
                          "grid (the refresh reads the full grid); disable "
                          "it for --distributed dense training")
     n = len(dataset.origins)
+    n_data_ax = mesh.shape[mesh.axis_names[0]]
+    if cfg.batch_size % n_data_ax != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by the data-axis "
+            f"size {n_data_ax} of mesh {dict(mesh.shape)} (each ray shard "
+            f"must be equal-length for NamedSharding placement)")
     steps_per_epoch = max(n // cfg.batch_size, 1)
     if grid is None:
         s = 2.0 if cfg.contraction else cfg.scene_scale
@@ -423,7 +439,8 @@ def train_dense_tp(
             return g, l
 
         grid, pre_losses, cfg = _coarse_stage(
-            _recurse, dataset, cfg, seed, grid, verbose, log_every, None)
+            _recurse, dataset, cfg, seed, grid, verbose, log_every, None,
+            x_multiple=int(np.lcm(8, mesh.shape[mesh.axis_names[1]])))
     optimizer = make_optimizer(cfg, steps_per_epoch)
     exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
             if cfg.exposure and dataset.cam_ids is not None else None)
@@ -462,6 +479,11 @@ def train_dense_tp(
         perm = np.asarray(jax.random.permutation(pkey, n))
         for b in range(steps_per_epoch):
             idx = perm[b * cfg.batch_size:(b + 1) * cfg.batch_size]
+            if len(idx) < cfg.batch_size:
+                # Tiny dataset (n < batch_size): pad by wrapping the
+                # permutation so every shard stays equal-length; repeated
+                # rays only re-weight an already-stochastic SGD step.
+                idx = np.resize(idx, cfg.batch_size)
             batch = [jax.device_put(jnp.asarray(dataset.origins[idx]), ray_shard),
                      jax.device_put(jnp.asarray(dataset.dirs[idx]), ray_shard),
                      jax.device_put(jnp.asarray(dataset.rgb[idx]), ray_shard)]
