@@ -39,13 +39,16 @@ def make_problem(C=296, P=45056, O=65536, seed=0):
 
 
 def timed(args, **kw):
+    # Barrier through a real device_get: block_until_ready returns EARLY
+    # on the axon remote backend (r2 finding) — r4's numbers from this
+    # probe used it and may underestimate.
     st = bundle_adjust(*args, pt_sorted=True, **kw)
-    jax.block_until_ready(st.cams)  # compile
+    np.asarray(st.cams[:1])  # compile
     best = 1e9
     for _ in range(2):
         t0 = time.time()
         st = bundle_adjust(*args, pt_sorted=True, **kw)
-        jax.block_until_ready(st.cams)
+        np.asarray(st.cams[:1])
         best = min(best, time.time() - t0)
     return best, int(st.n_iters)
 
@@ -77,5 +80,37 @@ def main():
     print(json.dumps(out))
 
 
+# --- r5 flat-layout A/B (appended; runs when invoked with 'flat') --------
+def main_flat():
+    import json as _json
+    out = {"backend": jax.default_backend()}
+    args_xl = make_problem(C=296, P=45056, O=262144)
+    for name, kw in [
+        ("xl_dense_12x24", dict(max_iters=12, cg_iters=24, flat_layout=False)),
+        ("xl_flat_12x24", dict(max_iters=12, cg_iters=24, flat_layout=True)),
+        ("xl_flat_robust", dict(max_iters=12, cg_iters=24, flat_layout=True,
+                                robust_delta=1e-3)),
+    ]:
+        secs, it = timed(args_xl, **kw)
+        out[name] = {"s": round(secs, 3), "iters": it,
+                     "s_per_lm_iter": round(secs / max(it, 1), 4)}
+    a = bundle_adjust(*args_xl, pt_sorted=True, max_iters=12, cg_iters=24,
+                      flat_layout=False)
+    b = bundle_adjust(*args_xl, pt_sorted=True, max_iters=12, cg_iters=24,
+                      flat_layout=True)
+    ca, cb = np.asarray(a.cams), np.asarray(b.cams)
+    out["cost_dense"] = float(a.cost)
+    out["cost_flat"] = float(b.cost)
+    out["cams_maxdiff"] = float(np.max(np.abs(ca - cb)))
+    out["cams_bitwise"] = bool(np.array_equal(ca, cb))
+    print(_json.dumps(out))
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "flat":
+    main_flat()
+    sys.exit(0)
+
+
 if __name__ == "__main__":
     main()
+

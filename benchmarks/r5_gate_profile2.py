@@ -52,7 +52,7 @@ def det10_unrolled(A):
         piv = A[..., k, k]
         det = det * piv
         piv_safe = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
-        factors = A[..., :, k] / piv_safe
+        factors = A[..., :, k] / piv_safe[..., None]
         factors = jnp.where(rows > k, factors, 0.0)
         A = A - factors[..., :, None] * A[..., k, :][..., None, :]
     return det * A[..., n - 1, n - 1]
@@ -144,7 +144,9 @@ def main():
     res["cholpath_agree_mindot"] = float(np.min(dots))
 
     # --- 3x3 SVD projection ------------------------------------------------
-    E = jnp.asarray(rng.standard_normal((BH * 10, 3, 3)).astype(np.float32))
+    # (BH*10 = 81920 blows scoped VMEM in a standalone jit; time at 1/4 the
+    # batch and scale — the op is batched-elementwise.)
+    E = jnp.asarray(rng.standard_normal((BH * 10 // 4, 3, 3)).astype(np.float32))
 
     def proj_svd(E):
         U, S, Vt = jnp.linalg.svd(E)
@@ -180,7 +182,7 @@ def main():
         nrm = jnp.linalg.norm(ns, axis=-1)
         v3 = jnp.take_along_axis(
             ns, jnp.argmax(nrm, -1)[..., None, None].repeat(3, -1), -2)[..., 0, :]
-        v3 = v3 / jnp.maximum(jnp.linalg.norm(v3, -1, keepdims=True)[..., 0][..., None], 1e-30)
+        v3 = v3 / jnp.maximum(jnp.linalg.norm(v3, axis=-1, keepdims=True), 1e-30)
         # singular values: s1=sqrt(e1), s2=sqrt(e2)
         s1 = jnp.sqrt(jnp.maximum(e1, 1e-30))
         s2 = jnp.sqrt(jnp.maximum(e2, 1e-30))
@@ -194,7 +196,7 @@ def main():
         dn = jnp.linalg.norm(ds, axis=-1)
         v1 = jnp.take_along_axis(
             ds, jnp.argmax(dn, -1)[..., None, None].repeat(3, -1), -2)[..., 0, :]
-        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, -1, keepdims=True)[..., 0][..., None], 1e-30)
+        v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
         v2 = jnp.cross(v3, v1)
         u1 = jnp.einsum("...ij,...j->...i", E, v1) / s1[..., None]
         u2 = jnp.einsum("...ij,...j->...i", E, v2) / s2[..., None]

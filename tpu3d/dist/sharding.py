@@ -124,6 +124,7 @@ def sharded_bundle_adjust(
     pt_fixed=None,
     max_iters: int = 20,
     cg_iters: int = 32,
+    pt_sorted: bool = False,
 ) -> BAState:
     """bundle_adjust with the observation axis sharded over `data` and
     camera/point states replicated. The jitted solver is unchanged —
@@ -142,5 +143,5 @@ def sharded_bundle_adjust(
         pt_fixed = jax.device_put(pt_fixed, rep)
     return bundle_adjust(
         cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
-        max_iters=max_iters, cg_iters=cg_iters,
+        max_iters=max_iters, cg_iters=cg_iters, pt_sorted=pt_sorted,
     )

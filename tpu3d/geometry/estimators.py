@@ -50,6 +50,10 @@ def find_essential_ransac(
         x1 = uv1 / focal
         thr_sq = (threshold_px / focal) ** 2
 
+        import os
+
+        _legacy = os.environ.get("TPU3D_GATE_LEGACY", "") == "1"
+
         def solver(idx):
             # Hypotheses ARE projected to the essential manifold before
             # scoring. Scoring the unconstrained F looked like a free 3x3-
@@ -58,7 +62,15 @@ def find_essential_ransac(
             # the post-hoc projection then destroys its inlier set
             # (observed: adjacent real frames with 179 raw matches gating
             # to front=0). Winner selection must happen on the manifold.
-            return essential_eight_point(x0[idx], x1[idx])
+            # r5: the per-hypothesis projection uses the closed-form path
+            # (batched 3x3 SVD is a serial XLA loop, 3.5x slower); the
+            # guarded LS refits and the returned winner keep exact SVD.
+            if _legacy:
+                return essential_eight_point(x0[idx], x1[idx])
+            from tpu3d.geometry.fivepoint import _project_essential_fast
+
+            F = essential_eight_point(x0[idx], x1[idx], project=False)
+            return _project_essential_fast(F)
 
         def scorer(E):
             return sampson_error(E, x0, x1)

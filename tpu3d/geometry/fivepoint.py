@@ -27,11 +27,18 @@ one handles planar scenes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# r5 fast kernels (flat-layout constraints, unrolled GE determinant,
+# closed-form essential projection) are the default; TPU3D_GATE_LEGACY=1
+# restores the pre-r5 lowering for A/B runs. Read at import time — the
+# jitted gate functions trace whichever implementation is active.
+_LEGACY = os.environ.get("TPU3D_GATE_LEGACY", "") == "1"
 
 MAX_ROOTS = 10
 GRID = 256           # sign-change scan resolution over the warped real line
@@ -59,6 +66,40 @@ def _constraints(E: jnp.ndarray) -> jnp.ndarray:
     tr = jnp.trace(EEt, axis1=-2, axis2=-1)
     G = 2.0 * (EEt @ E) - tr[..., None, None] * E
     return jnp.concatenate([det[..., None], G.reshape(*E.shape[:-2], 9)], axis=-1)
+
+
+def _constraints_flat(e) -> jnp.ndarray:
+    """The 10 Demazure constraints written COMPONENT-WISE: e is (9, ...)
+    (the entries [a b c; d f g-row...] of E as separate arrays) -> (10, ...).
+
+    Identical math to `_constraints`, but every operation is elementwise
+    over the batch axes: the (..., 3, 3)-shaped formulation forces XLA to
+    tile the trailing (3, 3) dims onto (8, 128) registers — a ~14x layout
+    inflation that made `_M_of_z` the dominant cost of the whole match
+    gate (r5 profile: 1.79 s standalone vs ~0.04 s of actual bandwidth at
+    the production block shape)."""
+    a, b, c, d, f, g, h, i, j = (e[k] for k in range(9))
+    # E = [[a, b, c], [d, f, g], [h, i, j]]
+    det = a * (f * j - g * i) - b * (d * j - g * h) + c * (d * i - f * h)
+    # M = E Eᵀ (symmetric)
+    m00 = a * a + b * b + c * c
+    m01 = a * d + b * f + c * g
+    m02 = a * h + b * i + c * j
+    m11 = d * d + f * f + g * g
+    m12 = d * h + f * i + g * j
+    m22 = h * h + i * i + j * j
+    tr = m00 + m11 + m22
+    # G = 2 (E Eᵀ) E − tr·E, row-major components
+    g0 = 2.0 * (m00 * a + m01 * d + m02 * h) - tr * a
+    g1 = 2.0 * (m00 * b + m01 * f + m02 * i) - tr * b
+    g2 = 2.0 * (m00 * c + m01 * g + m02 * j) - tr * c
+    g3 = 2.0 * (m01 * a + m11 * d + m12 * h) - tr * d
+    g4 = 2.0 * (m01 * b + m11 * f + m12 * i) - tr * f
+    g5 = 2.0 * (m01 * c + m11 * g + m12 * j) - tr * g
+    g6 = 2.0 * (m02 * a + m12 * d + m22 * h) - tr * h
+    g7 = 2.0 * (m02 * b + m12 * f + m22 * i) - tr * i
+    g8 = 2.0 * (m02 * c + m12 * g + m22 * j) - tr * j
+    return jnp.stack([det, g0, g1, g2, g3, g4, g5, g6, g7, g8])
 
 
 def _nullspace_basis(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
@@ -100,24 +141,146 @@ def _nullspace_basis(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
 
 def _M_of_z(basis: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     """Numeric M(z): (..., 10, 10) for a batch of z values.
-    basis: (4, 3, 3) = [W, X, Y, Zb]."""
-    xs = jnp.asarray(_XY[:, 0], jnp.float32)
+    basis: (4, 3, 3) = [W, X, Y, Zb].
+
+    Component-wise formulation (r5): E's 9 entries are separate flat
+    arrays, so the constraint evaluation is pure elementwise VPU work —
+    the (..., 3, 3)-shaped path inflated ~14x under XLA's (8, 128)
+    register tiling of the trailing dims and dominated the match gate."""
+    if _LEGACY:
+        xs = jnp.asarray(_XY[:, 0], jnp.float32)
+        ys = jnp.asarray(_XY[:, 1], jnp.float32)
+        W, X, Y, Zb = basis[0], basis[1], basis[2], basis[3]
+        E = (xs[:, None, None] * W + ys[:, None, None] * X
+             + z[..., None, None, None] * Y + Zb)
+        C = _constraints(E)
+        C = jnp.swapaxes(C, -1, -2)
+        return C @ jnp.asarray(_VXY_INV_T)
+    bflat = basis.reshape(4, 9)
+    xs = jnp.asarray(_XY[:, 0], jnp.float32)   # (S,)
     ys = jnp.asarray(_XY[:, 1], jnp.float32)
-    W, X, Y, Zb = basis[0], basis[1], basis[2], basis[3]
-    # E at each (x_s, y_s, z): (..., 10, 3, 3)
-    E = (
-        xs[:, None, None] * W
-        + ys[:, None, None] * X
-        + z[..., None, None, None] * Y
-        + Zb
-    )
-    C = _constraints(E)                       # (..., 10s, 10c)
-    C = jnp.swapaxes(C, -1, -2)               # rows = constraints, cols = samples
-    return C @ jnp.asarray(_VXY_INV_T)        # (..., 10, 10)
+    z = jnp.asarray(z)
+    # e[k][..., s] = xs_s W_k + ys_s X_k + z Y_k + Z_k : (9, ..., S)
+    stat = (bflat[0][:, None] * xs[None, :]
+            + bflat[1][:, None] * ys[None, :]
+            + bflat[3][:, None])               # (9, S)
+    sh = (9,) + (1,) * z.ndim + (xs.shape[0],)
+    e = stat.reshape(sh) + bflat[2].reshape(sh[:-1] + (1,)) * z[None, ..., None]
+    C = _constraints_flat(e)                   # (10, ..., S)
+    # M[..., j, t] = sum_s C[j, ..., s] * VXY_INV_T[s, t]
+    return jnp.einsum("j...s,st->...jt", C, jnp.asarray(_VXY_INV_T))
 
 
 def _detM(basis: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.det(_M_of_z(basis, z))
+
+
+def _det10_ge(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched 10x10 determinant by UNROLLED Gaussian elimination with
+    partial pivoting: 9 straight-line steps of vectorized argmax + masked
+    swap + rank-1 update. XLA's batched LU (jnp.linalg.det) is a serial
+    per-matrix loop that measured ~2x slower at the gate's 90k-matrix
+    batch (r5 probe: 0.146 s vs 0.280 s); same det up to f32 rounding."""
+    n = A.shape[-1]
+    det = jnp.ones(A.shape[:-2], A.dtype)
+    rows = jnp.arange(n)
+    for k in range(n - 1):
+        col = jnp.abs(A[..., :, k])
+        col = jnp.where(rows >= k, col, -1.0)
+        p = jnp.argmax(col, axis=-1)                      # (...,)
+        pr = jnp.take_along_axis(
+            A, p[..., None, None].repeat(n, -1), axis=-2)[..., 0, :]
+        kr = A[..., k, :]
+        det = jnp.where(p != k, -det, det)
+        onehot_k = (rows == k).astype(A.dtype)[:, None]
+        onehot_p = (rows[None] == p[..., None]).astype(A.dtype)[..., None]
+        A = (A + onehot_k * (pr - kr)[..., None, :]
+             + onehot_p * (kr - pr)[..., None, :])
+        piv = A[..., k, k]
+        det = det * piv
+        piv_safe = jnp.where(jnp.abs(piv) < 1e-30, 1e-30, piv)
+        factors = A[..., :, k] / piv_safe[..., None]
+        factors = jnp.where(rows > k, factors, 0.0)
+        A = A - factors[..., None] * A[..., k, :][..., None, :]
+    return det * A[..., n - 1, n - 1]
+
+
+def _project_essential_fast(E: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form projection onto the essential manifold (singular values
+    -> (1, 1, 0)) without a batched 3x3 SVD (XLA lowers those to a serial
+    Jacobi/QR loop; 3.5x slower at gate batches, r5 probe).
+
+    Path: symmetric closed-form eigenvalues of EᵀE (trigonometric 3x3
+    formula), smallest eigenvector v3 by the cross-product method, and the
+    top-2 inverse-sqrt as the STABLE divided-difference linear spectral
+    interpolant  g(A) = aA + b  with  a = -1/(s1 s2 (s1+s2)),  composed
+    with the projector (I - v3 v3ᵀ):   E_ess = E (aEᵀE + bI)(I - v3v3ᵀ)
+    = U diag(1,1,0) Vᵀ. Accuracy degrades only when sigma2 ~ sigma3 — a
+    matrix far from the essential manifold, i.e. a RANSAC hypothesis that
+    loses the vote anyway; per-edge WINNERS keep the exact SVD path."""
+    a_, b_, c_ = E[..., 0, 0], E[..., 0, 1], E[..., 0, 2]
+    d_, f_, g_ = E[..., 1, 0], E[..., 1, 1], E[..., 1, 2]
+    h_, i_, j_ = E[..., 2, 0], E[..., 2, 1], E[..., 2, 2]
+    # EtE (symmetric): columns of E dotted
+    m00 = a_ * a_ + d_ * d_ + h_ * h_
+    m01 = a_ * b_ + d_ * f_ + h_ * i_
+    m02 = a_ * c_ + d_ * g_ + h_ * j_
+    m11 = b_ * b_ + f_ * f_ + i_ * i_
+    m12 = b_ * c_ + f_ * g_ + i_ * j_
+    m22 = c_ * c_ + g_ * g_ + j_ * j_
+    q = (m00 + m11 + m22) / 3.0
+    a00, a11, a22 = m00 - q, m11 - q, m22 - q
+    p2 = (a00 * a00 + a11 * a11 + a22 * a22
+          + 2.0 * (m01 * m01 + m02 * m02 + m12 * m12)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    # det of (EtE - qI)/p
+    detB = (a00 * (a11 * a22 - m12 * m12)
+            - m01 * (m01 * a22 - m12 * m02)
+            + m02 * (m01 * m12 - a11 * m02)) / (p * p * p)
+    phi = jnp.arccos(jnp.clip(detB / 2.0, -1.0, 1.0)) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * np.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    # v3: largest cross product of rows of (EtE - e3 I)
+    c00, c11, c22 = m00 - e3, m11 - e3, m22 - e3
+    r0 = (c00, m01, m02)
+    r1 = (m01, c11, m12)
+    r2 = (m02, m12, c22)
+
+    def cross(u, v):
+        return (u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0])
+
+    x01, x02, x12 = cross(r0, r1), cross(r0, r2), cross(r1, r2)
+    n01 = x01[0] ** 2 + x01[1] ** 2 + x01[2] ** 2
+    n02 = x02[0] ** 2 + x02[1] ** 2 + x02[2] ** 2
+    n12 = x12[0] ** 2 + x12[1] ** 2 + x12[2] ** 2
+    use02 = n02 > n01
+    nbest = jnp.where(use02, n02, n01)
+    use12 = n12 > nbest
+    v3 = [jnp.where(use12, x12[k], jnp.where(use02, x02[k], x01[k]))
+          for k in range(3)]
+    nv = jnp.sqrt(jnp.maximum(
+        v3[0] ** 2 + v3[1] ** 2 + v3[2] ** 2, 1e-30))
+    v3 = [vk / nv for vk in v3]
+    # stable top-2 inverse-sqrt interpolant
+    s1 = jnp.sqrt(jnp.maximum(e1, 1e-30))
+    s2 = jnp.sqrt(jnp.maximum(e2, 1e-30))
+    av = -1.0 / (s1 * s2 * (s1 + s2))
+    bv = 1.0 / s1 - av * e1
+    # T = (a EtE + b I), then project out v3:  M = T (I - v3 v3ᵀ)
+    T = [[av * m00 + bv, av * m01, av * m02],
+         [av * m01, av * m11 + bv, av * m12],
+         [av * m02, av * m12, av * m22 + bv]]
+    Tv3 = [T[r][0] * v3[0] + T[r][1] * v3[1] + T[r][2] * v3[2]
+           for r in range(3)]
+    M = [[T[r][c] - Tv3[r] * v3[c] for c in range(3)] for r in range(3)]
+    # E_ess = E @ M
+    Erows = [(a_, b_, c_), (d_, f_, g_), (h_, i_, j_)]
+    out = [[Erows[r][0] * M[0][c] + Erows[r][1] * M[1][c]
+            + Erows[r][2] * M[2][c] for c in range(3)] for r in range(3)]
+    return jnp.stack([jnp.stack(row, -1) for row in out], -2)
 
 
 # --- trig-polynomial determinant reconstruction --------------------------
@@ -170,7 +333,8 @@ def _det_coeffs(basis: jnp.ndarray) -> jnp.ndarray:
     # one global scale keeps det in f32 range without changing the
     # polynomial structure (per-sample scaling would)
     lam = jnp.maximum(jnp.max(jnp.abs(N)), 1e-12)
-    q = jnp.linalg.det(N / lam)                 # (11,)
+    det = jnp.linalg.det if _LEGACY else _det10_ge
+    q = det(N / lam)                            # (11,)
     return jnp.asarray(_BASIS_INV) @ q
 
 
@@ -234,10 +398,15 @@ def essential_five_point(x0: jnp.ndarray, x1: jnp.ndarray) -> Tuple[jnp.ndarray,
         + roots[:, None, None] * Y_
         + Zb
     )
-    # project to the essential manifold
-    U, S, Vt = jnp.linalg.svd(E)
-    dvals = jnp.ones_like(S).at[..., 2].set(0.0)
-    E = U @ (dvals[..., :, None] * Vt)
+    # project to the essential manifold (closed form; candidates from a
+    # polynomial root are near-essential, so sigma3 is isolated and the
+    # fast projection is accurate exactly where it matters)
+    if _LEGACY:
+        U, S, Vt = jnp.linalg.svd(E)
+        dvals = jnp.ones_like(S).at[..., 2].set(0.0)
+        E = U @ (dvals[..., :, None] * Vt)
+    else:
+        E = _project_essential_fast(E)
     valid = have & (jnp.abs(w) > 1e-9)
     return E, valid
 

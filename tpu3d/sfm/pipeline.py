@@ -218,41 +218,24 @@ def run_extraction(
     futures = {s: pool.submit(load_batch, s) for s in starts[:2]}
 
     # Device-resident accumulators; the only per-batch host transfer is the
-    # uint8 image upload + ONE keypoint download for color sampling (every
-    # additional device->host fetch is a costly round trip on a remote
-    # backend). Everything else is fetched in bulk after the loop.
-    # Dispatch depth 2: the per-batch keypoint fetch blocks the host a full
-    # tunnel round trip, so keep two extract executions queued ahead before
-    # draining — the device computes batch k+1/k+2 while batch k's keypoints
-    # cross the link and its colors sample on the host.
-    from collections import deque
-
-    kps_px, descs, valids_dev, colors, kps_dev, sizes_dev = [], [], [], [], [], []
-    n_done = 0
-    pending = deque()
+    # uint8 image upload. ALL downloads happen in bulk after the dispatch
+    # loop (r5): the former depth-2 dispatch/drain pipeline still paid a
+    # per-batch keypoint fetch that serialized against the next dispatch on
+    # the remote tunnel (~0.3 s/batch wall vs 0.17 s device at full-run
+    # scale, VERDICT r4 #6). Dispatching every batch back-to-back and
+    # fetching keypoints ONCE removes 73 round-trip syncs from the full
+    # run; color sampling moves after the loop (decoded RGB is kept on the
+    # host — ~2.2 GB at 290 images ds2, fine on a 125 GB host). Keypoints
+    # are bit-identical: the device graph is untouched, only the fetch
+    # schedule changed.
+    batches = []                       # (chunk, rgb, fs) in batch order
+    n_disp = 0
 
     # --- sequential-prior prematch state (see docstring) ---
     N = len(names)
     prematch = (prematch_memo is not None and cfg.matching.pair_batch > 1
                 and cfg.matching.matcher == "mnn" and N > 1)
     pm = SequentialPrematcher(N, cfg, prematch_offsets) if prematch else None
-
-    def drain_one():
-        nonlocal n_done
-        chunk, rgb, fs = pending.popleft()
-        n = len(chunk)
-        kp_px = np.asarray(fs.keypoints_px[:n])   # single per-batch download
-        _tick("extract_batch")
-        cols = sample_colors(rgb[..., ::-1][:n], kp_px)  # BGR like cv2
-        kps_px.append(kp_px)
-        colors.append(cols)
-        kps_dev.append(fs.keypoints[:n])
-        descs.append(fs.descriptors[:n])
-        valids_dev.append(fs.valid[:n])
-        sizes_dev.append(fs.image_size[:n])
-        n_done += n
-        if verbose:
-            print(f"[extract] {n_done}/{len(names)} images", flush=True)
 
     for bi, s in enumerate(starts):
         chunk, gray_u8, rgb = futures.pop(s).result()
@@ -265,30 +248,46 @@ def run_extraction(
         else:
             fs = extract_learned(fe_params, cfg.frontend.model, gray_u8,
                                  rgb, cfg.frontend)
-        pending.append((chunk, rgb, fs))
+        _tick("extract_batch")
+        batches.append((chunk, rgb, fs))
         if pm is not None:
             pm.add_features(s, fs.descriptors, fs.valid, fs.keypoints,
                             len(chunk))
         if batch_callback is not None:
             batch_callback(fs, batch_offset + s, len(chunk))
-        if len(pending) >= 2:
-            drain_one()
-    while pending:
-        drain_one()
+        n_disp += len(chunk)
+        if verbose and (bi % 8 == 0 or bi + 1 == len(starts)):
+            print(f"[extract] dispatched {n_disp}/{len(names)} images",
+                  flush=True)
     pool.shutdown(wait=False)
     if pm is not None:
         pm.finish(prematch_memo)
-    valid_dev = jnp.concatenate(valids_dev)
-    keypoints_dev = jnp.concatenate(kps_dev)
+    # One bulk fetch for everything host-side work needs.
+    kp_px_all = np.asarray(jnp.concatenate(
+        [fs.keypoints_px[: len(c)] for c, _, fs in batches]))
     _tick("extract_bulk_fetch")
+    colors = []
+    ofs = 0
+    for chunk, rgb, fs in batches:
+        n = len(chunk)
+        colors.append(sample_colors(rgb[..., ::-1][:n],
+                                    kp_px_all[ofs: ofs + n]))  # BGR like cv2
+        ofs += n
+    valid_dev = jnp.concatenate([fs.valid[: len(c)] for c, _, fs in batches])
+    keypoints_dev = jnp.concatenate(
+        [fs.keypoints[: len(c)] for c, _, fs in batches])
+    if verbose:
+        print(f"[extract] {len(names)}/{len(names)} images", flush=True)
     return ExtractedFeatures(
         names=list(names),
         keypoints=np.asarray(keypoints_dev),
-        keypoints_px=np.concatenate(kps_px),
+        keypoints_px=kp_px_all,
         valid=np.asarray(valid_dev),
         colors_bgr=np.concatenate(colors),
-        image_size=np.asarray(jnp.concatenate(sizes_dev)),
-        descriptors_dev=jnp.concatenate(descs),
+        image_size=np.asarray(jnp.concatenate(
+            [fs.image_size[: len(c)] for c, _, fs in batches])),
+        descriptors_dev=jnp.concatenate(
+            [fs.descriptors[: len(c)] for c, _, fs in batches]),
         valid_dev=valid_dev.astype(jnp.float32),
         keypoints_dev=keypoints_dev,
     )
