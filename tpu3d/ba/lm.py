@@ -187,10 +187,16 @@ def bundle_adjust(
         import os
 
         seg_matmul = os.environ.get("TPU3D_BA_SEG_MATMUL", "") == "1"
+    # flat_layout: r5 experiment — component-packed blocks/CG operands to
+    # dodge (O,2,6)/(O,6,3) register-tile inflation. MEASURED AND REJECTED
+    # as a default: 0.388 vs 0.192 s/LM-iter at the 262k-obs shape — the
+    # standalone-op inflation numbers do NOT survive whole-program layout
+    # assignment (XLA already fuses the dense einsum path), and the 42-way
+    # column stacks cost more than they save. Kept for A/B (TPU3D_BA_FLAT=1).
     if flat_layout is None:
         import os
 
-        flat_layout = os.environ.get("TPU3D_BA_FLAT", "1") != "0"
+        flat_layout = os.environ.get("TPU3D_BA_FLAT", "0") == "1"
     return _bundle_adjust_jit(
         cams0, points0, cam_idx, pt_idx, uv, w, cam_fixed, pt_fixed,
         max_iters, cg_iters, lam0, robust_delta, cg_tol, stall_tol,
