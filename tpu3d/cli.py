@@ -560,6 +560,58 @@ def cmd_densify(args):
         grid, losses = train_plenoxel(dataset, dcfg, verbose=not args.quiet,
                                       checkpoint_store=ck_store, resume=args.resume,
                                       mesh=mesh, grid=grid0)
+    detail_grid = None
+    if args.detail_epochs > 0 and args.model != "sdf" and mesh is None:
+        # Cascade phase 2 (r5): a fresh RESIDUAL detail grid over the kept
+        # cloud's box in SAMPLE space (contracted coords when contraction
+        # is on), trained against the frozen base — ~1.5-2x the base's
+        # voxels-per-unit where the content lives, the single-chip answer
+        # to the 256^3 capacity ceiling (VERDICT r4 #3; the tail views are
+        # voxel-footprint-bound). Per-axis resolution at a cube budget,
+        # aniso-style; beyond-box content stays explained by the BASE, so
+        # the box-crop fog mechanism that sank the r4 aniso grid does not
+        # apply. rmsprop (one moment) keeps base+detail+moments in 16 GB.
+        from tpu3d.dense.grid import create_grid as _cg
+        from tpu3d.dense.train import core_points
+
+        kept = core_points(rec["points"], q=args.coremax_q, k=1.0)
+        pn = norm.apply(kept if len(kept) else rec["points"]).astype(np.float32)
+        if getattr(dcfg, "contraction", False):
+            import jax.numpy as _jnp
+
+            from tpu3d.dense.contract import contract as _contract
+
+            pn = np.asarray(_contract(_jnp.asarray(pn)))
+        lo = np.percentile(pn, 0.5, axis=0).astype(np.float32)
+        hi = np.percentile(pn, 99.5, axis=0).astype(np.float32)
+        pad = 0.05 * (hi - lo) + 1e-3
+        lo, hi = lo - pad, hi + pad
+        bmin = np.asarray(grid.min_bound, np.float32)
+        bmax = np.asarray(grid.max_bound, np.float32)
+        lo = np.maximum(lo, bmin)
+        hi = np.minimum(hi, bmax)
+        Rd = args.detail_res or dcfg.grid_resolution
+        ext = np.maximum(hi - lo, 1e-3)
+        sfact = float((Rd**3 / np.prod(ext)) ** (1.0 / 3.0))
+        dres = tuple(int(np.clip(round(e * sfact / 8) * 8, 32, 2 * Rd))
+                     for e in ext)
+        print(f"[cascade] detail grid {dres} over box {np.round(lo, 2).tolist()}"
+              f"..{np.round(hi, 2).tolist()} "
+              f"({dres[0] / ext[0]:.0f} vox/unit vs base "
+              f"{grid.grid.shape[0] / float(bmax[0] - bmin[0]):.0f})")
+        dg0 = _cg(dres, lo, hi, init=0.0)
+        det_cfg = dataclasses.replace(
+            dcfg, epochs=args.detail_epochs, coarse_epochs=0,
+            camera_gate=False, exposure=False, sh_background=False,
+            optimizer="rmsprop")
+        detail_grid, det_losses = train_plenoxel(
+            dataset, det_cfg, grid=dg0, base_grid=grid,
+            verbose=not args.quiet)
+        losses = losses + det_losses
+        if not args.no_checkpoint:
+            store.save("dense_grid_detail", grid=np.asarray(detail_grid.grid),
+                       min_bound=np.asarray(detail_grid.min_bound),
+                       max_bound=np.asarray(detail_grid.max_bound))
     from tpu3d.dense.train import LAST_TRAIN_AUX
 
     bg_sh = LAST_TRAIN_AUX.get("background")
@@ -602,6 +654,11 @@ def cmd_densify(args):
         # moment normalization defaults change.
         "norm_center": np.asarray(norm.center, np.float64).tolist(),
         "norm_scale": float(norm.scale),
+        "cascade_detail": (None if detail_grid is None else {
+            "res": [int(r) for r in detail_grid.grid.shape[:3]],
+            "min_bound": np.asarray(detail_grid.min_bound, np.float64).tolist(),
+            "max_bound": np.asarray(detail_grid.max_bound, np.float64).tolist(),
+        }),
     })
     dropped_local = LAST_TRAIN_AUX.get("dropped_cameras", [])
     out = {"final_loss": losses[-1] if losses else None,
@@ -610,9 +667,15 @@ def cmd_densify(args):
            "dropped_cameras": [reg_names[int(train_idx[c])]
                                for c in dropped_local]}
     if len(test_idx):
-        ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx], focal, dcfg,
-                            norm, stride=2, max_views=args.max_eval_views,
-                            bg_sh=bg_sh)
+        if detail_grid is not None:
+            ev = evaluate_views(detail_grid, rec["cams"][test_idx],
+                                rgb[test_idx], focal, dcfg, norm, stride=2,
+                                max_views=args.max_eval_views, bg_sh=bg_sh,
+                                base_grid=grid)
+        else:
+            ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx],
+                                focal, dcfg, norm, stride=2,
+                                max_views=args.max_eval_views, bg_sh=bg_sh)
         out.update(test_psnr=ev["mean_psnr"],
                    test_psnr_per_view=[round(p, 2) for p in ev["per_view"]],
                    test_psnr_calibrated=ev["mean_psnr_calibrated"],
@@ -1026,6 +1089,15 @@ def main(argv=None):
                    help="coremax normalization: radial percentile kept "
                         "(80 calibrated against the legacy framing; lower "
                         "= tighter crop = more voxels on the scene core)")
+    p.add_argument("--detail-epochs", type=int, default=0,
+                   help="densify cascade phase 2: train a residual DETAIL "
+                        "grid over the kept cloud's box (contracted coords "
+                        "under --contraction) against the frozen base for "
+                        "this many epochs — ~1.5-2x voxels/unit in the "
+                        "core, the single-chip capacity lift (r5)")
+    p.add_argument("--detail-res", type=int, default=0,
+                   help="voxel budget of the cascade detail grid "
+                        "(0 = same as --grid-resolution)")
     p.add_argument("--camera-gate", action="store_true",
                    help="densify: after --camera-gate-epoch epochs, drop "
                         "train cameras whose probe loss is a robust "

@@ -86,14 +86,16 @@ def render_view(grid: VoxelGrid, cam: np.ndarray, H: int, W: int, focal: float,
                 cfg: DenseConfig, norm: Optional[SceneNormalization] = None,
                 stride: int = 1, chunk: int = 8192,
                 bg_sh: Optional[np.ndarray] = None,
-                rays: Optional[Tuple[np.ndarray, np.ndarray]] = None) -> np.ndarray:
+                rays: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+                base_grid: Optional[VoxelGrid] = None) -> np.ndarray:
     """Render one full camera view. Returns (H', W', 3) float in [0, 1].
     rays: optional precomputed (origins, dirs) from view_rays (callers
     that also need the rays avoid building the grid twice)."""
     ro, rd = rays if rays is not None else view_rays(cam, H, W, focal, norm, stride)
     kw = dict(chunk=chunk, clip_aabb=cfg.per_ray_aabb,
               bg_sh=None if bg_sh is None else jnp.asarray(bg_sh),
-              contract=getattr(cfg, "contraction", False))
+              contract=getattr(cfg, "contraction", False),
+              base_grid=base_grid)
     try:
         img = render_image(grid, jax.random.PRNGKey(0), jnp.asarray(ro),
                            jnp.asarray(rd), cfg.near, cfg.far,
@@ -128,7 +130,8 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
                    norm: Optional[SceneNormalization] = None,
                    stride: int = 2, chunk: int = 8192,
                    max_views: int = 0,
-                   bg_sh: Optional[np.ndarray] = None) -> dict:
+                   bg_sh: Optional[np.ndarray] = None,
+                   base_grid: Optional[VoxelGrid] = None) -> dict:
     """PSNR of rendered vs ground-truth photographs for the given cameras.
 
     Reports both raw PSNR (canonical exposure vs the photo as shot) and
@@ -145,7 +148,8 @@ def evaluate_views(grid: VoxelGrid, cams: np.ndarray, images_rgb: np.ndarray,
     for m in range(n):
         ro, rd = view_rays(cams[m], H, W, focal, norm, stride)
         pred = render_view(grid, cams[m], H, W, focal, cfg, norm, stride,
-                           chunk, bg_sh=bg_sh, rays=(ro, rd))
+                           chunk, bg_sh=bg_sh, rays=(ro, rd),
+                           base_grid=base_grid)
         gt = images_rgb[m, ::stride, ::stride].astype(np.float32) / 255.0
         gt = gt[: pred.shape[0], : pred.shape[1]]
         per_view.append(psnr(pred, gt))

@@ -102,6 +102,7 @@ def render_rays(
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
     contract: bool = False,
+    base_vg: VoxelGrid = None,
 ) -> jnp.ndarray:
     """Plenoxel-style [near, far] rendering (ref plenoxel.py:71-93).
     contract=True warps sample positions through the radius-2 radial
@@ -110,22 +111,38 @@ def render_rays(
     clip_aabb=True additionally intersects each ray's band with the grid
     box (ref's SDF path semantics, sdf.py:154-165) — with cameras INSIDE
     the reconstructed scene a global band wastes most samples outside the
-    volume for many rays."""
+    volume for many rays.
+
+    base_vg: optional frozen cascade BASE grid (r5) — `vg` becomes the
+    core detail layer, composed pre-activation (see render_rays_packed)."""
+    from tpu3d.dense.grid import eval_sh, trilinear_sample
+
     n = rays_o.shape[0]
+    rb = base_vg if base_vg is not None else vg
     t_near = jnp.full((n,), near, rays_o.dtype)
     t_far = jnp.full((n,), far, rays_o.dtype)
     if clip_aabb:
-        t0, t1, valid = ray_aabb(rays_o, rays_d, vg.min_bound, vg.max_bound)
+        t0, t1, valid = ray_aabb(rays_o, rays_d, rb.min_bound, rb.max_bound)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    z = _sample_z(key, occ, vg.min_bound, vg.max_bound, rays_o, rays_d,
+    z = _sample_z(key, occ, rb.min_bound, rb.max_bound, rays_o, rays_d,
                   t_near, t_far, n_samples, perturb, occ_probes,
                   bg_far=_CONTRACT_BG_FAR if contract else None)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     if contract:
         pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape)
-    sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
+    if base_vg is None:
+        sigma, rgb = query(vg, pts.reshape(-1, 3), dirs.reshape(-1, 3))
+    else:
+        p = pts.reshape(-1, 3)
+        vals, in_b = trilinear_sample(vg.grid, vg.min_bound, vg.max_bound, p)
+        bvals, bin_b = trilinear_sample(
+            jax.lax.stop_gradient(base_vg.grid), base_vg.min_bound,
+            base_vg.max_bound, p)
+        vals = bvals * bin_b[:, None] + vals * in_b[:, None]
+        sigma = jax.nn.relu(vals[:, 0])
+        rgb = eval_sh(vals[:, 1:28].reshape(-1, 3, 9), dirs.reshape(-1, 3))
     return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
 
 
@@ -213,7 +230,7 @@ def render_rays_hierarchical(
     return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg, bg)
 
 
-@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes", "contract"))
+@functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg", "perturb", "clip_aabb", "occ_probes", "contract", "base_res"))
 def render_rays_packed(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -232,21 +249,33 @@ def render_rays_packed(
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
     contract: bool = False,
+    base_packed: jnp.ndarray = None,
+    base_mb: jnp.ndarray = None,
+    base_xb: jnp.ndarray = None,
+    base_res=None,
 ) -> jnp.ndarray:
     """render_rays via the Pallas box-DMA sampler (kernels/trilinear.py) —
     ~5x over the XLA gather on a v5e for the full-grid access pattern.
-    Forward-only (rendering/eval); training keeps the differentiable path."""
+    Forward-only (rendering/eval); training keeps the differentiable path.
+
+    base_*: optional frozen cascade BASE grid (r5 capacity cascade). When
+    given, `packed` is the core DETAIL layer: ray z-sampling and clipping
+    run against the BASE bounds (rays must traverse the whole scene), the
+    base raw channels are added pre-activation, and the detail grid only
+    contributes inside its own (tighter, higher-voxels-per-unit) AABB."""
     from tpu3d.dense.grid import eval_sh
     from tpu3d.kernels.trilinear import sample_packed
 
     n = rays_o.shape[0]
+    rb_mb = base_mb if base_res is not None else min_bound
+    rb_xb = base_xb if base_res is not None else max_bound
     t_near = jnp.full((n,), near, rays_o.dtype)
     t_far = jnp.full((n,), far, rays_o.dtype)
     if clip_aabb:
-        t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
+        t0, t1, valid = ray_aabb(rays_o, rays_d, rb_mb, rb_xb)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
+    z = _sample_z(key, occ, rb_mb, rb_xb, rays_o, rays_d,
                   t_near, t_far, n_samples, perturb, occ_probes,
                   bg_far=_CONTRACT_BG_FAR if contract else None)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
@@ -254,26 +283,53 @@ def render_rays_packed(
         pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
     vals, in_b = sample_packed(packed, min_bound, max_bound, res, pts.reshape(-1, 3))
+    if base_res is not None:
+        bvals = _base_raw_vals((base_packed, base_mb, base_xb, base_res),
+                               pts.reshape(-1, 3),
+                               jax.default_backend() == "cpu")
+        vals = bvals + vals * in_b[:, None]
+        in_b = jnp.ones_like(in_b)
     sigma = jax.nn.relu(vals[:, 0]) * in_b
     k = vals[:, 1:28].reshape(-1, 3, 9)
     rgb = eval_sh(k, dirs) * in_b[:, None]
     return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
 
 
-def _query_packed_diff(packed, min_bound, max_bound, res, pts, dirs, interpret):
+def _query_packed_diff(packed, min_bound, max_bound, res, pts, dirs, interpret,
+                       base_vals=None):
     """(sigma, rgb) from a packed grid through the custom_vjp Pallas
-    sampler (forward = box DMA, backward = binned scatter kernel)."""
+    sampler (forward = box DMA, backward = binned scatter kernel).
+
+    base_vals: optional (N, CPAD) RAW channel values of a frozen base
+    grid (cascade composition, r5): the trained grid becomes a RESIDUAL
+    detail layer added pre-activation — sigma = relu(base + detail·in),
+    SH coefficients likewise — so outside the detail AABB the base alone
+    renders, and the seam is C0 in the raw channels."""
     from tpu3d.dense.grid import eval_sh
     from tpu3d.kernels.trilinear_grad import sample_packed_diff
 
     vals, in_b = sample_packed_diff(res, interpret, packed, min_bound, max_bound, pts)
+    if base_vals is not None:
+        vals = base_vals + vals * in_b[:, None]
+        in_b = jnp.ones_like(in_b)
     sigma = jax.nn.relu(vals[:, 0]) * in_b
     rgb = eval_sh(vals[:, 1:28].reshape(-1, 3, 9), dirs) * in_b[:, None]
     return sigma, rgb
 
 
+def _base_raw_vals(base, pts, interpret):
+    """RAW (N, CPAD) values of the frozen cascade base grid at pts.
+    base = (packed, min_bound, max_bound, res) — res static."""
+    from tpu3d.kernels.trilinear import _sample_packed
+
+    bp, bmb, bxb, bres = base
+    vals, in_b = _sample_packed(jax.lax.stop_gradient(bp), bmb, bxb, bres,
+                                pts, interpret)
+    return vals * in_b[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("res", "n_samples", "white_bg",
-                                              "perturb", "clip_aabb", "interpret", "occ_probes", "contract"))
+                                              "perturb", "clip_aabb", "interpret", "occ_probes", "contract", "base_res"))
 def render_rays_packed_diff(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -293,32 +349,44 @@ def render_rays_packed_diff(
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
     contract: bool = False,
+    base_packed: jnp.ndarray = None,
+    base_mb: jnp.ndarray = None,
+    base_xb: jnp.ndarray = None,
+    base_res=None,
 ) -> jnp.ndarray:
     """render_rays with BOTH passes of the Pallas kernel pair — the
     TRAINING path on the packed layout (vs render_rays_packed, which is
     forward-only for eval). Position gradients are zero by design
-    (depth sampling carries no grid dependence here)."""
+    (depth sampling carries no grid dependence here). base_*: frozen
+    cascade base (see render_rays_packed) — gradients flow only into the
+    detail layer `packed`."""
     n = rays_o.shape[0]
+    rb_mb = base_mb if base_res is not None else min_bound
+    rb_xb = base_xb if base_res is not None else max_bound
     t_near = jnp.full((n,), near, rays_o.dtype)
     t_far = jnp.full((n,), far, rays_o.dtype)
     if clip_aabb:
-        t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
+        t0, t1, valid = ray_aabb(rays_o, rays_d, rb_mb, rb_xb)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    z = _sample_z(key, occ, min_bound, max_bound, rays_o, rays_d,
+    z = _sample_z(key, occ, rb_mb, rb_xb, rays_o, rays_d,
                   t_near, t_far, n_samples, perturb, occ_probes,
                   bg_far=_CONTRACT_BG_FAR if contract else None)
     pts = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     if contract:
         pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
+    bvals = (None if base_res is None else _base_raw_vals(
+        (base_packed, base_mb, base_xb, base_res), pts.reshape(-1, 3),
+        interpret))
     sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
-                                    pts.reshape(-1, 3), dirs, interpret)
+                                    pts.reshape(-1, 3), dirs, interpret,
+                                    base_vals=bvals)
     return composite(sigma.reshape(n, n_samples), rgb.reshape(n, n_samples, 3), z, white_bg, bg)
 
 
 @functools.partial(jax.jit, static_argnames=("res", "n_coarse", "n_fine", "white_bg",
-                                              "perturb", "clip_aabb", "interpret", "occ_probes", "contract"))
+                                              "perturb", "clip_aabb", "interpret", "occ_probes", "contract", "base_res"))
 def render_rays_hierarchical_packed(
     packed: jnp.ndarray,
     min_bound: jnp.ndarray,
@@ -339,23 +407,32 @@ def render_rays_hierarchical_packed(
     occ_probes: int = 128,
     bg: jnp.ndarray = None,
     contract: bool = False,
+    base_packed: jnp.ndarray = None,
+    base_mb: jnp.ndarray = None,
+    base_xb: jnp.ndarray = None,
+    base_res=None,
 ) -> jnp.ndarray:
     """Hierarchical packed-layout training render. The coarse pass feeds
     only the stop-gradiented importance weights, so it uses the
     forward-only sampler; all grid gradients flow through pass 2's
     custom_vjp sampler (same autodiff structure as
-    render_rays_hierarchical, where z_f = sample_pdf(stop_gradient(w)))."""
+    render_rays_hierarchical, where z_f = sample_pdf(stop_gradient(w))).
+    base_*: frozen cascade base — composed in BOTH passes (the detail
+    layer starts at zero, so detail-only importance weights would be
+    uniform noise)."""
     from tpu3d.kernels.trilinear import _sample_packed
 
     n = rays_o.shape[0]
+    rb_mb = base_mb if base_res is not None else min_bound
+    rb_xb = base_xb if base_res is not None else max_bound
     k1, k2 = jax.random.split(key)
     t_near = jnp.full((n,), near, rays_o.dtype)
     t_far = jnp.full((n,), far, rays_o.dtype)
     if clip_aabb:
-        t0, t1, valid = ray_aabb(rays_o, rays_d, min_bound, max_bound)
+        t0, t1, valid = ray_aabb(rays_o, rays_d, rb_mb, rb_xb)
         t_near = jnp.where(valid, jnp.maximum(t_near, t0), t_near)
         t_far = jnp.where(valid, jnp.clip(t1, t_near + 1e-4, far), t_near + 1e-4)
-    z_c = _sample_z(k1, occ, min_bound, max_bound, rays_o, rays_d,
+    z_c = _sample_z(k1, occ, rb_mb, rb_xb, rays_o, rays_d,
                     t_near, t_far, n_coarse, perturb, occ_probes,
                     bg_far=_CONTRACT_BG_FAR if contract else None)
     pts_c = rays_o[:, None, :] + z_c[..., None] * rays_d[:, None, :]
@@ -363,6 +440,11 @@ def render_rays_hierarchical_packed(
         pts_c = contract_pts(pts_c)
     vals_c, in_c = _sample_packed(jax.lax.stop_gradient(packed), min_bound,
                                   max_bound, res, pts_c.reshape(-1, 3), interpret)
+    if base_res is not None:
+        bvals_c = _base_raw_vals((base_packed, base_mb, base_xb, base_res),
+                                 pts_c.reshape(-1, 3), interpret)
+        vals_c = bvals_c + vals_c * in_c[:, None]
+        in_c = jnp.ones_like(in_c)
     sigma_c = (jax.nn.relu(vals_c[:, 0]) * in_c).reshape(n, n_coarse)
     w = composite_weights(sigma_c, z_c)
     z_f = sample_pdf(k2, z_c, jax.lax.stop_gradient(w), n_fine)
@@ -371,8 +453,12 @@ def render_rays_hierarchical_packed(
     if contract:
         pts = contract_pts(pts)
     dirs = jnp.broadcast_to(rays_d[:, None, :], pts.shape).reshape(-1, 3)
+    bvals = (None if base_res is None else _base_raw_vals(
+        (base_packed, base_mb, base_xb, base_res), pts.reshape(-1, 3),
+        interpret))
     sigma, rgb = _query_packed_diff(packed, min_bound, max_bound, res,
-                                    pts.reshape(-1, 3), dirs, interpret)
+                                    pts.reshape(-1, 3), dirs, interpret,
+                                    base_vals=bvals)
     S = n_coarse + n_fine
     return composite(sigma.reshape(n, S), rgb.reshape(n, S, 3), z, white_bg, bg)
 
@@ -393,6 +479,7 @@ def render_image(
     occ_threshold: float = 0.5,
     bg_sh: Optional[jnp.ndarray] = None,
     contract: bool = False,
+    base_grid: Optional[VoxelGrid] = None,
 ) -> jnp.ndarray:
     """Chunked full-image render (ref plenoxel.py:46-61 `test`). Padding to
     a whole number of chunks keeps one compiled shape. On TPU backends the
@@ -416,11 +503,17 @@ def render_image(
     ro = jnp.concatenate([rays_o, jnp.zeros((pad, 3), rays_o.dtype)])
     rd = jnp.concatenate([rays_d, jnp.ones((pad, 3), rays_d.dtype)])
     packed = None
+    base_kw = {}
     if use_pallas:
         from tpu3d.kernels.trilinear import pack_grid
 
         packed = pack_grid(vg.grid)
         res = vg.grid.shape[:3]
+        if base_grid is not None:
+            base_kw = dict(base_packed=pack_grid(jnp.asarray(base_grid.grid)),
+                           base_mb=jnp.asarray(base_grid.min_bound),
+                           base_xb=jnp.asarray(base_grid.max_bound),
+                           base_res=tuple(base_grid.grid.shape[:3]))
     outs = []
     for s in range(0, n + pad, chunk):
         rd_c = rd[s : s + chunk]
@@ -431,11 +524,13 @@ def render_image(
                 packed, vg.min_bound, vg.max_bound, res, key,
                 ro[s : s + chunk], rd_c, near, far, n_samples,
                 clip_aabb=clip_aabb, occ=occ, bg=bg, contract=contract,
+                **base_kw,
             ))
         else:
             outs.append(
                 render_rays(vg, key, ro[s : s + chunk], rd_c, near, far,
                             n_samples, perturb=False, clip_aabb=clip_aabb,
-                            occ=occ, bg=bg, contract=contract)
+                            occ=occ, bg=bg, contract=contract,
+                            base_vg=base_grid)
             )
     return jnp.concatenate(outs)[:n]

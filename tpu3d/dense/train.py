@@ -448,35 +448,45 @@ def make_train_step(cfg: DenseConfig, optimizer: optax.GradientTransformation):
 
 
 def make_train_step_packed(cfg: DenseConfig, optimizer: optax.GradientTransformation,
-                           res, interpret: bool = False):
+                           res, interpret: bool = False, base_res=None):
     """Training step on the PACKED grid layout (kernels/trilinear.py):
     Pallas box-DMA forward + Pallas binned scatter-add backward
     (kernels/trilinear_grad.py) replace XLA's latency-bound gather/scatter
     pair — the dense step's dominant cost. Adam runs directly on the
-    packed array (padding rows/channels get zero gradient and stay zero)."""
+    packed array (padding rows/channels get zero gradient and stay zero).
+
+    base_res: static resolution of an optional frozen cascade BASE grid
+    (r5 capacity cascade) — when set, step calls must pass base=(packed,
+    min_bound, max_bound) device arrays and the trained grid becomes the
+    core DETAIL layer (see dense/render.py)."""
     from tpu3d.dense.render import (render_rays_hierarchical_packed,
                                     render_rays_packed_diff)
 
-    def render_pred(packed, minb, maxb, key, ro, rd, occ, bg):
+    def render_pred(packed, minb, maxb, key, ro, rd, occ, bg, base):
+        bkw = {}
+        if base_res is not None:
+            bkw = dict(base_packed=base[0], base_mb=base[1], base_xb=base[2],
+                       base_res=base_res)
         if cfg.hierarchical:
             return render_rays_hierarchical_packed(
                 packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
                 cfg.n_coarse, cfg.n_fine, cfg.white_background,
                 clip_aabb=cfg.per_ray_aabb, interpret=interpret,
                 occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
-                contract=cfg.contraction)
+                contract=cfg.contraction, **bkw)
         return render_rays_packed_diff(
             packed, minb, maxb, res, key, ro, rd, cfg.near, cfg.far,
             cfg.num_samples, cfg.white_background,
             clip_aabb=cfg.per_ray_aabb, interpret=interpret,
             occ=occ, occ_probes=cfg.occupancy_probes, bg=bg,
-            contract=cfg.contraction)
+            contract=cfg.contraction, **bkw)
 
-    def step_body(state: TrainState, key, ro, rd, rgb, occ=None, cid=None):
+    def step_body(state: TrainState, key, ro, rd, rgb, occ=None, cid=None,
+                  base=None):
         def loss_fn(packed, gains, bg_sh, key, rgb, cid):
             pred = render_pred(packed, state.grid.min_bound,
                                state.grid.max_bound, key, ro, rd, occ,
-                               _ray_background(bg_sh, rd))
+                               _ray_background(bg_sh, rd), base)
             loss = jnp.mean((_exposure_apply(pred, gains, cid) - rgb) ** 2)
             if cfg.tv_sigma or cfg.tv_sh:
                 tv_s, tv_c = _tv_crop_loss_packed(
@@ -511,7 +521,7 @@ def make_multi_step(step_fn, with_occ: bool):
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def multi(state, epoch_key, step0, idx, o_all, d_all, rgb_all, occ=None,
-              cid_all=None):
+              cid_all=None, base=None):
         # Per-step keys are fold_in(epoch_key, step) — identical to the
         # per-step (scan_chunk=1) loop, so dispatch granularity cannot
         # change the training sequence (tests/test_trilinear_grad.py).
@@ -521,12 +531,13 @@ def make_multi_step(step_fn, with_occ: bool):
         def scan_body(st, args):
             k, ix = args
             cid = None if cid_all is None else cid_all[ix]
+            kw = {} if base is None else {"base": base}
             if with_occ:
                 st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix], occ,
-                                cid=cid)
+                                cid=cid, **kw)
             else:
                 st, loss = body(st, k, o_all[ix], d_all[ix], rgb_all[ix],
-                                cid=cid)
+                                cid=cid, **kw)
             return st, loss
 
         return jax.lax.scan(scan_body, state, (keys, idx))
@@ -726,9 +737,16 @@ def train_plenoxel(
     resume: bool = False,
     packed: Optional[bool] = None,
     mesh=None,
+    base_grid: Optional[VoxelGrid] = None,
 ) -> Tuple[VoxelGrid, List[float]]:
     """Reference training loop (plenoxel.py:96-121 / sdf.py:423-445), with
     optional per-epoch checkpoint/resume through an ArtifactStore.
+
+    base_grid: optional frozen cascade BASE (r5): when given, the trained
+    grid is the core DETAIL layer composed pre-activation with this base
+    (dense/render.py). Callers should pass a detail `grid` with tighter
+    bounds, coarse_epochs=0 and camera_gate=False; the packed Pallas path
+    is forced (interpret mode on CPU).
 
     packed: run the step on the packed grid layout through the Pallas
     kernel pair (None = auto: on for TPU backends). The returned grid is
@@ -757,6 +775,8 @@ def train_plenoxel(
         grid, pre_losses, cfg = _coarse_stage(
             train_plenoxel, dataset, cfg, seed, grid, verbose, log_every, packed)
     use_packed = packed if packed is not None else (jax.default_backend() != "cpu")
+    if base_grid is not None:
+        use_packed = True
     orig_shape = tuple(grid.grid.shape)
     if use_packed:
         from tpu3d.kernels.trilinear import pack_grid, unpack_grid
@@ -764,6 +784,15 @@ def train_plenoxel(
         garr = pack_grid(grid.grid)
     else:
         garr = grid.grid
+    base_tuple = None
+    base_res = None
+    if base_grid is not None:
+        from tpu3d.kernels.trilinear import pack_grid as _pg
+
+        base_res = tuple(base_grid.grid.shape[:3])
+        base_tuple = (jnp.asarray(_pg(jnp.asarray(base_grid.grid))),
+                      jnp.asarray(base_grid.min_bound),
+                      jnp.asarray(base_grid.max_bound))
     optimizer = make_optimizer(cfg, steps_per_epoch)
     exp0 = (init_exposure(int(dataset.cam_ids.max()) + 1)
             if cfg.exposure and dataset.cam_ids is not None else None)
@@ -782,7 +811,8 @@ def train_plenoxel(
                 print(f"[dense] resumed at epoch {start_epoch}", flush=True)
     if use_packed:
         interp = jax.default_backend() == "cpu"
-        step_fn = make_train_step_packed(cfg, optimizer, orig_shape[:3], interp)
+        step_fn = make_train_step_packed(cfg, optimizer, orig_shape[:3], interp,
+                                         base_res=base_res)
     else:
         step_fn = make_train_step(cfg, optimizer)
 
@@ -851,9 +881,10 @@ def train_plenoxel(
                 idx = jnp.asarray(idx.reshape(k_steps, cfg.batch_size))
                 state, loss_chunk = multi_fn(state, ekey, np.uint32(b), idx,
                                              o_dev, d_dev, rgb_dev, occ,
-                                             cid_all=cid_dev)
+                                             cid_all=cid_dev, base=base_tuple)
             else:
                 idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
+                extra = {} if base_tuple is None else {"base": base_tuple}
                 state, loss = step_fn(
                     state, jax.random.fold_in(ekey, np.uint32(b)),
                     jnp.asarray(dataset.origins[idx]),
@@ -862,6 +893,7 @@ def train_plenoxel(
                     occ=occ,
                     cid=(jnp.asarray(cid_all[idx]) if cid_all is not None
                          else None),
+                    **extra,
                 )
                 loss_chunk = None
             global_step += k_steps

@@ -52,7 +52,8 @@ def find_essential_ransac(
 
         import os
 
-        _legacy = os.environ.get("TPU3D_GATE_LEGACY", "") == "1"
+        _legacy = (os.environ.get("TPU3D_GATE_LEGACY", "") == "1"
+                   or os.environ.get("TPU3D_GATE_FAST8", "1") == "0")
 
         def solver(idx):
             # Hypotheses ARE projected to the essential manifold before

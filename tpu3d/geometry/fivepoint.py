@@ -36,9 +36,12 @@ import numpy as np
 
 # r5 fast kernels (flat-layout constraints, unrolled GE determinant,
 # closed-form essential projection) are the default; TPU3D_GATE_LEGACY=1
-# restores the pre-r5 lowering for A/B runs. Read at import time — the
-# jitted gate functions trace whichever implementation is active.
-_LEGACY = os.environ.get("TPU3D_GATE_LEGACY", "") == "1"
+# restores the pre-r5 lowering for A/B runs, and TPU3D_GATE_FAST5=0
+# disables only the five-point fast paths (granular bisect). Read at
+# import time — the jitted gate functions trace whichever implementation
+# is active.
+_LEGACY = (os.environ.get("TPU3D_GATE_LEGACY", "") == "1"
+           or os.environ.get("TPU3D_GATE_FAST5", "1") == "0")
 
 MAX_ROOTS = 10
 GRID = 256           # sign-change scan resolution over the warped real line

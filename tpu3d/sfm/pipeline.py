@@ -428,6 +428,7 @@ def _match_and_gate_block(d, v, kp, ii, jj, keys, focal, thr_px, ratio,
 
 
 _LG_PARAMS_CACHE: Dict[str, object] = {}
+_GATE_BLOCK_STICKY: Optional[int] = None
 
 
 def _lg_params_for(cfg) -> Optional[object]:
@@ -466,7 +467,21 @@ def _batch_match_pairs(feats, pairs, cfg, key, memo, verbose=False):
         # padded slots at 159 edges — at >=16 blocks the tail slot waste
         # is <2% and per-block latency amortization wins.
         B = 2 * B
-    if lg_params is not None:
+    # STICKY block size (r5): every later call in the process (retry /
+    # 2-hop rescue) reuses the first call's vmap width — a different B is
+    # a different program shape, and recompiling the fused match+gate
+    # program costs ~40 s on the remote backend (the r5 full run measured
+    # rescue_2hop at 45 s for a handful of fresh pairs, almost all of it
+    # the B=32 recompile of a program the B=64 main pass already had).
+    # Padding a small rescue job to one 64-wide block costs ~1.4 s of
+    # device compute instead.
+    global _GATE_BLOCK_STICKY
+    if lg_params is None:
+        if _GATE_BLOCK_STICKY is None:
+            _GATE_BLOCK_STICKY = B
+        else:
+            B = _GATE_BLOCK_STICKY
+    else:
         # 9-layer attention over 2048-kpt pairs: cap the vmapped block so
         # the (B, h, K, K) attention intermediates stay within HBM.
         B = min(B, 8)
@@ -747,6 +762,8 @@ def run_matching(
                 e = (min(w, vtx), max(w, vtx))
                 if e not in cache:
                     fresh_pairs.append(e)
+        LAST_MATCH_TIMERS["rescue_missing"] = len(missing)
+        LAST_MATCH_TIMERS["rescue_fresh"] = len(fresh_pairs)
         if fresh_pairs:
             _batch_match_pairs(feats, fresh_pairs, cfg, key, cache,
                                verbose=False)
