@@ -92,13 +92,35 @@ def _barrier(tree):
 def _mfu_entry(fn, args, kwargs=None, reps: int = 3, calls: int = 2):
     """(flops/call from XLA cost analysis, best seconds/call) for a jitted
     fn at fixed shapes. Pallas custom calls count 0 FLOPs in XLA's
-    analysis — entries dominated by Pallas kernels report flops=None."""
+    analysis — entries dominated by Pallas kernels report flops=None.
+
+    When the live backend's compile gives no flop count (the axon remote
+    compile path does not expose cost analysis for some programs —
+    mfu.extract_batch was blank in r3/r4), the count is re-derived from a
+    HOST-CPU lowering of the same function at the same shapes: the
+    arithmetic is backend-independent to first order, and the entry is
+    tagged flops_source="cpu_lowering" for honesty."""
+    import jax
+
     kwargs = kwargs or {}
+    flops_source = "device"
     try:
         ca = fn.lower(*args, **kwargs).compile().cost_analysis()
         flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         flops = None
+    if flops is None:
+        try:
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                cargs = jax.tree_util.tree_map(
+                    lambda a: (jax.device_put(np.asarray(a), cpu)
+                               if hasattr(a, "shape") else a), args)
+                ca = fn.lower(*cargs, **kwargs).compile().cost_analysis()
+            flops = float(ca.get("flops", 0.0)) or None
+            flops_source = "cpu_lowering"
+        except Exception:
+            flops = None
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
@@ -106,7 +128,7 @@ def _mfu_entry(fn, args, kwargs=None, reps: int = 3, calls: int = 2):
             out = fn(*args, **kwargs)
         _barrier(out)
         best = min(best, (time.time() - t0) / calls)
-    return flops, best
+    return flops, best, flops_source
 
 
 def measure_mfu(cfg, H, W):
@@ -146,12 +168,14 @@ def measure_mfu(cfg, H, W):
     }
     report = {}
     for name, (fn, args, kwargs) in entries.items():
-        flops, secs = _mfu_entry(fn, args, kwargs)
+        flops, secs, src = _mfu_entry(fn, args, kwargs)
         row = {"seconds_per_call": round(secs, 4)}
         if flops:
             row["gflops_per_call"] = round(flops / 1e9, 2)
             row["achieved_gflops_per_s"] = round(flops / secs / 1e9, 1)
             row["pct_of_v5e_bf16_peak"] = round(100 * flops / secs / _V5E_PEAK_BF16, 2)
+            if src != "device":
+                row["flops_source"] = src
         report[name] = row
     return report
 

@@ -221,6 +221,10 @@ def cmd_extract(args):
     store.save_json("features_meta", {"names": feats.names, "downscale": args.downscale,
                                       "seconds": time.time() - t0})
     print(f"extracted {len(names)} images in {time.time() - t0:.1f}s -> {args.artifacts}/features.npz")
+    from tpu3d.sfm.pipeline import LAST_EXTRACT_TIMERS
+
+    if LAST_EXTRACT_TIMERS:
+        print(f"extract timers: {dict(LAST_EXTRACT_TIMERS)}")
     _print_dispatches()
 
 

@@ -230,6 +230,8 @@ def run_extraction(
     # schedule changed.
     batches = []                       # (chunk, rgb, fs) in batch order
     n_disp = 0
+    t_decode = t_upload = 0.0
+    t_loop0 = time.time()
 
     # --- sequential-prior prematch state (see docstring) ---
     N = len(names)
@@ -238,16 +240,20 @@ def run_extraction(
     pm = SequentialPrematcher(N, cfg, prematch_offsets) if prematch else None
 
     for bi, s in enumerate(starts):
+        _t = time.time()
         chunk, gray_u8, rgb = futures.pop(s).result()
+        t_decode += time.time() - _t
         if bi + 2 < len(starts):
             futures[starts[bi + 2]] = pool.submit(load_batch, starts[bi + 2])
         # Upload as uint8 (4x less host-link traffic); the extractor
         # normalizes on device.
+        _t = time.time()
         if fe_params is None:
             fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
         else:
             fs = extract_learned(fe_params, cfg.frontend.model, gray_u8,
                                  rgb, cfg.frontend)
+        t_upload += time.time() - _t
         _tick("extract_batch")
         batches.append((chunk, rgb, fs))
         if pm is not None:
@@ -262,10 +268,18 @@ def run_extraction(
     pool.shutdown(wait=False)
     if pm is not None:
         pm.finish(prematch_memo)
+    t_dispatch_loop = time.time() - t_loop0
     # One bulk fetch for everything host-side work needs.
+    _t = time.time()
     kp_px_all = np.asarray(jnp.concatenate(
         [fs.keypoints_px[: len(c)] for c, _, fs in batches]))
     _tick("extract_bulk_fetch")
+    t_fetch = time.time() - _t
+    LAST_EXTRACT_TIMERS.clear()
+    LAST_EXTRACT_TIMERS.update(
+        decode_wait=round(t_decode, 2), upload_dispatch=round(t_upload, 2),
+        dispatch_loop=round(t_dispatch_loop, 2),
+        drain_and_kp_fetch=round(t_fetch, 2))
     colors = []
     ofs = 0
     for chunk, rgb, fs in batches:
@@ -610,6 +624,7 @@ def _match_one_pair(feats, i, j, cfg, key):
 
 
 LAST_MATCH_TIMERS: Dict[str, float] = {}
+LAST_EXTRACT_TIMERS: Dict[str, float] = {}
 
 
 def run_matching(
