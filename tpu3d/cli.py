@@ -289,6 +289,20 @@ def cmd_match(args):
 
     cfg = _build_config(args)
     t_load = time.time()
+    # Overlap the gate executable's server-side compile with feature
+    # loading + retrieval (the compile must use the RESCALED focal, so
+    # rescale a throwaway config from the stored meta first).
+    import json as _json
+
+    from tpu3d.sfm.pipeline import prewarm_gate_async
+
+    try:
+        meta_peek = _json.load(open(os.path.join(args.artifacts,
+                                                 "features_meta.json")))
+        n_hint = len(meta_peek.get("names", []))
+        prewarm_gate_async(_rescale_cfg(cfg, meta_peek, args), n_hint)
+    except Exception:
+        pass
     feats, meta = _load_features(args)
     cfg = _rescale_cfg(cfg, meta, args)
     t0 = time.time()

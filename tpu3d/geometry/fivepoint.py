@@ -42,6 +42,13 @@ import numpy as np
 # is active.
 _LEGACY = (os.environ.get("TPU3D_GATE_LEGACY", "") == "1"
            or os.environ.get("TPU3D_GATE_FAST5", "1") == "0")
+# Component-level bisect knobs (r5): the full-dataset A/B showed the fast
+# 5-point path costs recall; these isolate which kernel's rounding flips
+# the gate cascades.
+_LEGACY_DET = _LEGACY or os.environ.get("TPU3D_GATE_FAST5_DET", "1") == "0"
+_LEGACY_PROJ = _LEGACY or os.environ.get("TPU3D_GATE_FAST5_PROJ", "1") == "0"
+_LEGACY_CONSTR = (_LEGACY
+                  or os.environ.get("TPU3D_GATE_FAST5_CONSTR", "1") == "0")
 
 MAX_ROOTS = 10
 GRID = 256           # sign-change scan resolution over the warped real line
@@ -150,7 +157,7 @@ def _M_of_z(basis: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     arrays, so the constraint evaluation is pure elementwise VPU work —
     the (..., 3, 3)-shaped path inflated ~14x under XLA's (8, 128)
     register tiling of the trailing dims and dominated the match gate."""
-    if _LEGACY:
+    if _LEGACY_CONSTR:
         xs = jnp.asarray(_XY[:, 0], jnp.float32)
         ys = jnp.asarray(_XY[:, 1], jnp.float32)
         W, X, Y, Zb = basis[0], basis[1], basis[2], basis[3]
@@ -336,7 +343,7 @@ def _det_coeffs(basis: jnp.ndarray) -> jnp.ndarray:
     # one global scale keeps det in f32 range without changing the
     # polynomial structure (per-sample scaling would)
     lam = jnp.maximum(jnp.max(jnp.abs(N)), 1e-12)
-    det = jnp.linalg.det if _LEGACY else _det10_ge
+    det = jnp.linalg.det if _LEGACY_DET else _det10_ge
     q = det(N / lam)                            # (11,)
     return jnp.asarray(_BASIS_INV) @ q
 
@@ -404,7 +411,7 @@ def essential_five_point(x0: jnp.ndarray, x1: jnp.ndarray) -> Tuple[jnp.ndarray,
     # project to the essential manifold (closed form; candidates from a
     # polynomial root are near-essential, so sigma3 is isolated and the
     # fast projection is accurate exactly where it matters)
-    if _LEGACY:
+    if _LEGACY_PROJ:
         U, S, Vt = jnp.linalg.svd(E)
         dvals = jnp.ones_like(S).at[..., 2].set(0.0)
         E = U @ (dvals[..., :, None] * Vt)

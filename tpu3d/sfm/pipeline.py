@@ -445,6 +445,55 @@ _LG_PARAMS_CACHE: Dict[str, object] = {}
 _GATE_BLOCK_STICKY: Optional[int] = None
 
 
+def prewarm_gate_async(cfg, n_images: int):
+    """Fire-and-forget compile of the fused match+gate block executable on
+    a background thread, so its ~40 s server-side compile (the r5 kernels
+    trade bigger HLO for 3x faster execution) overlaps the extract stage's
+    decode/upload/device work instead of serializing in front of the first
+    gate block. Pins the sticky block width FIRST (synchronously) so the
+    real pass reuses the prewarmed shape. Returns the thread (or None on
+    host-CPU backends, where jit compiles synchronously on this thread and
+    nothing would overlap)."""
+    import threading
+
+    import jax
+
+    if (jax.default_backend() == "cpu" or cfg.matching.pair_batch <= 1
+            or cfg.matching.matcher != "mnn"):
+        return None
+    global _GATE_BLOCK_STICKY
+    B = max(int(cfg.matching.pair_batch), 1)
+    if n_images >= 128:   # edges ~ 8.4x images >= the 16*B doubling gate
+        B = 2 * B
+    if _GATE_BLOCK_STICKY is None:
+        _GATE_BLOCK_STICKY = B
+    B = _GATE_BLOCK_STICKY
+    K = cfg.frontend.max_keypoints
+
+    def _warm():
+        try:
+            rng = np.random.default_rng(0)
+            d = jnp.asarray(rng.standard_normal((2, K, 128)).astype(np.float32))
+            v = jnp.ones((2, K), jnp.float32)
+            kp = jnp.asarray(rng.uniform(-200, 200, (2, K, 2)).astype(np.float32))
+            ii = jnp.zeros((B,), jnp.int32)
+            jj = jnp.ones((B,), jnp.int32)
+            keys = jnp.asarray(np.asarray(
+                jax.random.split(jax.random.PRNGKey(0), B)))
+            out = _match_and_gate_block(
+                d, v, kp, ii, jj, keys, cfg.camera.focal_length,
+                cfg.matching.ransac_threshold_px, cfg.matching.ratio_threshold,
+                cfg.sfm.ransac.num_hypotheses,
+                five_point=cfg.sfm.ransac.use_five_point)
+            np.asarray(out[:1, :1])  # hold the thread until compiled+run
+        except Exception:
+            pass  # prewarm is best-effort; the real pass compiles if needed
+
+    t = threading.Thread(target=_warm, daemon=True, name="gate-prewarm")
+    t.start()
+    return t
+
+
 def _lg_params_for(cfg) -> Optional[object]:
     """Device-resident LightGlue params for the configured matcher (memoized
     per weights path); None for the mutual-NN matcher."""
@@ -1269,6 +1318,8 @@ def reconstruct(
     timings: Dict[str, float] = {}
     t0 = time.time()
     memo: Dict = {}
+    n_img_hint = len(names) if names else 0
+    prewarm_gate_async(cfg, n_img_hint)
     with trace_span("extract", sync=True, images=len(names) if names else -1):
         feats = run_extraction(
             img_dir, cfg, names, downscale, verbose,
