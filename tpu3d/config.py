@@ -129,6 +129,13 @@ class MatchingConfig:
     # joint PnP inlier count instead, so the matching-time overlap gate is
     # only a weak prior.
     min_track_overlap: float = 0.1
+    # Order-free reference selection (r5): each image's reference edges are
+    # ranked by cheirality-inlier count from the CACHED per-edge gate
+    # results instead of BFS traversal order. The legacy BFS consume picks
+    # refs by discovery order, which amplifies ULP-level gate-numerics
+    # changes into 27% edge-set reshuffles and 6-11 cameras of engine
+    # recall variance (ROUND5_NOTES gate A/B). False = legacy consume.
+    canonical_select: bool = True
     ransac_threshold_px: float = 1.0   # ref matching.py:134
     # Matcher. "mnn" = mutual-NN + ratio test (weight-free); "lightglue"
     # runs the Flax LightGlue forward (matching/lightglue.py, the

@@ -724,7 +724,94 @@ def run_matching(
             rel_R=rel_R, rel_t=rel_t,
         )
 
-    while qi < len(queue):
+    use_canonical = (cache is not None
+                     and getattr(cfg.matching, "canonical_select", True))
+    track_refs: set = set()   # images already carrying track unions
+    if use_canonical:
+        # ---- CANONICAL (order-free) edge selection (r5) ----
+        # The BFS consume below picks each image's references by TRAVERSAL
+        # ORDER, and the order itself depends on borderline gate outcomes:
+        # the r5 gate-kernel A/B measured that ULP-level changes in the
+        # E-gate numerics leave per-edge inlier counts intact (mean +0.7)
+        # but reshuffle 27% of the selected edge set through order
+        # amplification, and the engine's incremental cascade then loses
+        # 6-11 cameras (287 -> 276..281 across five numerically-equal
+        # variants). Here every decision is a pure function of the CACHED
+        # per-edge results: references are ranked by cheirality-inlier
+        # count (stable index tiebreak), the bootstrap pair is the
+        # strongest passing edge, and images are emitted in capture order
+        # — the engine's fixpoint retry already handles refs that register
+        # later (engine.py: anchors need tracks, not registered refs).
+        def decode(i, j):
+            kk = jax.random.PRNGKey(0)  # unused on cache hits
+            return _match_pair_cached(feats, i, j, cfg, kk, cache)
+
+        passing = {}   # (ref, new) -> (n_front, n_raw), all directed pairs
+        for (a, b) in cache:
+            for i, j in ((a, b), (b, a)):
+                sel, _, _, _, _, n_raw, n_front, rel_R, _ = decode(i, j)
+                if sel is not None and rel_R is not None:
+                    passing[(i, j)] = (int(n_front), int(n_raw))
+        # Bootstrap: strongest passing pair-sized edge meeting the
+        # first-pair inlier bar (the global frame/scale seed).
+        boot = None
+        for (i, j), (nf, nr) in sorted(passing.items(),
+                                       key=lambda kv: (-kv[1][0], kv[0])):
+            if nr < cfg.matching.min_pair_matches:
+                continue
+            sel, *_ = decode(i, j)
+            if int(sel.sum()) >= cfg.matching.min_first_pair_inliers:
+                boot = (i, j)
+                break
+        if boot is None:
+            use_canonical = False   # degenerate set: legacy consume below
+        else:
+            by_new = {}
+            for (w, jj), (nf, nr) in passing.items():
+                by_new.setdefault(jj, []).append((-nf, w, nr))
+            order = [boot[1]] + [v for v in range(n_img) if v != boot[1]]
+            for j in order:
+                cands = sorted(by_new.get(j, []))
+                edges = []
+                for negnf, w, nr in cands:
+                    if len(edges) >= MAX_REFS:
+                        break
+                    if j == boot[1] and not edges and w != boot[0]:
+                        continue   # the seed image's first edge IS the seed
+                    sel, idx0, idx1, uv0, uv1, _, nf_, rR, rt = decode(w, j)
+                    if not edges and j != boot[1]:
+                        # The PRIMARY edge carries the legacy pair-size +
+                        # track-overlap gates; the overlap gate only binds
+                        # when the ref side already carries tracks (in
+                        # order-free selection a ref may be processed
+                        # later, and a zero-track ref would fail
+                        # vacuously). Images with no gate-passing primary
+                        # still keep their secondary edges — mirroring the
+                        # legacy retry pass, which accepts on
+                        # min_inliers alone.
+                        if nr < cfg.matching.min_pair_matches:
+                            pass_primary = False
+                        else:
+                            overlap = ts.overlap_fraction(
+                                w, j, idx0[sel], idx1[sel])
+                            pass_primary = (w not in track_refs
+                                            or overlap >= cfg.matching.min_track_overlap)
+                        if not pass_primary:
+                            continue
+                    edges.append(make_edge(w, j, sel, idx0, idx1, uv0, uv1,
+                                           rR, rt))
+                    track_refs.add(w)
+                    track_refs.add(j)
+                if edges:
+                    accepted.append(ImageRegistration(img=j, edges=edges))
+                    visited.add(j)
+            visited.add(boot[0])
+            first = len(accepted) == 0
+            if verbose:
+                print(f"[match] canonical selection: {len(accepted)} images, "
+                      f"{sum(len(r.edges) for r in accepted)} edges "
+                      f"(bootstrap {boot})", flush=True)
+    while qi < len(queue) and not use_canonical:
         u = queue[qi]
         qi += 1
         for vtx in adj[u]:
