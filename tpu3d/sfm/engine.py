@@ -335,8 +335,25 @@ class IncrementalSfM:
         # (ystad_kloster lands at ~190/570); the ladder still grows by 4x
         # if a denser scene exceeds them.
         cexp = _bucket(n_images, 8)
+        # Pre-size 2x when the BA solves run on an ACCELERATOR: canonical
+        # reference selection (r5) raised the full-run track/observation
+        # counts ~30% past the old pre-size, and every mid-run ladder
+        # growth is a fresh ~25-40 s server-side compile on the tunnel
+        # (measured: global_ba 277 s wall for ~73 s of solve at c1's
+        # shapes). A one-shape run pays bounded padded-solve cost instead
+        # (~0.24 s/LM-iter at the 303k-obs bucket). CPU-backend solves
+        # keep the tight ladder: host compiles are cheap and CPU solve
+        # time scales with the padded axis.
+        import jax as _jax
+
+        from tpu3d.config import resolve_sfm_backend as _rsb
+
+        _mult = 2 if (_jax.default_backend() != "cpu"
+                      and _rsb(getattr(self.cfg, "backend", "auto")) != "cpu"
+                      ) else 1
         self._gba_shapes = _ShapeLadder(init={
-            "C": cexp, "P": max(128 * cexp, 4096), "O": max(512 * cexp, 16384)})
+            "C": cexp, "P": max(128 * _mult * cexp, 4096),
+            "O": max(512 * _mult * cexp, 16384)})
         self._wba_shapes = _ShapeLadder(init={
             "C": cexp, "P": 16384, "O": 65536} if n_images > 32 else None)
 
