@@ -626,10 +626,14 @@ def cmd_densify(args):
             dataset, det_cfg, grid=dg0, base_grid=grid,
             verbose=not args.quiet)
         losses = losses + det_losses
+        # Host-known bounds for meta/eval bookkeeping: RUN K r5 OOM'd on a
+        # (3,)-element device fetch right after detail training (the axon
+        # heap was still draining freed train buffers) — never fetch what
+        # the host already knows.
+        detail_bounds_host = (lo.tolist(), hi.tolist())
         if not args.no_checkpoint:
             store.save("dense_grid_detail", grid=np.asarray(detail_grid.grid),
-                       min_bound=np.asarray(detail_grid.min_bound),
-                       max_bound=np.asarray(detail_grid.max_bound))
+                       min_bound=lo, max_bound=hi)
     from tpu3d.dense.train import LAST_TRAIN_AUX
 
     bg_sh = LAST_TRAIN_AUX.get("background")
@@ -674,8 +678,8 @@ def cmd_densify(args):
         "norm_scale": float(norm.scale),
         "cascade_detail": (None if detail_grid is None else {
             "res": [int(r) for r in detail_grid.grid.shape[:3]],
-            "min_bound": np.asarray(detail_grid.min_bound, np.float64).tolist(),
-            "max_bound": np.asarray(detail_grid.max_bound, np.float64).tolist(),
+            "min_bound": detail_bounds_host[0],
+            "max_bound": detail_bounds_host[1],
         }),
     })
     dropped_local = LAST_TRAIN_AUX.get("dropped_cameras", [])
