@@ -734,6 +734,18 @@ def cmd_densify(args):
             Image.fromarray(gt0).save(os.path.join(args.artifacts, "test_gt0.png"))
         except Exception:
             pass
+        out["test_view_names"] = [reg_names[k] for k in test_idx]
+    # Persist the result next to the grid: PSNRs used to live only on
+    # stdout, so a dead session lost the round's dense numbers (r5 runs
+    # J/K had to be re-run for exactly this reason).
+    out["recipe"] = {
+        "epochs": dcfg.epochs, "coarse_epochs": dcfg.coarse_epochs,
+        "grid_resolution": dcfg.grid_resolution,
+        "contraction": bool(getattr(dcfg, "contraction", False)),
+        "coremax_q": args.coremax_q, "detail_epochs": args.detail_epochs,
+        "model": args.model,
+    }
+    store.save_json("dense_result", out)
     print(json.dumps(out))
 
 

@@ -215,7 +215,16 @@ def run_extraction(
 
     pool = ThreadPoolExecutor(max_workers=2)
     starts = list(range(0, len(names), B))
-    futures = {s: pool.submit(load_batch, s) for s in starts[:2]}
+    # Host->device transfers are grouped: G batches ride ONE upload and the
+    # extractor dispatches on device-side slices. The r5 full-run profile
+    # showed 73 per-batch uploads costing ~355 ms each (25.9 s of a 33.4 s
+    # dispatch loop) on the remote tunnel — per-transfer round trip, not
+    # bandwidth (a 4-image u8 batch is 2.5 MB ~= 84 ms at link rate).
+    # Grouping 8 batches per transfer cuts the round trips 8x; keypoints
+    # are bit-identical (same u8 bytes, same per-batch executable).
+    G = 8
+    groups = [starts[g : g + G] for g in range(0, len(starts), G)]
+    futures = {s: pool.submit(load_batch, s) for grp in groups[:2] for s in grp}
 
     # Device-resident accumulators; the only per-batch host transfer is the
     # uint8 image upload. ALL downloads happen in bulk after the dispatch
@@ -239,30 +248,41 @@ def run_extraction(
                 and cfg.matching.matcher == "mnn" and N > 1)
     pm = SequentialPrematcher(N, cfg, prematch_offsets) if prematch else None
 
-    for bi, s in enumerate(starts):
+    for gi, grp in enumerate(groups):
         _t = time.time()
-        chunk, gray_u8, rgb = futures.pop(s).result()
+        loaded = [futures.pop(s).result() for s in grp]
         t_decode += time.time() - _t
-        if bi + 2 < len(starts):
-            futures[starts[bi + 2]] = pool.submit(load_batch, starts[bi + 2])
-        # Upload as uint8 (4x less host-link traffic); the extractor
-        # normalizes on device.
-        _t = time.time()
+        if gi + 2 < len(groups):
+            for s in groups[gi + 2]:
+                futures[s] = pool.submit(load_batch, s)
+        # Upload as uint8 (4x less host-link traffic), one transfer per
+        # group; the extractor normalizes on device. The learned path keeps
+        # per-batch host arrays (extract_learned samples colors host-side).
+        gray_dev = None
         if fe_params is None:
-            fs = extract_features(jnp.asarray(gray_u8), cfg.frontend)
-        else:
-            fs = extract_learned(fe_params, cfg.frontend.model, gray_u8,
-                                 rgb, cfg.frontend)
-        t_upload += time.time() - _t
-        _tick("extract_batch")
-        batches.append((chunk, rgb, fs))
-        if pm is not None:
-            pm.add_features(s, fs.descriptors, fs.valid, fs.keypoints,
-                            len(chunk))
-        if batch_callback is not None:
-            batch_callback(fs, batch_offset + s, len(chunk))
-        n_disp += len(chunk)
-        if verbose and (bi % 8 == 0 or bi + 1 == len(starts)):
+            _t = time.time()
+            gray_dev = jnp.asarray(
+                np.concatenate([g for _, g, _ in loaded]))
+            t_upload += time.time() - _t
+        for k, (chunk, gray_u8, rgb) in enumerate(loaded):
+            s = grp[k]
+            _t = time.time()
+            if fe_params is None:
+                fs = extract_features(gray_dev[k * B : (k + 1) * B],
+                                      cfg.frontend)
+            else:
+                fs = extract_learned(fe_params, cfg.frontend.model, gray_u8,
+                                     rgb, cfg.frontend)
+            t_upload += time.time() - _t
+            _tick("extract_batch")
+            batches.append((chunk, rgb, fs))
+            if pm is not None:
+                pm.add_features(s, fs.descriptors, fs.valid, fs.keypoints,
+                                len(chunk))
+            if batch_callback is not None:
+                batch_callback(fs, batch_offset + s, len(chunk))
+            n_disp += len(chunk)
+        if verbose and (gi % 2 == 0 or gi + 1 == len(groups)):
             print(f"[extract] dispatched {n_disp}/{len(names)} images",
                   flush=True)
     pool.shutdown(wait=False)
