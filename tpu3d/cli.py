@@ -1007,6 +1007,38 @@ def cmd_full(args):
                                verbose=not args.quiet, mode=args.mode)
     if args.ply:
         write_ply(args.ply, rec.points, rec.colors_bgr)
+    # Persist the same artifacts the staged commands produce, so `densify`
+    # (and the export/mesh/render commands) can consume a one-process e2e
+    # run directly — the e2e path is the wall-clock-optimal full-dataset
+    # driver (one TPU-pool claim, gate compile prewarmed behind extract).
+    from tpu3d.io.artifacts import ArtifactStore
+    from tpu3d.sfm.pipeline import LAST_SFM_TIMERS
+
+    store = ArtifactStore(args.artifacts)
+    store.save_json("features_meta", {"names": names,
+                                      "downscale": args.downscale,
+                                      "num_images": len(names)})
+    store.save(
+        "reconstruction",
+        cams=rec.cams, registered=rec.registered, points=rec.points,
+        colors_bgr=rec.colors_bgr, track_ids=rec.track_ids,
+        extrinsics=rec.extrinsics(),
+    )
+    store.save_json("reconstruction_meta", {
+        "registered_names": rec.registered_names(),
+        "mean_reproj_px": rec.mean_reproj_px,
+        "num_obs": rec.num_obs,
+        "mode": args.mode,
+        "downscale": args.downscale,
+        "seconds": round(timings["total"], 1),
+        "sfm_phase_seconds": LAST_SFM_TIMERS,
+        "sfm_backend": cfg.sfm.backend,
+        "low_confidence_names": [rec.image_names[i]
+                                 for i in rec.low_confidence],
+        "per_camera_reproj_px": {rec.image_names[i]: round(e, 3)
+                                 for i, e in rec.per_cam_reproj_px.items()},
+    })
+    _print_dispatches()
     print(json.dumps({
         "registered": len(rec.registered), "points": int(len(rec.points)),
         "mean_reproj_px": rec.mean_reproj_px,

@@ -377,6 +377,25 @@ class IncrementalSfM:
                 return jax.default_device(devs[0])
         return contextlib.nullcontext()
 
+    def presize_global_ba(self, n_obs: int, n_tracks: int) -> None:
+        """Pre-size the global-BA padded shapes from EXACT match-graph
+        bounds (every (img, kpt) pair in the edges; all unique tracks) —
+        known before the first BA compiles. r5 measured the cost of
+        guessing: the generic 2x accelerator pre-size (303k obs for 290
+        images) was still exceeded by the canonical match graph (~340k),
+        the ladder doubled to 606k mid-run, and every later LM iteration
+        paid ~1.8x padded compute — global BA 388 s of a 507 s
+        reconstruct. Exact bounds + bucket rounding cap the waste at the
+        bucket granularity; the ladder still grows if somehow exceeded."""
+        BUCKET_O, BUCKET_P = 16384, 4096
+        hw = self._gba_shapes.hw
+        if n_obs > 0:
+            hw["O"] = max(-(-int(n_obs * 1.02) // BUCKET_O) * BUCKET_O,
+                          BUCKET_O)
+        if n_tracks > 0:
+            hw["P"] = max(-(-int(n_tracks * 1.02) // BUCKET_P) * BUCKET_P,
+                          BUCKET_P)
+
     def set_edge_cap(self, max_matches: int) -> None:
         """Bucket the per-edge triangulation capacity to the actual data:
         smallest power of two >= max_matches (floor 256, ceiling EDGE_CAP).

@@ -1035,6 +1035,24 @@ def _run_reconstruction_impl(
         # matches than triangulation needs.
         engine.set_edge_cap(int(np.percentile(sizes, 90)))
     pending = _symmetrize_weak_registrations(pending, feats, verbose)
+    # Pre-size the global-BA shapes from the exact match-graph bounds so
+    # the whole run solves on ONE executable at ~the real problem size
+    # (see IncrementalSfM.presize_global_ba for the measured failure modes
+    # of guessing). Edge sides are truncated to the edge cap exactly like
+    # the commit path, so the bound is tight.
+    cap = engine._edge_cap
+    K = engine._K
+    keys, tracks = [], []
+    for r in pending:
+        for e in r.edges:
+            keys.append(np.asarray(e.idx_new[:cap], np.int64) + r.img * K)
+            keys.append(np.asarray(e.idx_ref[:cap], np.int64)
+                        + e.ref_img * K)
+            tracks.append(np.asarray(e.track[:cap], np.int64))
+    if keys:
+        engine.presize_global_ba(
+            int(len(np.unique(np.concatenate(keys)))),
+            int(len(np.unique(np.concatenate(tracks)))))
     # Fixpoint retry: an image whose references register later in the pass
     # (or whose anchor tracks get triangulated later) succeeds on a
     # subsequent round — the matching-stage order is similarity-driven, not
