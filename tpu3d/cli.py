@@ -1005,12 +1005,13 @@ def cmd_full(args):
         names = names[: args.limit]
     rec, timings = reconstruct(args.images, cfg, names, args.downscale,
                                verbose=not args.quiet, mode=args.mode)
-    if args.ply:
-        write_ply(args.ply, rec.points, rec.colors_bgr)
     # Persist the same artifacts the staged commands produce, so `densify`
     # (and the export/mesh/render commands) can consume a one-process e2e
     # run directly — the e2e path is the wall-clock-optimal full-dataset
     # driver (one TPU-pool claim, gate compile prewarmed behind extract).
+    # Artifacts FIRST, then the PLY: the store creates the artifacts dir,
+    # and a PLY path inside it must not crash a finished 290-image run
+    # (r5: it did — FileNotFoundError after 407 s of work).
     from tpu3d.io.artifacts import ArtifactStore
     from tpu3d.sfm.pipeline import LAST_SFM_TIMERS
 
@@ -1038,6 +1039,8 @@ def cmd_full(args):
         "per_camera_reproj_px": {rec.image_names[i]: round(e, 3)
                                  for i, e in rec.per_cam_reproj_px.items()},
     })
+    if args.ply:
+        write_ply(args.ply, rec.points, rec.colors_bgr)
     _print_dispatches()
     print(json.dumps({
         "registered": len(rec.registered), "points": int(len(rec.points)),

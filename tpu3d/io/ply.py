@@ -1,6 +1,8 @@
 """PLY export + outlier filtering (ref sfm.py:54-77, numpy2ply.py)."""
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -30,6 +32,9 @@ def write_ply(path: str, points: np.ndarray, colors_bgr: np.ndarray, scale: floa
         "property uchar blue\nproperty uchar green\nproperty uchar red\n"
         "end_header\n"
     )
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(path, "w") as f:
         f.write(header)
         for p, c in zip(pts, cols):
