@@ -689,15 +689,37 @@ def cmd_densify(args):
            "dropped_cameras": [reg_names[int(train_idx[c])]
                                for c in dropped_local]}
     if len(test_idx):
-        if detail_grid is not None:
-            ev = evaluate_views(detail_grid, rec["cams"][test_idx],
-                                rgb[test_idx], focal, dcfg, norm, stride=2,
-                                max_views=args.max_eval_views, bg_sh=bg_sh,
-                                base_grid=grid)
-        else:
-            ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx],
-                                focal, dcfg, norm, stride=2,
-                                max_views=args.max_eval_views, bg_sh=bg_sh)
+        def _eval_oom_retry():
+            # Right after cascade training the device heap is briefly
+            # saturated (base + detail + rmsprop moment ~5.6 GB plus
+            # training leftovers that the axon server frees LAZILY): r5
+            # RUN K died on a PRNGKey-sized allocation at eval entry, 30
+            # minutes of training done, eval never run. Freed buffers
+            # drain within seconds; retry with backoff instead of dying.
+            import gc
+            import time as _time
+            for attempt in range(4):
+                try:
+                    if detail_grid is not None:
+                        return evaluate_views(
+                            detail_grid, rec["cams"][test_idx],
+                            rgb[test_idx], focal, dcfg, norm, stride=2,
+                            max_views=args.max_eval_views, bg_sh=bg_sh,
+                            base_grid=grid)
+                    return evaluate_views(
+                        grid, rec["cams"][test_idx], rgb[test_idx],
+                        focal, dcfg, norm, stride=2,
+                        max_views=args.max_eval_views, bg_sh=bg_sh)
+                except Exception as e:  # pragma: no cover - device OOM path
+                    if ("RESOURCE_EXHAUSTED" not in str(e)
+                            and "ResourceExhausted" not in str(e)) or attempt == 3:
+                        raise
+                    print(f"eval OOM (attempt {attempt + 1}) — waiting for "
+                          "the device heap to drain", file=sys.stderr)
+                    gc.collect()
+                    _time.sleep(20 * (attempt + 1))
+
+        ev = _eval_oom_retry()
         out.update(test_psnr=ev["mean_psnr"],
                    test_psnr_per_view=[round(p, 2) for p in ev["per_view"]],
                    test_psnr_calibrated=ev["mean_psnr_calibrated"],
