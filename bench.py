@@ -152,8 +152,14 @@ def measure_mfu(cfg, H, W):
     uv = jnp.asarray(rng.uniform(-300, 300, (K, 2)).astype(np.float32))
     X = jnp.asarray(rng.uniform(-1, 1, (K, 3)).astype(np.float32)
                     + np.array([0, 0, 5], np.float32))
+    # extract_features is a python wrapper (precision scoping + dtype
+    # dispatch), not a jitted fn — it has no .lower, so BOTH cost-analysis
+    # paths threw and the flops fallback never ran (the r3/r4 blank-row
+    # mystery). A jit-wrapped closure restores .lower for cost analysis;
+    # runtime numbers are unchanged (same underlying executable).
+    extract_jit = jax.jit(lambda im: extract_features(im, cfg.frontend))
     entries = {
-        "extract_batch": (extract_features, (img, cfg.frontend), None),
+        "extract_batch": (extract_jit, (img,), None),
         "match_pair": (match_descriptors, (d, d, v, v),
                        {"ratio": cfg.matching.ratio_threshold}),
         "essential_gate": (find_essential_ransac,

@@ -223,6 +223,10 @@ def run_extraction(
     # Grouping 8 batches per transfer cuts the round trips 8x; keypoints
     # are bit-identical (same u8 bytes, same per-batch executable).
     G = 8
+    if len(starts) <= G:
+        # Small runs (the 24-image bench is 6 batches): split into two
+        # groups so group k+1's upload overlaps group k's device compute.
+        G = max(2, (len(starts) + 1) // 2)
     groups = [starts[g : g + G] for g in range(0, len(starts), G)]
     futures = {s: pool.submit(load_batch, s) for grp in groups[:2] for s in grp}
 
@@ -248,22 +252,34 @@ def run_extraction(
                 and cfg.matching.matcher == "mnn" and N > 1)
     pm = SequentialPrematcher(N, cfg, prematch_offsets) if prematch else None
 
+    # Upload as uint8 (4x less host-link traffic), one transfer per group,
+    # issued from a single-worker thread so group k+1's transfer rides
+    # UNDER group k's device compute; the extractor normalizes on device.
+    # The learned path keeps per-batch host arrays (extract_learned
+    # samples colors host-side).
+    up_pool = ThreadPoolExecutor(max_workers=1)
+
+    def _upload_group(gi):
+        t0 = time.time()
+        loaded = [futures.pop(s).result() for s in groups[gi]]
+        t_dec = time.time() - t0
+        dev, t_up = None, 0.0
+        if fe_params is None:
+            t0 = time.time()
+            dev = jnp.asarray(np.concatenate([g for _, g, _ in loaded]))
+            t_up = time.time() - t0
+        return loaded, dev, t_dec, t_up
+
+    upload_futs = {0: up_pool.submit(_upload_group, 0)} if groups else {}
     for gi, grp in enumerate(groups):
-        _t = time.time()
-        loaded = [futures.pop(s).result() for s in grp]
-        t_decode += time.time() - _t
+        loaded, gray_dev, t_dec, t_up = upload_futs.pop(gi).result()
+        t_decode += t_dec
+        t_upload += t_up
         if gi + 2 < len(groups):
             for s in groups[gi + 2]:
                 futures[s] = pool.submit(load_batch, s)
-        # Upload as uint8 (4x less host-link traffic), one transfer per
-        # group; the extractor normalizes on device. The learned path keeps
-        # per-batch host arrays (extract_learned samples colors host-side).
-        gray_dev = None
-        if fe_params is None:
-            _t = time.time()
-            gray_dev = jnp.asarray(
-                np.concatenate([g for _, g, _ in loaded]))
-            t_upload += time.time() - _t
+        if gi + 1 < len(groups):
+            upload_futs[gi + 1] = up_pool.submit(_upload_group, gi + 1)
         for k, (chunk, gray_u8, rgb) in enumerate(loaded):
             s = grp[k]
             _t = time.time()
@@ -286,6 +302,7 @@ def run_extraction(
             print(f"[extract] dispatched {n_disp}/{len(names)} images",
                   flush=True)
     pool.shutdown(wait=False)
+    up_pool.shutdown(wait=False)
     if pm is not None:
         pm.finish(prematch_memo)
     t_dispatch_loop = time.time() - t_loop0
