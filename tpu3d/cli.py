@@ -451,6 +451,9 @@ def cmd_densify(args):
     rec = dict(rec, cams=cams_all)
     gray, rgb = load_images(args.images, reg_names, ds)
     focal = args.focal / ds
+    if args.eval_only:
+        _densify_eval_only(args, cfg, store, rec, meta, reg_names, rgb, focal)
+        return
     import dataclasses
 
     from tpu3d.dense.train import auto_near_far
@@ -631,13 +634,13 @@ def cmd_densify(args):
         # heap was still draining freed train buffers) — never fetch what
         # the host already knows.
         detail_bounds_host = (lo.tolist(), hi.tolist())
-        if not args.no_checkpoint:
+        if not args.no_checkpoint or args.final_grid:
             store.save("dense_grid_detail", grid=np.asarray(detail_grid.grid),
                        min_bound=lo, max_bound=hi)
     from tpu3d.dense.train import LAST_TRAIN_AUX
 
     bg_sh = LAST_TRAIN_AUX.get("background")
-    if not args.no_checkpoint:
+    if not args.no_checkpoint or args.final_grid:
         extra = {} if bg_sh is None else {"bg_sh": bg_sh}
         store.save("dense_grid", grid=np.asarray(grid.grid),
                    min_bound=np.asarray(grid.min_bound),
@@ -767,6 +770,82 @@ def cmd_densify(args):
         "coremax_q": args.coremax_q, "detail_epochs": args.detail_epochs,
         "model": args.model,
     }
+    store.save_json("dense_result", out)
+    print(json.dumps(out))
+
+
+def _densify_eval_only(args, cfg, store, rec, meta, reg_names, rgb, focal):
+    """Evaluate SAVED dense grids (dense_grid [+ dense_grid_detail]) in a
+    fresh process. The cascade's post-training eval can OOM on the training
+    process's still-resident device buffers (r5 RUN K: base+detail trained
+    ~30 min, then eval died through the whole retry ladder — twice). All
+    sampling semantics come from dense_meta: the exact band/normalization
+    the grid was trained under."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from tpu3d.dense.eval import evaluate_views, split_views_by_name
+    from tpu3d.dense.grid import VoxelGrid
+    from tpu3d.dense.train import SceneNormalization
+
+    dm = store.load_json("dense_meta")
+    d = store.load("dense_grid")
+    if dm is None or d is None:
+        print("no dense_grid/dense_meta — run densify with checkpoints "
+              "first", file=sys.stderr)
+        sys.exit(1)
+
+    def _vg(z):
+        return VoxelGrid(jnp.asarray(z["grid"], jnp.float32),
+                         jnp.asarray(z["min_bound"], jnp.float32),
+                         jnp.asarray(z["max_bound"], jnp.float32))
+
+    grid = _vg(d)
+    bg_sh = d.get("bg_sh")
+    dd = store.load("dense_grid_detail")
+    detail_grid = _vg(dd) if dd is not None else None
+    norm = SceneNormalization(
+        center=np.asarray(dm["norm_center"], np.float32),
+        scale=float(dm["norm_scale"]))
+    dcfg = dataclasses.replace(
+        cfg.dense, near=float(dm["near"]), far=float(dm["far"]),
+        num_samples=int(dm["num_samples"]),
+        per_ray_aabb=bool(dm["per_ray_aabb"]),
+        contraction=bool(dm.get("contraction", False)))
+    train_idx, test_idx = split_views_by_name(reg_names, args.holdout_every)
+    if not len(test_idx):
+        print("holdout split is empty — nothing to evaluate", file=sys.stderr)
+        sys.exit(1)
+    if detail_grid is not None:
+        ev = evaluate_views(detail_grid, rec["cams"][test_idx],
+                            rgb[test_idx], focal, dcfg, norm, stride=2,
+                            max_views=args.max_eval_views, bg_sh=bg_sh,
+                            base_grid=grid)
+    else:
+        ev = evaluate_views(grid, rec["cams"][test_idx], rgb[test_idx],
+                            focal, dcfg, norm, stride=2,
+                            max_views=args.max_eval_views, bg_sh=bg_sh)
+    out = {
+        "eval_only": True, "cascade": detail_grid is not None,
+        "test_psnr": ev["mean_psnr"],
+        "test_psnr_per_view": [round(p, 2) for p in ev["per_view"]],
+        "test_psnr_calibrated": ev["mean_psnr_calibrated"],
+        "test_psnr_core": round(ev["psnr_core"], 2),
+        "test_psnr_background": round(ev["psnr_background"], 2),
+        "core_pixel_fraction": round(ev["core_pixel_fraction"], 3),
+        "test_view_names": [reg_names[k] for k in test_idx],
+    }
+    pc = (meta or {}).get("per_camera_reproj_px") or {}
+    if pc:
+        vals = np.asarray(list(pc.values()))
+        thr = float(np.median(vals)
+                    + 3 * 1.4826 * np.median(np.abs(vals - np.median(vals))))
+        pv = ev["per_view"]
+        tnames = [reg_names[k] for k in test_idx[: len(pv)]]
+        ok = [i for i, n in enumerate(tnames) if pc.get(n, float("inf")) <= thr]
+        if ok and len(ok) < len(pv):
+            out["test_psnr_trusted"] = round(float(np.mean([pv[i] for i in ok])), 2)
     store.save_json("dense_result", out)
     print(json.dumps(out))
 
@@ -1231,6 +1310,15 @@ def main(argv=None):
                    help="resume dense training from the saved checkpoint")
     p.add_argument("--no-checkpoint", action="store_true",
                    help="skip grid/optimizer checkpoint downloads (minutes per epoch on the remote tunnel)")
+    p.add_argument("--final-grid", action="store_true",
+                   help="with --no-checkpoint: still save the FINAL "
+                        "dense_grid (+detail) once training ends, so "
+                        "--eval-only can score it from a fresh process")
+    p.add_argument("--eval-only", action="store_true",
+                   help="densify: skip training and evaluate the SAVED "
+                        "dense_grid (+detail) in a fresh process — the "
+                        "cascade's post-training eval can OOM on training "
+                        "leftovers")
     p.add_argument("--render-views", default="0,60,120,180",
                    help="render: comma-separated registered-view indices "
                         "(the reference's plenoxel.py:134-135 test views); "
