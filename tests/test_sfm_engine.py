@@ -129,3 +129,25 @@ def test_deregister_weak_cameras(rng):
     assert engine.num_registered == n0 - len(dropped)
     # Healthy anchor cameras survive.
     assert engine.has_cam[0] and engine.has_cam[1]
+
+
+def test_presize_global_ba_exact_buckets():
+    """presize_global_ba sets the padded high-water marks to the bucket-
+    rounded exact bounds (r5: the generic 2x accelerator guess was
+    exceeded by the canonical match graph, doubling mid-run and costing
+    ~1.8x padded compute per LM iteration for the rest of the run)."""
+    engine = IncrementalSfM(n_images=290, config=SfMConfig(max_tracks=5000))
+    engine.presize_global_ba(347_735, 77_838)
+    hw = engine._gba_shapes.hw
+    # ceil(347735 * 1.02 / 16384) * 16384
+    assert hw["O"] == 360_448
+    assert hw["P"] == 81_920
+    # pad() returns the pre-sized shape without growth for anything under
+    # the bound, and still grows geometrically past it.
+    assert engine._gba_shapes.pad("O", 347_735, 16384) == 360_448
+    assert engine._gba_shapes.pad("O", 400_000, 16384) == 720_896
+    # Tiny bounds never shrink below one bucket.
+    e2 = IncrementalSfM(n_images=8, config=SfMConfig(max_tracks=5000))
+    e2.presize_global_ba(10, 3)
+    assert e2._gba_shapes.hw["O"] == 16384
+    assert e2._gba_shapes.hw["P"] == 4096
