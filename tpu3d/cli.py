@@ -635,14 +635,15 @@ def cmd_densify(args):
         # the host already knows.
         detail_bounds_host = (lo.tolist(), hi.tolist())
         if not args.no_checkpoint or args.final_grid:
-            store.save("dense_grid_detail", grid=np.asarray(detail_grid.grid),
+            store.save("dense_grid_detail",
+                       grid=_fetch_grid_host(detail_grid.grid),
                        min_bound=lo, max_bound=hi)
     from tpu3d.dense.train import LAST_TRAIN_AUX
 
     bg_sh = LAST_TRAIN_AUX.get("background")
     if not args.no_checkpoint or args.final_grid:
         extra = {} if bg_sh is None else {"bg_sh": bg_sh}
-        store.save("dense_grid", grid=np.asarray(grid.grid),
+        store.save("dense_grid", grid=_fetch_grid_host(grid.grid),
                    min_bound=np.asarray(grid.min_bound),
                    max_bound=np.asarray(grid.max_bound), **extra)
     # Compact mesh-ready grid (density + per-color SH DC, f16): the full
@@ -772,6 +773,30 @@ def cmd_densify(args):
     }
     store.save_json("dense_result", out)
     print(json.dumps(out))
+
+
+def _fetch_grid_host(garr, retries: int = 4):
+    """Channel-at-a-time device->host fetch with OOM backoff. A whole-grid
+    np.asarray needs a grid-sized relayout/staging allocation on the axon
+    backend, which right after cascade training does not exist (r5 RUN K3
+    died exactly here, 35 minutes in, fetching the trained detail grid);
+    per-channel slices peak at X*Y*Z floats (~66 MB) instead."""
+    import gc
+    import time as _t
+
+    C = garr.shape[-1]
+    for attempt in range(retries):
+        try:
+            return np.stack([np.asarray(garr[..., c]) for c in range(C)],
+                            axis=-1)
+        except Exception as e:  # pragma: no cover - device OOM path
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    and "ResourceExhausted" not in str(e)) or attempt == retries - 1:
+                raise
+            print(f"grid fetch OOM (attempt {attempt + 1}) — waiting for "
+                  "the device heap to drain", file=sys.stderr)
+            gc.collect()
+            _t.sleep(20 * (attempt + 1))
 
 
 def _densify_eval_only(args, cfg, store, rec, meta, reg_names, rgb, focal):
