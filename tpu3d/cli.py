@@ -567,7 +567,33 @@ def cmd_densify(args):
     # Checkpoints download the full grid + Adam moments (5.7 GB at 256^3)
     # over the remote-TPU tunnel — minutes per epoch; off for experiments.
     ck_store = None if args.no_checkpoint else store
-    if args.model == "sdf":
+    if args.detail_only:
+        # Cascade process isolation (r5): one process per phase. Running
+        # base + detail + eval in ONE process OOM'd at whatever came after
+        # detail training — three times, three different allocation sites
+        # (a (3,) fetch, a PRNGKey, a 66 MB channel slice) — because the
+        # packed base + packed detail + moment + both unpacked grids leave
+        # no headroom and the axon server frees lazily. Here the base is
+        # LOADED (host numpy; the trainer packs it and the unpacked device
+        # upload is transient), only the detail phase trains, and
+        # --eval-only scores the saved pair in a third process.
+        import jax.numpy as jnp
+
+        from tpu3d.dense.grid import VoxelGrid as _VG
+
+        d = store.load("dense_grid")
+        if d is None or args.model == "sdf" or mesh is not None:
+            print("--detail-only needs a saved dense_grid (run the base "
+                  "densify with --final-grid first) and the plenoxel "
+                  "single-chip path", file=sys.stderr)
+            sys.exit(1)
+        grid = _VG(d["grid"],  # host numpy on purpose — see note above
+                   jnp.asarray(d["min_bound"], jnp.float32),
+                   jnp.asarray(d["max_bound"], jnp.float32))
+        losses = []
+        if args.detail_epochs <= 0:
+            args.detail_epochs = 4
+    elif args.model == "sdf":
         from tpu3d.dense.train import train_sdf
 
         grid, losses = train_sdf(dataset, dcfg, verbose=not args.quiet,
@@ -641,7 +667,7 @@ def cmd_densify(args):
     from tpu3d.dense.train import LAST_TRAIN_AUX
 
     bg_sh = LAST_TRAIN_AUX.get("background")
-    if not args.no_checkpoint or args.final_grid:
+    if (not args.no_checkpoint or args.final_grid) and not args.detail_only:
         extra = {} if bg_sh is None else {"bg_sh": bg_sh}
         store.save("dense_grid", grid=_fetch_grid_host(grid.grid),
                    min_bound=np.asarray(grid.min_bound),
@@ -692,6 +718,11 @@ def cmd_densify(args):
            # gate indices are into the TRAIN camera list; report names
            "dropped_cameras": [reg_names[int(train_idx[c])]
                                for c in dropped_local]}
+    if len(test_idx) and args.detail_only:
+        # Cascade process isolation: scoring happens in the --eval-only
+        # process; an in-process eval here is exactly the OOM this mode
+        # exists to avoid.
+        test_idx = test_idx[:0]
     if len(test_idx):
         def _eval_oom_retry():
             # Right after cascade training the device heap is briefly
@@ -1339,6 +1370,10 @@ def main(argv=None):
                    help="with --no-checkpoint: still save the FINAL "
                         "dense_grid (+detail) once training ends, so "
                         "--eval-only can score it from a fresh process")
+    p.add_argument("--detail-only", action="store_true",
+                   help="densify: load the saved dense_grid as the frozen "
+                        "cascade base and train ONLY the detail layer "
+                        "(cascade process isolation — see --eval-only)")
     p.add_argument("--eval-only", action="store_true",
                    help="densify: skip training and evaluate the SAVED "
                         "dense_grid (+detail) in a fresh process — the "
