@@ -66,3 +66,39 @@ def test_cli_densify_from_reference_ray_pickle(tmp_path, capsys):
     stats = json.loads(out[-1])
     assert stats["final_loss"] is not None
     assert np.isfinite(stats["test_psnr"])
+
+
+@pytest.mark.skipif(not os.path.isdir(DATASET), reason="dataset not available")
+def test_cli_cascade_process_chain(tmp_path, capsys):
+    """The 3-process cascade chain (base --final-grid / --detail-only /
+    --eval-only): each phase in its own process is the OOM-proof shape on
+    the remote backend, and --eval-only must reproduce the saved grids'
+    quality from nothing but artifacts."""
+    import numpy as np
+
+    from tpu3d.cli import main
+
+    art = str(tmp_path / "artifacts")
+    common = [
+        "--images", DATASET, "--artifacts", art,
+        "--downscale", "4", "--limit", "6",
+        "--max-keypoints", "512", "--max-tracks", "20000",
+        "--ransac-hypotheses", "128", "--quiet",
+    ]
+    main(["extract", *common])
+    main(["reconstruct", *common])
+    dense = ["--ray-stride", "8", "--grid-resolution", "32",
+             "--holdout-every", "5"]
+    main(["densify", *common, *dense, "--epochs", "1",
+          "--no-checkpoint", "--final-grid"])
+    assert os.path.exists(os.path.join(art, "dense_grid.npz"))
+    main(["densify", *common, *dense, "--detail-only",
+          "--detail-epochs", "1", "--no-checkpoint", "--final-grid"])
+    assert os.path.exists(os.path.join(art, "dense_grid_detail.npz"))
+    main(["densify", *common, *dense, "--eval-only"])
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(out[-1])
+    assert stats["eval_only"] and stats["cascade"]
+    assert np.isfinite(stats["test_psnr"])
+    saved = json.load(open(os.path.join(art, "dense_result.json")))
+    assert saved["test_psnr"] == stats["test_psnr"]
