@@ -1199,10 +1199,14 @@ def cmd_full(args):
     if args.ply:
         write_ply(args.ply, rec.points, rec.colors_bgr)
     _print_dispatches()
+    from tpu3d.sfm.pipeline import LAST_EXTRACT_TIMERS, LAST_MATCH_TIMERS
+
     print(json.dumps({
         "registered": len(rec.registered), "points": int(len(rec.points)),
         "mean_reproj_px": rec.mean_reproj_px,
         "stage_seconds": {k: round(v, 1) for k, v in timings.items()},
+        "extract_timers": dict(LAST_EXTRACT_TIMERS),
+        "match_timers": dict(LAST_MATCH_TIMERS),
     }))
 
 
