@@ -102,3 +102,28 @@ def test_cli_cascade_process_chain(tmp_path, capsys):
     assert np.isfinite(stats["test_psnr"])
     saved = json.load(open(os.path.join(art, "dense_result.json")))
     assert saved["test_psnr"] == stats["test_psnr"]
+
+
+@pytest.mark.skipif(not os.path.isdir(DATASET), reason="dataset not available")
+def test_cli_full_one_process(tmp_path, capsys):
+    """cli full (the e2e one-process headline path) persists the staged
+    artifact set so densify/export can consume it."""
+    from tpu3d.cli import main
+
+    art = str(tmp_path / "artifacts")
+    main([
+        "full", "--images", DATASET, "--artifacts", art,
+        "--downscale", "4", "--limit", "5",
+        "--max-keypoints", "512", "--max-tracks", "20000",
+        "--ransac-hypotheses", "128", "--quiet",
+        "--ply", str(tmp_path / "out.ply"),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    stats = json.loads(out[-1])
+    assert stats["registered"] >= 3
+    assert "extract" in stats["stage_seconds"]
+    assert "extract_timers" in stats
+    assert os.path.exists(os.path.join(art, "reconstruction.npz"))
+    assert os.path.exists(os.path.join(art, "reconstruction_meta.json"))
+    assert os.path.exists(os.path.join(art, "features_meta.json"))
+    assert os.path.exists(str(tmp_path / "out.ply"))
