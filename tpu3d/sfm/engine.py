@@ -1274,8 +1274,16 @@ class IncrementalSfM:
                 if len(dead):
                     self.point_valid[uniq_tracks[dead]] = False
                     pt_fixed[dead] = 1.0
-            if bad.any() and (final or getattr(self.cfg.ba, "midrun_refit",
-                                               True)):
+            # Env-gated experiment (TPU3D_REFIT_MIN_FRAC, e.g. "0.002"):
+            # skip the mid-run refit when the prune removed fewer than
+            # that fraction of observations — late-run prunes are tiny
+            # and the next growth-gated BA re-solves anyway. Default off
+            # pending a full-dataset decision A/B.
+            _min_frac = float(os.environ.get("TPU3D_REFIT_MIN_FRAC", "0"))
+            _tiny = (not final and _min_frac > 0
+                     and bad.sum() < _min_frac * max(O_real, 1))
+            if bad.any() and not _tiny and (
+                    final or getattr(self.cfg.ba, "midrun_refit", True)):
                 # Same statics (max_iters/cg_iters/robust) as the main solve
                 # so the refit reuses its executable — a second variant per
                 # shape would double the compile bill that dominates
