@@ -478,7 +478,21 @@ def cmd_densify(args):
         norm = normalize_scene_contracted(rec["points"],
                                           core_q=args.norm_core_q,
                                           core_radius=args.norm_core_radius)
-        near, far = auto_near_far(rec["cams"], rec["points"], norm)
+        band_pts = rec["points"]
+        if args.band_core_radius > 0:
+            # Band-dilation intervention (the r5 provenance factor): a
+            # drift tail in the cloud stretches the scene-derived far
+            # plane (r5_legacy: far 16.6 vs 4.6 normalized units on the
+            # compact rec) and with it the per-ray sample spacing through
+            # the core. Under contraction the sampler's disparity tail
+            # covers the shell beyond `far` anyway, so the uniform band
+            # only needs to span the CORE content: derive it from points
+            # within this normalized radius.
+            r = np.linalg.norm(norm.apply(band_pts), axis=1)
+            keep = r <= args.band_core_radius
+            if keep.sum() >= 100:
+                band_pts = band_pts[keep]
+        near, far = auto_near_far(rec["cams"], band_pts, norm)
         # The disparity tail in the sampler reaches the shell beyond `far`;
         # per-ray AABB clipping must be OFF (the Euclidean box exit would
         # truncate the tail).
@@ -1374,6 +1388,10 @@ def main(argv=None):
                    help="with --no-checkpoint: still save the FINAL "
                         "dense_grid (+detail) once training ends, so "
                         "--eval-only can score it from a fresh process")
+    p.add_argument("--band-core-radius", type=float, default=0.0,
+                   help="contraction: derive the uniform sampling band "
+                        "from points within this normalized radius only "
+                        "(0 = off) — counteracts drift-tail band dilation")
     p.add_argument("--detail-only", action="store_true",
                    help="densify: load the saved dense_grid as the frozen "
                         "cascade base and train ONLY the detail layer "
